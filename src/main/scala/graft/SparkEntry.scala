@@ -1,13 +1,225 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is one operator family from SURVEY.md §2,
+  * re-expressed Spark-first over the driver testdata (TESTDATA.md).
+  * `oracleSql` holds the DuckDB-equivalent ANSI SQL; column names and
+  * rounding are kept bit-compatible on both sides (see
+  * operators/Relational.scala header for the determinism contract).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> Relational.pricingSummary _,
+    "q02_top_parts"         -> Relational.topPartsByRevenue _,
+    "q03_revenue_by_nation" -> Relational.revenueByNation _,
+    "q04_clv"               -> Relational.clv _,
+    "q05_filter_parts"      -> Relational.filterParts _,
+    "q06_value_counts"      -> Relational.orderPriorityCounts _,
+    "q07_stats"             -> Relational.quantityStats _,
+    "q08_missing_frac"      -> Relational.missingFractions _,
+    "q09_conditional_agg"   -> Relational.conditionalAgg _,
+    "q10_window_lag"        -> Relational.lagQuantity _,
+    "q11_running_total"     -> Relational.runningQuantity _,
+    "q12_monthly_trend"     -> Relational.monthlyRevenue _,
+    "q13_corr"              -> Relational.quantityPriceCorr _,
+    "q14_top_customers"     -> Relational.topCustomers _,
+    "q15_anti_join"         -> Relational.customersWithoutOrders _,
+    "q16_semi_join"         -> Relational.suppliersWithBigShipments _,
+    "q17_pivot_matrix"      -> Relational.statusPriorityMatrix _,
+    "q18_hourly_events"     -> Relational.hourlyEvents _,
+    "q19_json_extract"      -> Relational.eventPropsExtract _,
+    "q20_distincts"         -> Relational.segmentDistincts _,
+  )
+
+  /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
+    * in DuckDB — e.g. hash-function-specific sketches). The driver records
+    * a weaker rows-only check for these; the set must stay small. */
+  def rowsOnlyQueries: Set[String] = Set()
+
+  /** DuckDB-runnable oracle SQL per query (same tables, same column
+    * names, same rounding). Integer sums are CAST(... AS BIGINT) because
+    * DuckDB's sum(int) widens to HUGEINT while Spark stays at long. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2)                                        AS sum_qty,
+             round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2)              AS sum_disc_price,
+             round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 4)                                        AS avg_qty,
+             round(avg(l_extendedprice), 4)                                   AS avg_price,
+             count(*)                                                         AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_top_parts" -> """
+      WITH rev AS (
+        SELECT l_partkey AS p_partkey,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY 1)
+      SELECT p.p_partkey, p.p_name, rev.revenue
+      FROM rev JOIN part p USING (p_partkey)
+      ORDER BY revenue DESC, p_partkey LIMIT 5""",
+
+    "q03_revenue_by_nation" -> """
+      SELECT n.n_name,
+             round(sum(o.o_totalprice), 2) AS total_revenue,
+             count(*)                      AS order_count
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+      ORDER BY total_revenue DESC, n_name LIMIT 10""",
+
+    "q04_clv" -> """
+      WITH spend AS (
+        SELECT o_custkey AS user_id, round(sum(o_totalprice), 2) AS total_spent
+        FROM orders GROUP BY 1),
+      activity AS (
+        SELECT user_id, count(*) AS event_count, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1),
+      j AS (
+        SELECT s.user_id, s.total_spent,
+               coalesce(a.event_count, 0)     AS event_count,
+               coalesce(a.total_value, 0.0)   AS total_value
+        FROM spend s LEFT JOIN activity a USING (user_id))
+      SELECT user_id, total_spent,
+             CAST(event_count AS BIGINT) AS event_count, total_value,
+             event_count * total_value / 1000.0 AS engagement_score,
+             total_spent * (event_count * total_value / 1000.0) AS clv
+      FROM j ORDER BY user_id""",
+
+    "q05_filter_parts" -> """
+      SELECT p_partkey, p_name, p_type, p_size
+      FROM part
+      WHERE p_size > 30 AND (p_type LIKE '%PROMO%' OR p_type LIKE '%ECONOMY%')
+      ORDER BY p_partkey""",
+
+    "q06_value_counts" -> """
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY n DESC, o_orderpriority""",
+
+    "q07_stats" -> """
+      SELECT count(l_quantity)                  AS n,
+             round(avg(l_quantity), 4)          AS mean_qty,
+             round(stddev_samp(l_quantity), 4)  AS std_qty,
+             round(var_samp(l_quantity), 4)     AS var_qty,
+             round(min(l_quantity), 2)          AS min_qty,
+             round(max(l_quantity), 2)          AS max_qty,
+             round(sum(l_quantity), 2)          AS sum_qty
+      FROM lineitem""",
+
+    "q08_missing_frac" -> """
+      SELECT round(avg(CASE WHEN c_custkey IS NULL THEN 1.0 ELSE 0.0 END), 4)    AS missing_c_custkey,
+             round(avg(CASE WHEN c_name IS NULL THEN 1.0 ELSE 0.0 END), 4)       AS missing_c_name,
+             round(avg(CASE WHEN c_nationkey IS NULL THEN 1.0 ELSE 0.0 END), 4)  AS missing_c_nationkey,
+             round(avg(CASE WHEN c_acctbal IS NULL THEN 1.0 ELSE 0.0 END), 4)    AS missing_c_acctbal,
+             round(avg(CASE WHEN c_mktsegment IS NULL THEN 1.0 ELSE 0.0 END), 4) AS missing_c_mktsegment
+      FROM customer""",
+
+    "q09_conditional_agg" -> """
+      SELECT l_linestatus,
+             round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS returned_revenue,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)           AS returned_rows,
+             round(sum(l_extendedprice), 2)                                                AS total_revenue
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q10_window_lag" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+             round(l_quantity, 2)             AS qty,
+             round(lag(l_quantity, 1) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber), 2) AS prev_qty
+      FROM lineitem
+      ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""",
+
+    "q11_running_total" -> """
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+             round(l_quantity, 2)             AS qty,
+             round(sum(l_quantity) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      FROM lineitem
+      ORDER BY l_partkey, ship_date, l_orderkey, l_linenumber""",
+
+    "q12_monthly_trend" -> """
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             round(sum(o_totalprice), 2)    AS revenue,
+             count(*)                       AS order_count
+      FROM orders GROUP BY 1 ORDER BY month""",
+
+    "q13_corr" -> """
+      SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price
+      FROM lineitem""",
+
+    "q14_top_customers" -> """
+      WITH spend AS (
+        SELECT o_custkey AS c_custkey,
+               round(sum(o_totalprice), 2) AS total_spent,
+               count(*)                    AS order_count
+        FROM orders GROUP BY 1)
+      SELECT c.c_custkey, c.c_name, s.total_spent, s.order_count
+      FROM spend s JOIN customer c USING (c_custkey)
+      ORDER BY total_spent DESC, c_custkey LIMIT 10""",
+
+    "q15_anti_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey""",
+
+    "q16_semi_join" -> """
+      SELECT s_suppkey, s_name
+      FROM supplier s
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+      ORDER BY s_suppkey""",
+
+    "q17_pivot_matrix" -> """
+      SELECT o_orderstatus,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)        AS n_urgent,
+             CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)          AS n_high,
+             CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT)        AS n_medium,
+             CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_not_specified,
+             CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT)           AS n_low
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q18_hourly_events" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+             event_type,
+             count(*)             AS n,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "q19_json_extract" -> """
+      WITH e AS (
+        SELECT event_type,
+               CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        FROM events)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             round(avg(k), 4)       AS avg_k
+      FROM e GROUP BY event_type ORDER BY event_type""",
+
+    "q20_distincts" -> """
+      SELECT c_mktsegment,
+             count(DISTINCT c_nationkey) AS n_nations,
+             count(*)                    AS n_customers
+      FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+  )
 }

@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Core relational query library — the Spark-first re-expression of the
+  * reference's dataflow operator inventory (SURVEY.md §2).
+  *
+  * Every query here is a declarative DataFrame program: Catalyst gets the
+  * whole logical plan and picks broadcast-hash joins for the small
+  * dimension side, partial+final hash aggregation, and
+  * TakeOrderedAndProject for sort+limit — the physical shapes the
+  * reference hand-rolled (e.g. the two-phase accumulator merge at
+  * load_hbase.py:196-208, the `$sort+$limit` at mongodb_pipeline.py:14-15).
+  *
+  * Determinism contract (for the DuckDB hash-match oracle): every money /
+  * floating aggregate is `round(x, 2..6)` in BOTH engines, every output is
+  * fully ordered with a unique tiebreak key, and timestamps leave the
+  * engine as formatted strings. At 100 TB the `round` stays map-side and
+  * the order-by is only on final (small) results — never on raw fact rows.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Money rounding helper — 2dp, matching the reference's `round(x, 2)`
+    * convention (dataset_generator.py:196,403-404). */
+  private def m(c: Column): Column = round(c, 2)
+
+  // --------------------------------------------------------------------
+  // q01 — pricing summary (SURVEY A1/A13: grouped multi-aggregate).
+  // Partial+final hash agg; one shuffle on the 2 low-cardinality keys.
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        m(sum(col("l_quantity"))).as("sum_qty"),
+        m(sum(col("l_extendedprice"))).as("sum_base_price"),
+        m(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        m(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // --------------------------------------------------------------------
+  // q02 — top-5 parts by revenue (SURVEY A2/E3: the reference's Mongo
+  // `$unwind→$group→$sort→$limit` pipeline, mongodb_pipeline.py:8-16,
+  // plus its per-row `find_one` name lookups, mongodb_pipeline.py:23-25,
+  // replaced by ONE broadcast join). TakeOrderedAndProject keeps the
+  // top-N without a full sort; `part` is broadcast (small dim).
+  def topPartsByRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    li.groupBy(col("l_partkey").as("p_partkey"))
+      .agg(m(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_name"))), "p_partkey")
+      .select(col("p_partkey"), col("p_name"), col("revenue"))
+      .orderBy(desc("revenue"), col("p_partkey"))
+      .limit(5)
+  }
+
+  // --------------------------------------------------------------------
+  // q03 — revenue by nation, top 10 (SURVEY E1: the flagship
+  // revenue-by-state SQL at spark_processing.py:45-52 re-keyed to the
+  // testdata's nation dimension). customer⋈nation is broadcast; the only
+  // real shuffle is orders⋈customer + the final agg.
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    val ord = t(s, dir, "orders")
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(m(sum(col("o_totalprice"))).as("total_revenue"),
+           count(lit(1)).as("order_count"))
+      .orderBy(desc("total_revenue"), col("n_name"))
+      .limit(10)
+  }
+
+  // --------------------------------------------------------------------
+  // q04 — CLV (SURVEY E2, clv_integration.py:53-65): per-customer spend
+  // LEFT JOIN per-user activity metrics, null-fill, derived columns.
+  // Replaces the reference's driver-side Mongo/HBase round-trips with two
+  // distributed partial+final aggs. The left join preserves the
+  // degenerate mode (no activity ⇒ zero-filled metrics ⇒ clv 0) the
+  // reference's golden CSV exhibits.
+  def clv(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(m(sum(col("o_totalprice"))).as("total_spent"))
+    val activity = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("event_count"),
+           m(sum(col("value"))).as("total_value"))
+    // Derived columns stay UNROUNDED: they are deterministic IEEE-754
+    // arithmetic over already-rounded aggregates, so Spark and the DuckDB
+    // oracle produce bit-identical doubles. Rounding here would *break*
+    // parity — Spark rounds the shortest decimal repr (BigDecimal.valueOf)
+    // while DuckDB rounds the binary value, and clean-decimal products
+    // land exactly on .5 boundaries (e.g. 55×2847.65/1000).
+    val engagement = col("event_count") * col("total_value") / lit(1000.0)
+    spend.join(activity, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("total_spent"),
+        coalesce(col("event_count"), lit(0L)).as("event_count"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .withColumn("engagement_score", engagement)
+      .withColumn("clv", col("total_spent") * col("engagement_score"))
+      .orderBy(col("user_id"))
+  }
+
+  // --------------------------------------------------------------------
+  // q05 — compound predicate + projection (SURVEY P2-P4,
+  // codes_in_book_of_statisct.ipynb cells 91-92 boolean-mask pattern).
+  // Catalyst pushes p_size to the parquet scan; contains() stays a
+  // codegen'd string predicate.
+  def filterParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_size") > 30 &&
+        (col("p_type").contains("PROMO") || col("p_type").contains("ECONOMY")))
+      .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"))
+      .orderBy(col("p_partkey"))
+
+  // --------------------------------------------------------------------
+  // q06 — value_counts (SURVEY A10: `value_counts()` in
+  // data_mining_Assignment1.ipynb cell 7).
+  def orderPriorityCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("o_orderpriority"))
+
+  // --------------------------------------------------------------------
+  // q07 — describe()-style global stats (SURVEY A9/A13). One partial+final
+  // agg, no shuffle of raw rows beyond the single-row combine.
+  def quantityStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(col("l_quantity")).as("n"),
+      round(avg(col("l_quantity")), 4).as("mean_qty"),
+      round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+      round(var_samp(col("l_quantity")), 4).as("var_qty"),
+      m(min(col("l_quantity"))).as("min_qty"),
+      m(max(col("l_quantity"))).as("max_qty"),
+      m(sum(col("l_quantity"))).as("sum_qty"))
+
+  // --------------------------------------------------------------------
+  // q08 — per-column missing fraction (SURVEY A12,
+  // codes_in_book_of_statisct.ipynb cell 99) in one pass.
+  def missingFractions(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def frac(name: String) =
+      round(avg(col(name).isNull.cast("double")), 4).as(s"missing_$name")
+    c.agg(frac("c_custkey"), frac("c_name"), frac("c_nationkey"),
+          frac("c_acctbal"), frac("c_mktsegment"))
+  }
+
+  // --------------------------------------------------------------------
+  // q09 — conditional aggregation (SURVEY A5's `sum(when)` pattern — the
+  // HBase per-(product,day) counter rollup at load_hbase.py:127-134).
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        m(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+          .otherwise(lit(0.0)))).as("returned_revenue"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned_rows"),
+        m(sum(col("l_extendedprice"))).as("total_revenue"))
+      .orderBy(col("l_linestatus"))
+
+  // --------------------------------------------------------------------
+  // q10 — lag window (SURVEY W5: the `np.roll(y,1)` lag-1 feature,
+  // data_mining_Assignment1.ipynb cell 52). Window order includes the
+  // unique (orderkey, linenumber) tiebreak so the lag value is
+  // deterministic under any partitioning.
+  def lagQuantity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        m(col("l_quantity")).as("qty"),
+        m(lag(col("l_quantity"), 1).over(w)).as("prev_qty"))
+      .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  // --------------------------------------------------------------------
+  // q11 — running total (SURVEY W7: the order-dependent stock decrement,
+  // dataset_generator.py:91-102, as a frame-spec window).
+  def runningQuantity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        m(col("l_quantity")).as("qty"),
+        m(sum(col("l_quantity")).over(w)).as("running_qty"))
+      .orderBy(col("l_partkey"), col("ship_date"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  // --------------------------------------------------------------------
+  // q12 — monthly trend (SURVEY A7: `groupby(to_period("M"))` at
+  // visualizations.py:86). Month leaves as a string for oracle parity.
+  def monthlyRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(m(sum(col("o_totalprice"))).as("revenue"),
+           count(lit(1)).as("order_count"))
+      .orderBy(col("month"))
+
+  // --------------------------------------------------------------------
+  // q13 — correlation (SURVEY A11: `df.corr()`,
+  // data_mining_Assignment1.ipynb cell 26). Single-pass co-moment agg.
+  def quantityPriceCorr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+      round(corr(col("l_discount"), col("l_extendedprice")), 6).as("corr_disc_price"))
+
+  // --------------------------------------------------------------------
+  // q14 — top-10 customers by spend (SURVEY W1/A3). Agg first (shrinks to
+  // |customers| rows), then broadcast-join the name.
+  def topCustomers(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    ord.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(m(sum(col("o_totalprice"))).as("total_spent"),
+           count(lit(1)).as("order_count"))
+      .join(broadcast(cust.select(col("c_custkey"), col("c_name"))), "c_custkey")
+      .select(col("c_custkey"), col("c_name"), col("total_spent"), col("order_count"))
+      .orderBy(desc("total_spent"), col("c_custkey"))
+      .limit(10)
+  }
+
+  // --------------------------------------------------------------------
+  // q15 — anti join: customers with no orders (SURVEY set-op surface —
+  // the `~train` complement pattern; also E2's left-join null side).
+  // left_anti is shuffle-free on the broadcast-able side at this shape.
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders").select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // q16 — semi join: suppliers that shipped at least one item with
+  // quantity > 45 (EXISTS without duplication — no agg needed).
+  def suppliersWithBigShipments(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45).select(col("l_suppkey"))
+    sup.join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  // --------------------------------------------------------------------
+  // q17 — confusion-matrix-style pivot (SURVEY A14:
+  // `groupBy(label).pivot(pred).count()`), expressed as conditional aggs
+  // with explicit columns so the oracle schema is stable.
+  def statusPriorityMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pri = Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+      "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "not_specified",
+      "5-LOW" -> "low")
+    val aggs = pri.map { case (v, n) =>
+      sum(when(col("o_orderpriority") === v, 1L).otherwise(0L)).as(s"n_$n")
+    }
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // --------------------------------------------------------------------
+  // q18 — hourly event rollup (SURVEY A5/A7 time bucketing; the streaming
+  // counterpart lives in graft.streaming.Sessionize). At 100 TB this is
+  // the canonical "partition by time bucket" agg — one shuffle on
+  // (hour, event_type), both low-cardinality.
+  def hourlyEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           m(sum(col("value"))).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  // --------------------------------------------------------------------
+  // q19 — semi-structured extraction (SURVEY F16's JSON surface): pull the
+  // numeric `k` out of the props JSON string with a codegen'd regexp (no
+  // UDF), then aggregate.
+  def eventPropsExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  // --------------------------------------------------------------------
+  // q20 — distinct + count-distinct surface (SURVEY's `collect_set` /
+  // distinct family): market segments with exact + approx distinct
+  // customer counts. approx_count_distinct (HLL) is the 100-TB path —
+  // constant memory, no distinct shuffle.
+  def segmentDistincts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+           count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs non-empty on sf0.001 (except anti-join)") {
+    // q15 (customers with no orders) may legitimately be empty.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      if (name != "q15_anti_join") assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // keep this list tiny and intentional (non-SQL-expressible ops only)
+    assert(noOracle.forall(n => SparkEntry.rowsOnlyQueries.contains(n)),
+      s"queries missing an oracle without justification: $noOracle")
+  }
+
+  test("q01 aggregates reconcile with a direct computation") {
+    import org.apache.spark.sql.functions._
+    val got = Relational("q01")(spark)
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val expTotal = li.agg(count(lit(1))).head.getLong(0)
+    val gotTotal = got.agg(sum("count_order")).head.getLong(0)
+    assert(gotTotal == expTotal)
+  }
+
+  test("q04 clv degenerate mode: users with no events get zero metrics") {
+    val clv = operators.Relational.clv(spark, sf)
+    val row = clv.filter(clv("event_count") === 0)
+    // all zero-event users must have engagement 0 and clv 0
+    assert(row.filter(row("clv") =!= 0.0).count() == 0)
+  }
+
+  test("q11 running total is monotone within a partition") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rt = operators.Relational.runningQuantity(spark, sf)
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+    val bad = rt.withColumn("prev", lag(col("running_qty"), 1).over(w))
+      .filter(col("prev").isNotNull && col("running_qty") < col("prev"))
+    assert(bad.count() == 0)
+  }
+
+  private object Relational {
+    def apply(prefix: String): SparkSession => org.apache.spark.sql.DataFrame = {
+      val (name, fn) = SparkEntry.queries.find(_._1.startsWith(prefix)).get
+      s => fn(s, sf)
+    }
+  }
+}
