@@ -40,12 +40,25 @@ object SparkEntry {
     "q18_hourly_events"     -> Relational.hourlyEvents _,
     "q19_json_extract"      -> Relational.eventPropsExtract _,
     "q20_distincts"         -> Relational.segmentDistincts _,
+    "q21_doc_stats"         -> TextOps.docStats _,
+    "q22_word_freq"         -> TextOps.wordFreq _,
+    "q23_lang_id"           -> TextOps.langId _,
+    "q24_quality_score"     -> TextOps.qualityScore _,
+    "q25_exact_dedup"       -> Dedup.exactDedup _,
+    "q26_ngram_jaccard"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "q27_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
+    "q28_simhash_pairs"     -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "q29_ann_cosine"        -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "q30_fingerprint"       -> TextOps.fingerprint _,
+    "q31_ann_lsh"           -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
     * in DuckDB — e.g. hash-function-specific sketches). The driver records
     * a weaker rows-only check for these; the set must stay small. */
-  def rowsOnlyQueries: Set[String] = Set()
+  def rowsOnlyQueries: Set[String] = Set(
+    "q28_simhash_pairs", // xxhash64 is Spark-specific; spec-tested instead
+    "q31_ann_lsh")       // hyperplanes generated driver-side; spec-tested vs q29
 
   /** DuckDB-runnable oracle SQL per query (same tables, same column
     * names, same rounding). Integer sums are CAST(... AS BIGINT) because
@@ -221,5 +234,145 @@ object SparkEntry {
              count(DISTINCT c_nationkey) AS n_nations,
              count(*)                    AS n_customers
       FROM customer GROUP BY 1 ORDER BY c_mktsegment""",
+
+    "q21_doc_stats" -> """
+      SELECT doc_id, lang,
+             length(text)                             AS char_len,
+             len(string_split(text, ' '))             AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' '))         AS uniq_ratio
+      FROM documents ORDER BY doc_id""",
+
+    "q22_word_freq" -> """
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      SELECT token, count(*) AS n FROM tok
+      GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+
+    "q23_lang_id" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(lower(text),' '), t -> t IN ('the','and','of','to','in')))  AS en_hits,
+          len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','de','que','los')))  AS es_hits,
+          len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','und','das','ein'))) AS de_hits,
+          len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','et','des','une'))) AS fr_hits
+        FROM documents)
+      SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+             CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                  WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                  WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang
+      FROM d ORDER BY doc_id""",
+
+    "q24_quality_score" -> """
+      WITH d AS (
+        SELECT doc_id,
+               length(text)                                AS char_len,
+               len(string_split(text, ' '))                AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+               len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpeish
+        FROM documents),
+      e AS (
+        SELECT *,
+               CAST(char_len - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+               CAST(n_uniq_tokens AS DOUBLE) / n_tokens             AS uniq_ratio
+        FROM d)
+      SELECT doc_id, char_len, n_tokens, n_uniq_tokens, n_tokens_bpeish,
+             mean_token_len, uniq_ratio,
+             CAST(n_tokens BETWEEN 5 AND 500 AND uniq_ratio > 0.2
+                  AND mean_token_len BETWEEN 2.0 AND 12.0 AS INT) AS quality_ok
+      FROM e ORDER BY doc_id""",
+
+    "q25_exact_dedup" -> """
+      SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY text_hash""",
+
+    "q26_ngram_jaccard" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram FROM t),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b, i.n_common, na.ng AS ng_a, nb.ng AS ng_b,
+             CAST(i.n_common AS DOUBLE) / (na.ng + nb.ng - i.n_common) AS jaccard
+      FROM inter i
+      JOIN n na ON na.doc_id = i.doc_a
+      JOIN n nb ON nb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (na.ng + nb.ng - i.n_common) >= 0.5
+      ORDER BY doc_a, doc_b""",
+
+    "q27_minhash_lsh" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram FROM t),
+      sig AS (SELECT doc_id,
+        min(CAST('0x' || substr(md5('0:'  || gram), 1, 15) AS BIGINT)) AS mh_0,
+        min(CAST('0x' || substr(md5('1:'  || gram), 1, 15) AS BIGINT)) AS mh_1,
+        min(CAST('0x' || substr(md5('2:'  || gram), 1, 15) AS BIGINT)) AS mh_2,
+        min(CAST('0x' || substr(md5('3:'  || gram), 1, 15) AS BIGINT)) AS mh_3,
+        min(CAST('0x' || substr(md5('4:'  || gram), 1, 15) AS BIGINT)) AS mh_4,
+        min(CAST('0x' || substr(md5('5:'  || gram), 1, 15) AS BIGINT)) AS mh_5,
+        min(CAST('0x' || substr(md5('6:'  || gram), 1, 15) AS BIGINT)) AS mh_6,
+        min(CAST('0x' || substr(md5('7:'  || gram), 1, 15) AS BIGINT)) AS mh_7,
+        min(CAST('0x' || substr(md5('8:'  || gram), 1, 15) AS BIGINT)) AS mh_8,
+        min(CAST('0x' || substr(md5('9:'  || gram), 1, 15) AS BIGINT)) AS mh_9,
+        min(CAST('0x' || substr(md5('10:' || gram), 1, 15) AS BIGINT)) AS mh_10,
+        min(CAST('0x' || substr(md5('11:' || gram), 1, 15) AS BIGINT)) AS mh_11
+        FROM g GROUP BY 1),
+      banded AS (
+        SELECT doc_id, 0 AS band, concat_ws('_', mh_0, mh_1, mh_2)   AS key FROM sig
+        UNION ALL SELECT doc_id, 1, concat_ws('_', mh_3, mh_4, mh_5) FROM sig
+        UNION ALL SELECT doc_id, 2, concat_ws('_', mh_6, mh_7, mh_8) FROM sig
+        UNION ALL SELECT doc_id, 3, concat_ws('_', mh_9, mh_10, mh_11) FROM sig),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM banded x JOIN banded y
+                 ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      SELECT c.doc_a, c.doc_b,
+             CAST((CASE WHEN a.mh_0  = b.mh_0  THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.mh_1  = b.mh_1  THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.mh_2  = b.mh_2  THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.mh_3  = b.mh_3  THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.mh_4  = b.mh_4  THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.mh_5  = b.mh_5  THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.mh_6  = b.mh_6  THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.mh_7  = b.mh_7  THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.mh_8  = b.mh_8  THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.mh_9  = b.mh_9  THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.mh_10 = b.mh_10 THEN 1 ELSE 0 END) +
+                  (CASE WHEN a.mh_11 = b.mh_11 THEN 1 ELSE 0 END) AS DOUBLE) / 12.0
+               AS est_jaccard
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.doc_a
+      JOIN sig b ON b.doc_id = c.doc_b
+      ORDER BY doc_a, doc_b""",
+
+    "q29_ann_cosine" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      pairs AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_dot_product(e.v, q.qv) /
+                     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                     4) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+      ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+                 FROM pairs)
+      SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q30_fingerprint" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      f AS (SELECT doc_id, list_min(list_transform(
+              generate_series(1, len(tk) - 7),
+              i -> md5(array_to_string(tk[i:i+7], ' ')))) AS fingerprint FROM t)
+      SELECT doc_id, fingerprint, substr(fingerprint, 1, 1) AS bucket
+      FROM f ORDER BY doc_id""",
   )
 }

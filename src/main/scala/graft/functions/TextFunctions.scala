@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis building blocks for large-scale training-data
+  * pipelines (token counting, language ID, quality scoring, shingling,
+  * fingerprinting). Everything here is composed from codegen'd built-ins —
+  * no UDFs — so the whole pipeline stays inside whole-stage codegen and
+  * scales embarrassingly parallel (per-row, no shuffle).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the corpus is space-delimited; swap the pattern
+    * for `\\s+` on noisier text). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token estimate: words plus intra-word punctuation splits —
+    * `\\w+|[^\\w\\s]` occurrences, counted without materializing the array. */
+  def tokenEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Per-language stopword hit count (tiny built-in lists; heuristic
+    * n-gram-free language ID per SURVEY scale-extension plan). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  def stopwordHits(text: Column, lang: String): Column = {
+    val list = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split(lower(${text.toString}), ' '), t -> t IN ($list)))")
+      .cast("long")
+  }
+
+  /** Argmax language from the four stopword scores; deterministic
+    * tie-break by the fixed en > es > de > fr preference order so the
+    * DuckDB oracle can reproduce it with the same CASE chain. */
+  def predictedLang(en: Column, es: Column, de: Column, fr: Column): Column =
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+
+  /** Distinct word-level k-shingles (n-grams) of a token array column.
+    * 1-based `element_at` for DuckDB slicing parity. */
+  def shingles(toks: Column, k: Int): Column = {
+    val t = toks.toString
+    val parts = (0 until k).map(j => s"element_at($t, i + $j)").mkString(", ")
+    expr(s"array_distinct(transform(sequence(1, size($t) - ${k - 1}), i -> concat_ws(' ', $parts)))")
+  }
+
+  /** Winnowing-style document fingerprint: the minimum md5 over all
+    * 8-token shingles. Stable across engines (md5 is standard), robust to
+    * local edits, and computable per-row with no shuffle — the 100-TB
+    * dedup prefilter. Caller must ensure size(toks) >= 8. */
+  def minShingleFingerprint(toks: Column, k: Int = 8): Column = {
+    val t = toks.toString
+    expr(s"array_min(transform(sequence(1, size($t) - ${k - 1}), i -> md5(concat_ws(' ', slice($t, i, $k)))))")
+  }
+
+  /** First 15 hex chars of md5 as a positive long (fits in 60 bits) —
+    * portable numeric hash for bucketing/banding that DuckDB can
+    * reproduce with CAST('0x'||substr(md5(x),1,15) AS BIGINT). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+}

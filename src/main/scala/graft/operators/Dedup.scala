@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` table — exact and
+  * near-duplicate detection, the core corpus-hygiene stage of a
+  * training-data pipeline (SURVEY scale-extension plan).
+  *
+  * Scale design: every variant reduces the pairwise O(n²) problem to a
+  * shuffle keyed on something small (content hash, shared shingle,
+  * minhash band), so candidate generation is a hash-partition join, never
+  * a cross join. Exact jaccard verification runs only on candidates.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  // q25 — exact dedup: md5 content hash → keeper (min doc_id) + copy
+  // count. One shuffle on the hash; at 100 TB this is the cheapest dedup
+  // pass and runs first.
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+           count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+
+  /** Distinct 3-gram shingles per doc (docs with ≥3 tokens). */
+  private def grams3(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("t"), 3)).as("gram"))
+
+  // q26 — n-gram Jaccard near-dup pairs: candidates = pairs sharing ≥1
+  // shingle (gram-keyed join, NOT a cross join), then exact
+  // jaccard = |∩| / (|A|+|B|−|∩|) ≥ 0.5. Division is exact-int → exact
+  // double, bit-identical to the oracle.
+  def ngramJaccardPairs(s: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
+    val g = grams3(s, dir)
+    val counts = g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    val a = g.select(col("doc_id").as("doc_a"), col("gram"))
+    val b = g.select(col("doc_id").as("doc_b"), col("gram"))
+    val inter = a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("ng").as("ng_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("ng").as("ng_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("ng_a") + col("ng_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("ng_a"), col("ng_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signatures: k portable hash functions h_i(g) = md5Long(i||g)
+    * (md5-based so both engines — and any future oracle — can reproduce
+    * them), min-reduced per doc. One pass over exploded shingles; the
+    * k mins are computed by a single groupBy with k min() aggregates. */
+  def minhashSignatures(s: SparkSession, dir: String, k: Int = 12): DataFrame = {
+    val g = grams3(s, dir)
+    val aggs = (0 until k).map(i =>
+      min(md5Long(concat(lit(i + ":"), col("gram")))).as(s"mh_$i"))
+    g.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // q27 — MinHash + LSH banding near-dup candidates: b bands of r rows;
+  // docs agreeing on ALL r minhashes in any band land in the same bucket
+  // (bucket-keyed self-join — the O(n²)-free scale path). Estimated
+  // similarity = fraction of the k minhashes that agree.
+  def minhashLshPairs(s: SparkSession, dir: String,
+                      k: Int = 12, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = minhashSignatures(s, dir, k).cache()
+    val bandCols = (0 until bands).map { bd =>
+      val rows = (0 until r).map(j => col(s"mh_${bd * r + j}"))
+      struct(lit(bd).as("band"), concat_ws("_", rows: _*).as("key")).as(s"b$bd")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array((0 until bands).map(bd => col(s"b$bd")): _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val mhEq = (0 until k).map(i =>
+      when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("est_jaccard", mhEq.cast("double") / lit(k.toDouble))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q28 — SimHash (64-bit) near-dup pairs. Per doc: for each bit j, sum
+    * +1/−1 over token hashes' bit j; simhash bit j = sign. Computed as 64
+    * conditional aggregates in ONE groupBy pass (no 64× explode).
+    * Near-dups = pairs in the same 16-bit band with Hamming distance ≤
+    * maxHamming (4-band LSH: any doc pair with distance ≤ 3 shares ≥1
+    * band for sure at distance ≤ 3 bands differ... standard banding). */
+  def simhashPairs(s: SparkSession, dir: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"c$j")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = (0 until 64).map(j =>
+        when(col(s"c$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sh = sums.select(col("doc_id"), sim.as("simhash"))
+    // 4 bands of 16 bits: Hamming ≤ 3 guarantees a shared band; we allow
+    // up to maxHamming overall and let banding trade recall for scale.
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(bd =>
+        struct(lit(bd).as("band"),
+          shiftright(col("simhash"), bd * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.key").as("key"))
+    val hamming = {
+      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+      bit_count(x)
+    }
+    val candA = banded.as("a")
+    val candB = banded.as("b")
+    candA.join(candB, Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

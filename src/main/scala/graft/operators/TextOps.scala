@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the per-document
+  * feature extraction stage of a training-data pipeline. All queries are
+  * pure per-row projections (no shuffle except the final order-by on
+  * small/bounded output), so they scale linearly with input splits.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  // q21 — per-document stats: char/token/distinct counts + uniqueness
+  // ratio (exact-integer division → bit-identical doubles in the oracle).
+  def docStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      col("lang"),
+      length(col("text")).cast("long").as("char_len"),
+      tokenCount(col("text")).as("n_tokens"),
+      distinctTokenCount(col("text")).as("n_uniq_tokens"))
+      .withColumn("uniq_ratio",
+        col("n_uniq_tokens").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  // q22 — corpus word frequency: explode + count + top-k. At 100 TB the
+  // explode stays map-side; the shuffle carries only (token, partial
+  // count) pairs thanks to partial aggregation.
+  def wordFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(20)
+
+  // q23 — heuristic language ID via per-language stopword hits with a
+  // deterministic argmax (SURVEY scale-extension: language-ID operator).
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      stopwordHits(col("text"), "en").as("en_hits"),
+      stopwordHits(col("text"), "es").as("es_hits"),
+      stopwordHits(col("text"), "de").as("de_hits"),
+      stopwordHits(col("text"), "fr").as("fr_hits"))
+    d.withColumn("pred_lang",
+        predictedLang(col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits")))
+      .orderBy(col("doc_id"))
+  }
+
+  // q24 — quality scoring: length/uniqueness/token-shape gates, the
+  // standard pre-training corpus filter. Flag emitted as int for stable
+  // cross-engine schema.
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("char_len"),
+      tokenCount(col("text")).as("n_tokens"),
+      distinctTokenCount(col("text")).as("n_uniq_tokens"),
+      tokenEstimate(col("text")).as("n_tokens_bpeish"))
+      .withColumn("mean_token_len",
+        (col("char_len") - (col("n_tokens") - lit(1L))).cast("double") / col("n_tokens"))
+      .withColumn("uniq_ratio",
+        col("n_uniq_tokens").cast("double") / col("n_tokens"))
+      .withColumn("quality_ok",
+        (col("n_tokens").between(5L, 500L) &&
+          col("uniq_ratio") > 0.2 &&
+          col("mean_token_len").between(2.0, 12.0)).cast("int"))
+      .orderBy(col("doc_id"))
+
+  // q30 — winnowing-style fingerprint: min md5 over 8-token shingles,
+  // bucketed by the first hex nibble. Per-row, shuffle-free; the bucket
+  // column is what a 100-TB pipeline would hash-partition on.
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"),
+        minShingleFingerprint(col("t"), 8).as("fingerprint"))
+      .withColumn("bucket", substring(col("fingerprint"), 1, 1))
+      .orderBy(col("doc_id"))
+}

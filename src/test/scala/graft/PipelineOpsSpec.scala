@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the training-data pipeline operators (dedup, similarity,
+  * text analysis) — the rows-only queries get their semantic checks here
+  * since they have no DuckDB oracle. */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("exact dedup: copies partition the corpus") {
+    val d = operators.Dedup.exactDedup(spark, sf)
+    val total = d.agg(org.apache.spark.sql.functions.sum("n_copies"))
+      .head.getLong(0)
+    val docs = graft.sources.Tables(spark, sf, "documents").count()
+    assert(total == docs)
+  }
+
+  test("minhash LSH finds every exact-jaccard>=0.5 near-dup pair") {
+    val exact = operators.Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.Dedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    // banding: pairs at jaccard >= 0.5 with 4 bands of 3 rows are found
+    // w.h.p.; on the planted (≥0.8) dups this must be exhaustive
+    assert((exact -- lsh).isEmpty,
+      s"minhash missed ${(exact -- lsh).size} of ${exact.size} exact pairs")
+  }
+
+  test("simhash pairs include the planted near-dups at small hamming") {
+    val exact = operators.Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = operators.Dedup.simhashPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (exact & sim).size
+    assert(exact.isEmpty || found >= exact.size / 2,
+      s"simhash found only $found of ${exact.size} planted pairs")
+  }
+
+  test("LSH ANN matches brute-force top-k at default params") {
+    val bf = operators.Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.Similarity.lshTopK(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.size == 50)
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9")
+  }
+
+  test("language ID predicts a language for every doc") {
+    val l = operators.TextOps.langId(spark, sf)
+    assert(l.filter(l("pred_lang").isNull).count() == 0)
+  }
+
+  test("fingerprint is stable under duplicate text") {
+    import org.apache.spark.sql.functions._
+    // same text ⇒ same fingerprint: join docs on equal text, compare fps
+    val f = operators.TextOps.fingerprint(spark, sf)
+    val d = graft.sources.Tables(spark, sf, "documents").select("doc_id", "text")
+    val j = d.as("x").join(d.as("y"), col("x.text") === col("y.text"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .join(f.as("fx"), col("x.doc_id") === col("fx.doc_id"))
+      .join(f.as("fy"), col("y.doc_id") === col("fy.doc_id"))
+    assert(j.filter(col("fx.fingerprint") =!= col("fy.fingerprint")).count() == 0)
+  }
+}
