@@ -51,6 +51,12 @@ object SparkEntry {
     "q29_ann_cosine"        -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "q30_fingerprint"       -> TextOps.fingerprint _,
     "q31_ann_lsh"           -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "q32_grouped_ols"       -> Relational.groupedOls _,
+    "q33_union_presence"    -> Relational.nationPresence _,
+    "q34_binning"           -> Relational.orderValueBins _,
+    "q35_string_ops"        -> Relational.stringOps _,
+    "q36_date_ops"          -> Relational.shipLatency _,
+    "q37_argmax"            -> Relational.largestOrderPerCustomer _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -374,5 +380,68 @@ object SparkEntry {
               i -> md5(array_to_string(tk[i:i+7], ' ')))) AS fingerprint FROM t)
       SELECT doc_id, fingerprint, substr(fingerprint, 1, 1) AS bucket
       FROM f ORDER BY doc_id""",
+
+    "q32_grouped_ols" -> """
+      SELECT l_returnflag,
+             count(*) AS n,
+             round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 6) AS slope,
+             round(avg(l_extendedprice) -
+                   (covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity))
+                   * avg(l_quantity), 4) AS intercept,
+             round(pow(corr(l_quantity, l_extendedprice), 2), 6) AS r2
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q33_union_presence" -> """
+      WITH u AS (
+        SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier)
+      SELECT nationkey, side, count(*) AS n
+      FROM u GROUP BY 1, 2 ORDER BY nationkey, side""",
+
+    "q34_binning" -> """
+      WITH b AS (
+        SELECT CASE WHEN o_totalprice < 50000  THEN 'a_lt50k'
+                    WHEN o_totalprice < 150000 THEN 'b_50k_150k'
+                    WHEN o_totalprice < 300000 THEN 'c_150k_300k'
+                    ELSE 'd_ge300k' END AS price_band,
+               o_totalprice
+        FROM orders)
+      SELECT price_band, count(*) AS n, round(sum(o_totalprice), 2) AS band_revenue
+      FROM b GROUP BY 1 ORDER BY price_band""",
+
+    "q35_string_ops" -> """
+      SELECT p_partkey,
+             concat_ws('#', p_brand, p_type)          AS brand_type_key,
+             upper(p_name)                            AS name_upper,
+             substr(p_name, 1, 8)                     AS name_prefix,
+             regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num,
+             length(p_name)                           AS name_len,
+             string_split(p_name, ' ')[1]             AS first_word,
+             CAST(contains(p_name, 'green') AS INT)   AS has_green,
+             lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key
+      FROM part ORDER BY p_partkey""",
+
+    "q36_date_ops" -> """
+      WITH j AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT)    AS order_year,
+               CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+               date_diff('day', o_orderdate, l_shipdate) AS lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT order_year, order_quarter, count(*) AS n,
+             round(avg(lag_days), 4)        AS avg_lag_days,
+             CAST(max(lag_days) AS BIGINT)  AS max_lag_days
+      FROM j GROUP BY 1, 2 ORDER BY order_year, order_quarter""",
+
+    "q37_argmax" -> """
+      WITH r AS (
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      SELECT o_custkey, o_orderkey,
+             round(o_totalprice, 2)            AS best_price,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM r WHERE rn = 1 ORDER BY o_custkey""",
   )
 }

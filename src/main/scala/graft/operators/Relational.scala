@@ -317,4 +317,98 @@ object Relational {
       .agg(countDistinct(col("c_nationkey")).as("n_nations"),
            count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
+
+  // --------------------------------------------------------------------
+  // q32 — grouped simple OLS (SURVEY M1 as a pure-SQL aggregate): slope /
+  // intercept / R² of extendedprice ~ quantity per return flag, from the
+  // closed-form moments. One pass, partial+final agg — the distributed
+  // formulation of the notebook's per-group regression.
+  def groupedOls(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(covar_pop(x, y) / var_pop(x), 6).as("slope"),
+        round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 4).as("intercept"),
+        round(pow(corr(x, y), 2), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // q33 — union + distinct (SURVEY set-op surface: the batch-merge
+  // `extend` ≡ unionByName): nations present on either side of the
+  // customer/supplier relationship, with provenance counts.
+  def nationPresence(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"), lit("customer").as("side"))
+    val p = t(s, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"), lit("supplier").as("side"))
+    c.unionByName(p)
+      .groupBy(col("nationkey"), col("side"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"), col("side"))
+  }
+
+  // q34 — binning (SURVEY F7: `pd.cut` → CASE chain / Bucketizer):
+  // order-value bands with per-band stats.
+  def orderValueBins(s: SparkSession, dir: String): DataFrame = {
+    val band = when(col("o_totalprice") < 50000, "a_lt50k")
+      .when(col("o_totalprice") < 150000, "b_50k_150k")
+      .when(col("o_totalprice") < 300000, "c_150k_300k")
+      .otherwise("d_ge300k")
+    t(s, dir, "orders")
+      .groupBy(band.as("price_band"))
+      .agg(count(lit(1)).as("n"),
+           m(sum(col("o_totalprice"))).as("band_revenue"))
+      .orderBy(col("price_band"))
+  }
+
+  // q35 — string function family (SURVEY F8-F11: concat/format, split/
+  // substring, replace/normalize, case/contains) in one projection.
+  def stringOps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type_key"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        regexp_replace(col("p_brand"), "[^0-9]", "").as("brand_num"),
+        length(col("p_name")).cast("long").as("name_len"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        col("p_name").contains("green").cast("int").as("has_green"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"))
+      .orderBy(col("p_partkey"))
+
+  // q36 — date/timestamp family (SURVEY F12-F13: parse/format/bucket,
+  // arithmetic): per-order ship latency stats from the lineitem join.
+  def shipLatency(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
+      .groupBy(col("order_year"), col("order_quarter"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("lag_days")), 4).as("avg_lag_days"),
+           max(col("lag_days")).as("max_lag_days"))
+      .orderBy(col("order_year"), col("order_quarter"))
+  }
+
+  // q37 — per-group argmax (SURVEY W8: head-of-sorted / max_by): each
+  // customer's single largest order, via row_number window (the
+  // deterministic distributed form of `argmax`).
+  def largestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        m(col("o_totalprice")).as("best_price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("o_custkey"))
+  }
 }
