@@ -1,0 +1,188 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.{DenseMatrix, DenseVector, Matrices, Vectors}
+import org.apache.spark.ml.stat.Summarizer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Custom estimators for the reference operators Spark MLlib lacks
+  * (SURVEY §2.7 M3/M4/M25/M15/M16): LDA/QDA Gaussian classifiers, exact
+  * KNN, VIF, bootstrap SE, forward stepwise selection.
+  *
+  * Design: fitting collects only O(k·p²) sufficient statistics to the
+  * driver (class means/covariances — tiny regardless of row count);
+  * scoring is pushed back down as a generated column expression, so
+  * predictions stay distributed and codegen'd. No per-row driver work.
+  */
+object Customs {
+
+  /** Per-class Gaussian fit: priors, means, covariances (pooled for LDA,
+    * per-class for QDA) from one `Summarizer` pass per class. */
+  case class GaussianClassStats(label: Double, prior: Double,
+                                mean: Array[Double], cov: Array[Array[Double]])
+
+  private def classStats(df: DataFrame, labelCol: String, features: Seq[String]): Seq[GaussianClassStats] = {
+    val p = features.size
+    val assembled = Features.assemble(df, features, "_x")
+    val total = df.count().toDouble
+    val rows = assembled.groupBy(col(labelCol).cast("double").as("_label"))
+      .agg(count(lit(1)).as("_n"),
+        Summarizer.mean(col("_x")).as("_mean"),
+        Summarizer.variance(col("_x")).as("_var"))
+      .collect()
+    // covariance needs cross-moments: E[xi·xj] per class via p² aggregates
+    val crossAggs = for (i <- 0 until p; j <- i until p) yield
+      avg(col(features(i)) * col(features(j))).as(s"_m_${i}_$j")
+    val cross = df.groupBy(col(labelCol).cast("double").as("_label"))
+      .agg(crossAggs.head, crossAggs.tail: _*)
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    rows.map { r =>
+      val label = r.getDouble(0)
+      val n = r.getLong(1).toDouble
+      val mean = r.getAs[DenseVector]("_mean").toArray
+      val cr = cross(label)
+      val cov = Array.ofDim[Double](p, p)
+      for (i <- 0 until p; j <- i until p) {
+        val eij = cr.getAs[Double](s"_m_${i}_$j")
+        val c = (eij - mean(i) * mean(j)) * n / (n - 1) // sample covariance
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+      GaussianClassStats(label, n / total, mean, cov)
+    }.sortBy(_.label)
+  }
+
+  private def invertAndLogDet(m: Array[Array[Double]]): (Array[Array[Double]], Double) = {
+    // Gauss-Jordan with partial pivoting; p is small (features count)
+    val p = m.length
+    val a = Array.tabulate(p, 2 * p)((i, j) =>
+      if (j < p) m(i)(j) else if (j - p == i) 1.0 else 0.0)
+    var logDet = 0.0
+    for (c <- 0 until p) {
+      val piv = (c until p).maxBy(r => math.abs(a(r)(c)))
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t }
+      // covariance matrices are PSD ⇒ det > 0; log|det| unaffected by swaps
+      val d = a(c)(c)
+      logDet += math.log(math.abs(d))
+      for (j <- 0 until 2 * p) a(c)(j) /= d
+      for (r <- 0 until p if r != c) {
+        val f = a(r)(c)
+        for (j <- 0 until 2 * p) a(r)(j) -= f * a(c)(j)
+      }
+    }
+    (Array.tabulate(p, p)((i, j) => a(i)(j + p)), logDet)
+  }
+
+  /** Discriminant classifier. `pooled=true` → LDA (shared covariance),
+    * else QDA (per-class covariance + log-det term). Returns the input
+    * with a `prediction` column built as a pure column expression
+    * (distributed scoring, no UDF). */
+  def discriminantAnalysis(train: DataFrame, score: DataFrame, labelCol: String,
+                           features: Seq[String], pooled: Boolean): DataFrame = {
+    val stats = classStats(train, labelCol, features)
+    val p = features.size
+    val pooledCov: Array[Array[Double]] =
+      if (!pooled) null
+      else {
+        val nTotal = stats.map(_.prior).sum // priors sum to 1; weight by prior
+        Array.tabulate(p, p)((i, j) =>
+          stats.map(s => s.prior * s.cov(i)(j)).sum / nTotal)
+      }
+    // per-class discriminant: -0.5·(x-μ)ᵀ Σ⁻¹ (x-μ) - 0.5·log|Σ| + log π
+    val scores: Seq[(Double, Column)] = stats.map { s =>
+      val (inv, logDet) = invertAndLogDet(if (pooled) pooledCov else s.cov)
+      val diffs = features.indices.map(i => col(features(i)) - lit(s.mean(i)))
+      val quad = (for (i <- 0 until p; j <- 0 until p) yield
+        diffs(i) * diffs(j) * lit(inv(i)(j))).reduce(_ + _)
+      val disc = lit(-0.5) * quad +
+        lit(if (pooled) 0.0 else -0.5 * logDet) + lit(math.log(s.prior))
+      s.label -> disc
+    }
+    // argmax over class discriminants via greatest + chained when
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldLeft(lit(Double.NaN)) { case (acc, (label, sc)) =>
+      when(sc === best, lit(label)).otherwise(acc)
+    }
+    score.withColumn("prediction", pred)
+  }
+
+  def lda(train: DataFrame, score: DataFrame, labelCol: String,
+          features: Seq[String]): DataFrame =
+    discriminantAnalysis(train, score, labelCol, features, pooled = true)
+
+  def qda(train: DataFrame, score: DataFrame, labelCol: String,
+          features: Seq[String]): DataFrame =
+    discriminantAnalysis(train, score, labelCol, features, pooled = false)
+
+  /** Exact KNN classifier (M4): candidate pairs via broadcast of the
+    * (small) test side, vote by majority among the k nearest. Exact — the
+    * LSH route in operators.Similarity is the at-scale approximation. */
+  def knn(train: DataFrame, test: DataFrame, labelCol: String,
+          features: Seq[String], k: Int, idCol: String): DataFrame = {
+    val dist2 = features.map(f =>
+      pow(col(s"tr_$f") - col(s"te_$f"), 2)).reduce(_ + _)
+    val tr = train.select(
+      (features.map(f => col(f).as(s"tr_$f")) :+ col(labelCol).as("_trlabel")): _*)
+    val te = test.select(
+      (features.map(f => col(f).as(s"te_$f")) :+ col(idCol).as("_teid")): _*)
+    val w = Window.partitionBy(col("_teid")).orderBy(col("_d2"), col("_trlabel"))
+    tr.crossJoin(broadcast(te))
+      .withColumn("_d2", dist2)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy(col("_teid"), col("_trlabel"))
+      .agg(count(lit(1)).as("_votes"), min(col("_rn")).as("_nearest"))
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy(col("_teid"))
+          .orderBy(desc("_votes"), col("_nearest"), col("_trlabel"))))
+      .filter(col("_rank") === 1)
+      .select(col("_teid").as(idCol), col("_trlabel").as("prediction"))
+  }
+
+  /** Variance-inflation factors (M25): per-feature auxiliary OLS →
+    * 1/(1−R²). Driver loop over p lazy fits — p is small, rows stay
+    * distributed. */
+  def vif(df: DataFrame, features: Seq[String]): Map[String, Double] =
+    features.map { f =>
+      val others = features.filterNot(_ == f)
+      val fit = Models.olsSummary(Features.assemble(df, others, "_vx")
+        .withColumnRenamed(f, "_vy"), "_vy", "_vx")
+      f -> (if (fit.r2 >= 1.0) Double.PositiveInfinity else 1.0 / (1.0 - fit.r2))
+    }.toMap
+
+  /** Bootstrap standard error of a statistic (M15: B resamples with
+    * replacement, SE of the statistic across resamples). The statistic
+    * is any DataFrame → Double aggregation; each resample is a lazy
+    * distributed `sample`, the loop is driver-side over B jobs. */
+  def bootstrapSE(df: DataFrame, statistic: DataFrame => Double,
+                  b: Int = 100, seed: Long = 42L): Double = {
+    val stats = (0 until b).map { i =>
+      statistic(df.sample(withReplacement = true, 1.0, seed + i))
+    }
+    val mean = stats.sum / b
+    math.sqrt(stats.map(x => (x - mean) * (x - mean)).sum / (b - 1))
+  }
+
+  /** Forward stepwise selection by validation MSE (M16): greedy add-one
+    * driver loop; each candidate fit is distributed. Returns the chosen
+    * feature order with the validation MSE at each step. */
+  def forwardStepwise(train: DataFrame, valid: DataFrame, labelCol: String,
+                      candidates: Seq[String], maxK: Int): Seq[(Seq[String], Double)] = {
+    def mse(feats: Seq[String]): Double = {
+      val fit = Models.olsSummary(Features.assemble(train, feats, "_sx"), labelCol, "_sx")
+      val pred = fit.model.setFeaturesCol("_sx")
+        .transform(Features.assemble(valid, feats, "_sx"))
+      pred.select(avg(pow(col(labelCol) - col(fit.model.getPredictionCol), 2)))
+        .head.getDouble(0)
+    }
+    var chosen = Seq.empty[String]
+    var out = Seq.empty[(Seq[String], Double)]
+    while (chosen.size < maxK) {
+      val best = candidates.filterNot(chosen.contains)
+        .map(f => f -> mse(chosen :+ f)).minBy(_._2)
+      chosen = chosen :+ best._1
+      out = out :+ (chosen, best._2)
+    }
+    out
+  }
+}
