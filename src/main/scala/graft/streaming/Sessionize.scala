@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer (SURVEY §7 scale extension: the streaming
+  * counterpart of the sessions table). The reference itself has no
+  * streams; this is the engine's event-time path for the same rollups —
+  * watermarked tumbling windows for the A5/A7-style aggregates, and
+  * stateful gap-based sessionization (the batch `sessions` table,
+  * derived online from raw events).
+  */
+object Sessionize {
+
+  /** events schema for the streaming reader (ts arrives as epoch-micros
+    * long or timestamp depending on the source; parquet testdata path
+    * uses the long-nanos workaround in Tables). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Watermarked tumbling-window rollup: the streaming form of q18
+    * (per-hour × event_type counts/sums). Late events beyond the
+    * watermark are dropped; state is bounded by (windows in flight ×
+    * event types). */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, nEvents: Long, total: Double)
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long,
+                         total_value: Double, duration_seconds: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes after `gapSeconds` of user inactivity (event-time timeout).
+    * Emits one UserSession row per closed session — the streaming
+    * equivalent of the batch sessions table (SURVEY §1.5 DStream row). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+              s.nEvents, s.total, (s.last - s.start) / 1000))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(last = t, nEvents = s.nEvents + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(userId,
+                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+                    s.nEvents, s.total, (s.last - s.start) / 1000)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Drive a streaming query synchronously from a bounded source into an
+    * in-memory table (the local smoke harness — production would swap
+    * source/sink for kafka/parquet). Returns the materialized result. */
+  def runOnce(spark: SparkSession, streaming: DataFrame, name: String): DataFrame = {
+    val q = streaming.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

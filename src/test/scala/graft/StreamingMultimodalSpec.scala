@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.streaming.Sessionize
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("multimodal: feature extraction preserves ids, dims and determinism") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val media = Multimodal.mediaFromDocuments(docs).cache()
+    val feats = Multimodal.extractFeatures(media, dim = 16).cache()
+    assert(feats.count() == docs.count())
+    assert(feats.filter(f => f.features.length != 16).count() == 0)
+    // deterministic: same input ⇒ identical features on a second run
+    val a = feats.filter(col("media_id") === 7).head.features.toSeq
+    val b = Multimodal.extractFeatures(media, dim = 16)
+      .filter(col("media_id") === 7).head.features.toSeq
+    assert(a == b)
+  }
+
+  test("multimodal: frame sampling emits ceil(duration/step) frames") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val frames = Multimodal.sampleFrames(media, everyMs = 10000)
+    val check = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .join(media.select(col("media_id"), col("duration_ms")), "media_id")
+      .filter(col("n") =!= ceil(col("duration_ms") / 10000.0).cast("long"))
+    assert(check.count() == 0)
+    assert(frames.filter(length(col("frame_bytes")) > 16).count() == 0)
+  }
+
+  test("multimodal: resize keeps aspect ratio bound") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val resized = Multimodal.resizeMeta(Multimodal.mediaFromDocuments(docs), 512)
+    assert(resized.filter(col("out_width") > 512 || col("out_height") > 512)
+      .count() == 0)
+  }
+
+  test("streaming: watermarked hourly rollup matches the batch rollup") {
+    // bounded parquet dir as a streaming source
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val events = graft.sources.Tables(spark, sf, "events")
+    events.write.mode("overwrite").parquet(s"$dir/events")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/events")
+    val got = Sessionize.runOnce(spark,
+      Sessionize.hourlyRollup(stream), "hourly_test")
+    // append-mode emits only windows closed by the watermark; every
+    // emitted window must match the batch computation exactly
+    val batch = events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+    val mismatches = got.as("g").join(batch.as("b"),
+        Seq("hour_start", "event_type"))
+      .filter(col("g.n") =!= col("b.n") ||
+        abs(col("g.total_value") - col("b.total_value")) > 1e-6)
+    assert(got.count() > 0, "watermark should close at least one window")
+    assert(mismatches.count() == 0)
+  }
+
+  test("streaming: gap sessionization closes sessions on inactivity") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ev(id: Long, user: Long, offsetSec: Long, v: Double) =
+      Sessionize.Event(id, new java.sql.Timestamp(base.getTime + offsetSec * 1000),
+        user, "click", v)
+    // user 1: two bursts separated by > gap; user 2: one burst
+    // plus a late high-watermark event to let event-time advance
+    val events = Seq(
+      ev(1, 1, 0, 1.0), ev(2, 1, 60, 2.0),
+      ev(3, 1, 4000, 3.0),
+      ev(4, 2, 0, 5.0),
+      ev(5, 99, 20000, 0.0)) // watermark pusher
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    events.toDS().write.mode("overwrite").parquet(s"$dir/ev")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Sessionize.Event]].schema)
+      .parquet(s"$dir/ev").as[Sessionize.Event]
+    val out = Sessionize.runOnce(spark,
+      Sessionize.sessionize(stream, gapSeconds = 1800).toDF(), "sess_test")
+    val u1 = out.filter(col("user_id") === 1).orderBy("session_start").collect()
+    assert(u1.length >= 1, "user 1's first burst must close")
+    assert(u1.head.getAs[Long]("n_events") == 2) // the 0s+60s burst
+    assert(u1.head.getAs[Long]("duration_seconds") == 60)
+  }
+}
