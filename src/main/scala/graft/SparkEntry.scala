@@ -310,25 +310,17 @@ object SparkEntry {
       WHERE CAST(i.n_common AS DOUBLE) / (na.ng + nb.ng - i.n_common) >= 0.5
       ORDER BY doc_a, doc_b""",
 
-    "q27_minhash_lsh" -> """
+    "q27_minhash_lsh" -> ("""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
                  WHERE len(string_split(text, ' ')) >= 3),
       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
                generate_series(1, len(tk) - 2),
                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram FROM t),
       sig AS (SELECT doc_id,
-        min(CAST('0x' || substr(md5('0:'  || gram), 1, 15) AS BIGINT)) AS mh_0,
-        min(CAST('0x' || substr(md5('1:'  || gram), 1, 15) AS BIGINT)) AS mh_1,
-        min(CAST('0x' || substr(md5('2:'  || gram), 1, 15) AS BIGINT)) AS mh_2,
-        min(CAST('0x' || substr(md5('3:'  || gram), 1, 15) AS BIGINT)) AS mh_3,
-        min(CAST('0x' || substr(md5('4:'  || gram), 1, 15) AS BIGINT)) AS mh_4,
-        min(CAST('0x' || substr(md5('5:'  || gram), 1, 15) AS BIGINT)) AS mh_5,
-        min(CAST('0x' || substr(md5('6:'  || gram), 1, 15) AS BIGINT)) AS mh_6,
-        min(CAST('0x' || substr(md5('7:'  || gram), 1, 15) AS BIGINT)) AS mh_7,
-        min(CAST('0x' || substr(md5('8:'  || gram), 1, 15) AS BIGINT)) AS mh_8,
-        min(CAST('0x' || substr(md5('9:'  || gram), 1, 15) AS BIGINT)) AS mh_9,
-        min(CAST('0x' || substr(md5('10:' || gram), 1, 15) AS BIGINT)) AS mh_10,
-        min(CAST('0x' || substr(md5('11:' || gram), 1, 15) AS BIGINT)) AS mh_11
+""" + (0 until 12).map { i =>
+        val (a, b) = operators.Dedup.minhashAB(i)
+        s"        min((CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) * $a + $b) % ${operators.Dedup.MinhashM}) AS mh_$i"
+      }.mkString(",\n") + """
         FROM g GROUP BY 1),
       banded AS (
         SELECT doc_id, 0 AS band, concat_ws('_', mh_0, mh_1, mh_2)   AS key FROM sig
@@ -355,7 +347,7 @@ object SparkEntry {
       FROM cand c
       JOIN sig a ON a.doc_id = c.doc_a
       JOIN sig b ON b.doc_id = c.doc_b
-      ORDER BY doc_a, doc_b""",
+      ORDER BY doc_a, doc_b"""),
 
     "q29_ann_cosine" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

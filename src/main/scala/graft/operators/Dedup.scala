@@ -63,14 +63,29 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash signatures: k portable hash functions h_i(g) = md5Long(i||g)
-    * (md5-based so both engines — and any future oracle — can reproduce
-    * them), min-reduced per doc. One pass over exploded shingles; the
-    * k mins are computed by a single groupBy with k min() aggregates. */
+  /** Affine-family minhash constants: h_i(g) = (a_i·h(g) + b_i) mod M
+    * with ONE md5-derived 28-bit base hash per gram (k md5s per gram was
+    * the bench hotspot — 12× the hash work for no extra information).
+    * M prime < 2^28 keeps a_i·h exactly representable in int64 for both
+    * engines; constants from a fixed LCG so the DuckDB oracle can embed
+    * them literally. */
+  val MinhashM: Long = 268435399L // largest prime < 2^28
+  val minhashAB: Seq[(Long, Long)] = {
+    var x = 88172645463325252L
+    def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; math.abs(x) }
+    Seq.fill(12)((next() % (MinhashM - 1) + 1, next() % MinhashM))
+  }
+
+  /** MinHash signatures: portable md5-based base hash + affine family,
+    * min-reduced per doc in a single groupBy with k min() aggregates. */
   def minhashSignatures(s: SparkSession, dir: String, k: Int = 12): DataFrame = {
+    require(k <= minhashAB.size)
     val g = grams3(s, dir)
-    val aggs = (0 until k).map(i =>
-      min(md5Long(concat(lit(i + ":"), col("gram")))).as(s"mh_$i"))
+      .withColumn("_h", conv(substring(md5(col("gram")), 1, 7), 16, 10).cast("long"))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = minhashAB(i)
+      min((col("_h") * lit(a) + lit(b)) % lit(MinhashM)).as(s"mh_$i")
+    }
     g.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 

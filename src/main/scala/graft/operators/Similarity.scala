@@ -92,12 +92,15 @@ object Similarity {
     val mask = (1L << r) - 1
     val e = hyperplaneSketch(
       emb(s, dir).select(col("vec_id"), col("embedding")), "embedding", bits, dim)
+    // cached: the sketch projection feeds BOTH sides of the bucket join —
+    // without this the (interpreted HOF) sketch computes twice
     val banded = e.select(col("vec_id"), col("embedding"),
       explode(array((0 until bands).map(bd =>
         struct(lit(bd).as("band"),
           shiftright(col("sketch"), bd * r).bitwiseAND(mask).as("key"))): _*)).as("b"))
       .select(col("vec_id"), col("embedding"),
         col("b.band").as("band"), col("b.key").as("key"))
+      .cache()
     val q = banded.filter(col("vec_id") < nQueries)
       .select(col("band"), col("key"),
         col("vec_id").as("query_id"), col("embedding").as("qv"))
