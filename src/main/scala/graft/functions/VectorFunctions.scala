@@ -26,4 +26,12 @@ object VectorFunctions {
 
   /** Cosine similarity, optionally rounded for cross-engine parity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // Native codegen'd variants (graft.plans.FloatVectorDot) — identical
+  // double accumulation order, so results are bit-equal to the HOF forms;
+  // the session must have called FloatVectorExprs.register first.
+  def dotNative(a: Column, b: Column): Column = call_function("float_dot", a, b)
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.plans.FloatVectorExprs
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (`array<float>` vectors)
@@ -32,13 +33,14 @@ object Similarity {
   // oracle ranks identically.
   def bruteForceTopK(s: SparkSession, dir: String,
                      k: Int = 5, nQueries: Int = 10): DataFrame = {
+    FloatVectorExprs.register(s)
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("qv")), 4).as("cosine"))
+        round(cosineNative(col("embedding"), col("qv")), 4).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -88,6 +90,7 @@ object Similarity {
   // vectors the right scale path is an IVF coarse quantizer instead.
   def lshTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
               bits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
+    FloatVectorExprs.register(s)
     val r = bits / bands
     val mask = (1L << r) - 1
     val e = hyperplaneSketch(
@@ -109,7 +112,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("embedding"), col("qv"))
       .dropDuplicates("query_id", "vec_id")
     val scored = cand.select(col("query_id"), col("vec_id"),
-      round(cosine(col("embedding"), col("qv")), 4).as("cosine"))
+      round(cosineNative(col("embedding"), col("qv")), 4).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.plans.FloatVectorExprs
+
+class ExpressionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("native float_dot is bit-identical to the HOF formulation") {
+    FloatVectorExprs.register(spark)
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.as("a").crossJoin(e.as("b").limit(5))
+      .select(col("a.embedding").as("x"), col("b.embedding").as("y"))
+    val diff = pairs.select(
+      (VectorFunctions.dotNative(col("x"), col("y")) -
+        VectorFunctions.dot(col("x"), col("y"))).as("d"))
+      .filter(col("d") =!= 0.0) // bit-identical ⇒ exact zero, no tolerance
+    assert(diff.count() == 0)
+  }
+
+  test("float_dot handles nulls and is usable from SQL") {
+    FloatVectorExprs.register(spark)
+    val r = spark.sql(
+      "SELECT float_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d," +
+        " float_dot(cast(null as array<float>), array(cast(1.0 as float))) AS n")
+      .head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1))
+  }
+
+  test("float_dot rejects wrong input types at analysis time") {
+    FloatVectorExprs.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT float_dot(array(1.0D), array(2.0D))").collect()
+    }
+    assert(err.getMessage.contains("float_dot") ||
+      err.getMessage.toLowerCase.contains("data type"))
+  }
+}
