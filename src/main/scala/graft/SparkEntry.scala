@@ -57,6 +57,10 @@ object SparkEntry {
     "q35_string_ops"        -> Relational.stringOps _,
     "q36_date_ops"          -> Relational.shipLatency _,
     "q37_argmax"            -> Relational.largestOrderPerCustomer _,
+    "q38_ann_ivf"           -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "q39_quartiles"         -> Relational.quantityQuartiles _,
+    "q40_collect_sorted"    -> Relational.nationSegments _,
+    "q41_rollup"            -> Relational.orderRollup _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -64,7 +68,8 @@ object SparkEntry {
     * a weaker rows-only check for these; the set must stay small. */
   def rowsOnlyQueries: Set[String] = Set(
     "q28_simhash_pairs", // xxhash64 is Spark-specific; spec-tested instead
-    "q31_ann_lsh")       // hyperplanes generated driver-side; spec-tested vs q29
+    "q31_ann_lsh",       // hyperplanes generated driver-side; spec-tested vs q29
+    "q38_ann_ivf")       // KMeans quantizer is MLlib-specific; spec-tested vs q29
 
   /** DuckDB-runnable oracle SQL per query (same tables, same column
     * names, same rounding). Integer sums are CAST(... AS BIGINT) because
@@ -435,5 +440,29 @@ object SparkEntry {
              round(o_totalprice, 2)            AS best_price,
              strftime(o_orderdate, '%Y-%m-%d') AS order_date
       FROM r WHERE rn = 1 ORDER BY o_custkey""",
+
+    "q39_quartiles" -> """
+      WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS _q,
+               count(*) AS n
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag,
+             round(_q[1], 4) AS q25, round(_q[2], 4) AS q50,
+             round(_q[3], 4) AS q75, n
+      FROM q ORDER BY l_returnflag""",
+
+    "q40_collect_sorted" -> """
+      SELECT c_nationkey,
+             array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+             count(DISTINCT c_mktsegment) AS n_segments
+      FROM customer GROUP BY 1 ORDER BY c_nationkey""",
+
+    "q41_rollup" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+             count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      GROUP BY ROLLUP(order_year, o_orderstatus)
+      ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST""",
   )
 }

@@ -397,6 +397,43 @@ object Relational {
       .orderBy(col("order_year"), col("order_quarter"))
   }
 
+  // q39 — exact quartiles (SURVEY A9: describe()'s 25/50/75%): the exact
+  // `percentile` (linear interpolation), per return flag. At 100 TB the
+  // approx_count_distinct-style sketch (`percentile_approx`) replaces
+  // this; exact is kept where the oracle demands bit parity.
+  def quantityQuartiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("_q"),
+           count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("_q"), 1), 4).as("q25"),
+        round(element_at(col("_q"), 2), 4).as("q50"),
+        round(element_at(col("_q"), 3), 4).as("q75"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+
+  // q40 — collect_set + array_sort (SURVEY F14/set-dedup surface):
+  // per-nation sorted distinct segment list, emitted as a CSV string for
+  // stable cross-engine schema.
+  def nationSegments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+             .as("segments"),
+           countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy(col("c_nationkey"))
+
+  // q41 — ROLLUP hierarchy totals (year → status → grand total): the
+  // multi-level rollup a reporting layer runs as ONE pass instead of
+  // three separate aggregations.
+  def orderRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .rollup(col("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), m(sum(col("o_totalprice"))).as("revenue"))
+      .orderBy(asc_nulls_first("order_year"), asc_nulls_first("o_orderstatus"))
+
   // q37 — per-group argmax (SURVEY W8: head-of-sorted / max_by): each
   // customer's single largest order, via row_number window (the
   // deterministic distributed form of `argmax`).

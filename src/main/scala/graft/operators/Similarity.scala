@@ -119,4 +119,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // IVF ANN — the scale path for weakly-structured vectors: a KMeans
+  // coarse quantizer partitions the corpus into nCells inverted lists;
+  // each query probes its nProbe nearest cells and exact-rescoring runs
+  // only inside them. At 100 TB the corpus is written partitioned by
+  // cell id, so a probe reads nProbe/nCells of the data (partition
+  // pruning), and the candidate join shuffles on the cell key only.
+  def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    FloatVectorExprs.register(s)
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(42L).setFeaturesCol("features")
+    val model = km.fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      .cache()
+    // tiny centroid table (nCells rows) — broadcast to score probes
+    val spark2 = s
+    import spark2.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(desc("_sim"), col("cell"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("_sim", cosineNative(col("qv"), col("centroid")))
+      .withColumn("_pr", row_number().over(wProbe))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val cand = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val scored = cand.select(col("query_id"), col("vec_id"),
+      round(cosineNative(col("embedding"), col("qv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }
