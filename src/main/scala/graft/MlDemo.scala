@@ -59,6 +59,13 @@ object MlDemo {
           col("l_extendedprice").as("price"), col("l_discount").as("disc")),
       Seq("qty", "price", "disc"))
     println(s"VIF  ${vifs.view.mapValues(v => f"$v%.2f").toMap}")
+
+    // 6. Anomaly scoring on customer balances (M22 substitute)
+    val bal = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_acctbal").as("f1"))
+    val anom = Approx.gaussianAnomaly(bal, Seq("f1"), threshold = 2.5)
+    println(s"ANOM flagged=${anom.filter(col("is_anomaly") === 1).count()}" +
+      s" of ${anom.count()} customers at 2.5 sigma")
     spark.stop()
   }
 }

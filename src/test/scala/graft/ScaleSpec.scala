@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-mechanics specs: the partitioning/bucketing behaviors the
+  * 100-TB design relies on, asserted against the actual physical plans —
+  * not just "it returns rows".
+  */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("bucketed fact-fact join runs without a shuffle exchange") {
+    // tables land in ./spark-warehouse (gitignored); dropped after
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val ord = graft.sources.Tables(spark, sf, "orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    // co-located: both sides pre-bucketed on the join key ⇒ SortMergeJoin
+    // with NO ShuffleExchange on either side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val p = plan(joined)
+      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$p")
+      assert(joined.count() == li.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("date-partitioned write enables partition pruning at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ord = graft.sources.Tables(spark, sf, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+    graft.sources.EntityIO.writeParquet(ord, s"$dir/orders_p", Seq("order_year"))
+    val back = spark.read.parquet(s"$dir/orders_p")
+      .filter(col("order_year") === 1995)
+    val p = plan(back)
+    // the filter must land in PartitionFilters (file skipping), not in a
+    // post-scan Filter over all partitions
+    assert(p.contains("PartitionFilters") && p.contains("order_year"),
+      s"expected partition pruning:\n$p")
+    val expected = ord.filter(col("order_year") === 1995).count()
+    assert(back.count() == expected)
+  }
+
+  test("nested-schema pruning reads only geo_data.state from a struct") {
+    val users = gen.DataGen.users(spark, 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nested").toString
+    users.write.mode("overwrite").parquet(s"$dir/users")
+    val scan = spark.read.parquet(s"$dir/users").select(col("geo_data.state"))
+    val p = plan(scan)
+    // ReadSchema must contain only the state leaf, not city/country
+    assert(p.contains("state") && !p.contains("city"),
+      s"nested pruning failed:\n$p")
+  }
+
+  test("AQE coalesces shuffle partitions on small data") {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val agg = graft.sources.Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag").count()
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") || p.contains("coalesced"),
+      s"expected AQE shuffle coalescing:\n$p")
+  }
+}
