@@ -120,25 +120,19 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q28 — SimHash (64-bit) near-dup pairs. Per doc: for each bit j, sum
-    * +1/−1 over token hashes' bit j; simhash bit j = sign. Computed as 64
-    * conditional aggregates in ONE groupBy pass (no 64× explode).
-    * Near-dups = pairs in the same 16-bit band with Hamming distance ≤
-    * maxHamming (4-band LSH: any doc pair with distance ≤ 3 shares ≥1
-    * band for sure at distance ≤ 3 bands differ... standard banding). */
+  /** q28 — SimHash (64-bit) near-dup pairs. The signature computes in
+    * ONE native codegen'd expression per document (graft.plans.SimHash64
+    * — single pass over the token array, zero shuffle; replaces the
+    * earlier explode + 64-conditional-aggregate formulation, whose
+    * groupBy shuffled every token row). Near-dups = pairs sharing a
+    * 16-bit band with overall Hamming distance ≤ maxHamming (standard
+    * banding: distance ≤ 3 guarantees a shared band). */
   def simhashPairs(s: SparkSession, dir: String,
                    maxHamming: Int = 6): DataFrame = {
-    val tok = docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitAggs = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"c$j")
-    }
-    val sums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val sim = (0 until 64).map(j =>
-        when(col(s"c$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    val sh = sums.select(col("doc_id"), sim.as("simhash"))
+    graft.plans.SimHash64.register(s)
+    val sh = docs(s, dir)
+      .select(col("doc_id"),
+        call_function("simhash64", tokens(col("text"))).as("simhash"))
     // 4 bands of 16 bits: Hamming ≤ 3 guarantees a shared band; we allow
     // up to maxHamming overall and let banding trade recall for scale.
     val banded = sh.select(col("doc_id"), col("simhash"),
