@@ -61,6 +61,7 @@ object SparkEntry {
     "q39_quartiles"         -> Relational.quantityQuartiles _,
     "q40_collect_sorted"    -> Relational.nationSegments _,
     "q41_rollup"            -> Relational.orderRollup _,
+    "q42_sessionize"        -> ((s: SparkSession, d: String) => Relational.sessionizeEvents(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -464,5 +465,29 @@ object SparkEntry {
       FROM orders
       GROUP BY ROLLUP(order_year, o_orderstatus)
       ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST""",
+
+    "q42_sessionize" -> """
+      WITH e AS (
+        SELECT user_id, event_id, ts, value, epoch_ms(ts) AS _ms,
+               lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS _prev
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN _prev IS NULL OR _ms - _prev > 1800000
+                       THEN 1 ELSE 0 END AS _new
+        FROM e),
+      numbered AS (
+        SELECT *, CAST(sum(_new) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_no
+        FROM flagged)
+      SELECT user_id, session_no,
+             count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             round(sum(value), 2) AS total_value
+      FROM numbered GROUP BY user_id, session_no
+      ORDER BY user_id, session_no""",
   )
 }

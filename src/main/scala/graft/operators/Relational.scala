@@ -434,6 +434,30 @@ object Relational {
       .agg(count(lit(1)).as("n"), m(sum(col("o_totalprice"))).as("revenue"))
       .orderBy(asc_nulls_first("order_year"), asc_nulls_first("o_orderstatus"))
 
+  // q42 — batch gap-based sessionization (the batch twin of
+  // streaming.Sessionize.sessionize): a new session starts after
+  // `gap` of inactivity. lag → gap flag → running sum = session number —
+  // the canonical two-window formulation; both windows share the same
+  // partitioning so Catalyst plans ONE shuffle on user_id.
+  def sessionizeEvents(s: SparkSession, dir: String,
+                       gapMs: Long = 1800000L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("_ms", unix_millis(col("ts")))
+      .withColumn("_new",
+        when(col("_ms") - lag(col("_ms"), 1).over(byUser) > gapMs, 1L)
+          .otherwise(when(lag(col("_ms"), 1).over(byUser).isNull, 1L).otherwise(0L)))
+      .withColumn("session_no", sum(col("_new")).over(running))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        m(sum(col("value"))).as("total_value"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
   // q37 — per-group argmax (SURVEY W8: head-of-sorted / max_by): each
   // customer's single largest order, via row_number window (the
   // deterministic distributed form of `argmax`).

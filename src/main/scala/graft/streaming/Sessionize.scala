@@ -88,6 +88,16 @@ object Sessionize {
       }
   }
 
+  /** Streaming dedup with bounded state: drops duplicate event_ids whose
+    * event times fall within the watermark delay of each other — the
+    * streaming counterpart of the batch exact-dedup pass
+    * (operators.Dedup.exactDedup). State is bounded by the watermark:
+    * old keys are evicted once the watermark passes them. */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drive a streaming query synchronously from a bounded source into an
     * in-memory table (the local smoke harness — production would swap
     * source/sink for kafka/parquet). Returns the materialized result. */

@@ -63,6 +63,46 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(mismatches.count() == 0)
   }
 
+  test("streaming: dedup-within-watermark removes duplicated events") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val events = graft.sources.Tables(spark, sf, "events")
+    // duplicate the whole table: every event_id appears twice
+    events.unionByName(events).write.mode("overwrite").parquet(s"$dir/ev")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/ev")
+    val out = Sessionize.runOnce(spark,
+      Sessionize.streamingDedup(stream), "dedup_test")
+    assert(out.count() == events.count(),
+      "each duplicated event_id must survive exactly once")
+  }
+
+  test("streaming: batch and streaming sessionization agree on closed sessions") {
+    // the batch q42 formulation is ground truth; every session the
+    // streaming path closes must match a batch session exactly
+    val batch = operators.Relational.sessionizeEvents(spark, sf)
+    val ev = graft.sources.Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Sessionize.Event]
+    val dir = java.nio.file.Files.createTempDirectory("graft_bs").toString
+    ev.write.mode("overwrite").parquet(s"$dir/ev")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Sessionize.Event]].schema)
+      .parquet(s"$dir/ev").as[Sessionize.Event]
+    val streamed = Sessionize.runOnce(spark,
+      Sessionize.sessionize(stream).toDF(), "bs_test")
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+    val joined = streamed.join(
+      batch.select(col("user_id"), col("session_start"),
+        col("n_events").as("batch_n")),
+      Seq("user_id", "session_start"), "left")
+    assert(streamed.count() > 0, "some sessions must close")
+    val mismatched = joined.filter(
+      col("batch_n").isNull || col("batch_n") =!= col("n_events"))
+    assert(mismatched.count() == 0,
+      s"streaming sessions disagree with batch: ${mismatched.collect().take(3).mkString}")
+  }
+
   test("streaming: gap sessionization closes sessions on inactivity") {
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def ev(id: Long, user: Long, offsetSec: Long, v: Double) =
