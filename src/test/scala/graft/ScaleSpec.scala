@@ -68,6 +68,37 @@ class ScaleSpec extends AnyFunSuite {
       s"nested pruning failed:\n$p")
   }
 
+  test("plan lint: no query plans an un-broadcast cartesian product") {
+    // the ANN queries intentionally cross-join a BROADCAST query side
+    // (BroadcastNestedLoopJoin) — a plain CartesianProduct anywhere is a
+    // scale bug
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${p.take(2000)}")
+    }
+  }
+
+  test("salted join is row-identical to the plain join on skewed data") {
+    import spark.implicits._
+    // 90% of fact rows hit one hot key
+    val fact = spark.range(10000).select(
+      when(col("id") % 10 < 9, 7L).otherwise(col("id") % 100).as("k"),
+      col("id").as("v"))
+    val dim = spark.range(100).select(col("id").as("k"),
+      concat(org.apache.spark.sql.functions.lit("d"), col("id")).as("name"))
+    val plain = fact.join(dim, Seq("k")).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val salted = operators.Skew.saltedJoin(fact, dim, "k").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+    // and the salted aggregation path
+    val g = operators.Skew.saltedGroupSum(fact, "k", "v")
+    val exp = fact.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    assert(g.exceptAll(exp).count() == 0)
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     val agg = graft.sources.Tables(spark, sf, "lineitem")
