@@ -234,7 +234,7 @@ object SparkEntry {
     "q19_json_extract" -> """
       WITH e AS (
         SELECT event_type,
-               CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+               CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k
         FROM events)
       SELECT event_type, count(*) AS n,
              CAST(sum(k) AS BIGINT) AS sum_k,

@@ -111,7 +111,11 @@ object DataGen {
       .withColumn("duration_seconds", dur)
       .select(
         col("id"), col("_start"), col("duration_seconds"),
-        concat(lit("sess_"), substring(md5(concat(lit("s"), col("id"))), 1, 10)).as("session_id"),
+        // hex of the row id, NOT a truncated hash: 10 hex chars = 40 bits,
+        // and md5-prefix ids collide at the reference's own 2M-session
+        // scale (~2 expected birthday collisions), which would break the
+        // session_id PK and cascade into duplicate transaction_ids
+        format_string("sess_%010x", col("id")).as("session_id"),
         format_string("user_%06d", h(33, nUsers)).as("user_id"),
         iso(col("_start")).as("start_time"),
         iso(col("_start") + col("duration_seconds")).as("end_time"),
@@ -162,10 +166,13 @@ object DataGen {
     * timestamp = session end_time. A fraction of synthetic "top-up"
     * transactions carries session_id = NULL (dataset_generator.py:471). */
   def transactions(sessions: DataFrame, topupFraction: Double = 0.1): DataFrame = {
+    // txn ids reuse the session's unique hex suffix (12 chars, zero-
+    // padded) — collision-free by construction; top-ups get a disjoint
+    // "ff"-prefixed range below
     val fromSessions = sessions
       .filter(col("conversion_status") === "converted")
       .select(
-        concat(lit("txn_"), substring(md5(col("session_id")), 1, 12)).as("transaction_id"),
+        concat(lit("txn_"), lpad(substring(col("session_id"), 6, 10), 12, "0")).as("transaction_id"),
         col("session_id"), col("user_id"),
         col("end_time").as("timestamp"),
         expr("""transform(map_entries(cart_contents), e -> struct(
@@ -191,7 +198,7 @@ object DataGen {
     // top-ups: session-less purchases sampled from the same sessions' users
     val topups = sessions.sample(withReplacement = false, topupFraction, Seed)
       .select(
-        concat(lit("txn_"), substring(md5(concat(lit("t"), col("session_id"))), 1, 12)).as("transaction_id"),
+        concat(lit("txn_ff"), substring(col("session_id"), 6, 10)).as("transaction_id"),
         lit(null).cast("string").as("session_id"),
         col("user_id"), col("start_time").as("timestamp"),
         expr("""array(struct(

@@ -125,7 +125,8 @@ object Approx {
     }
     val dfFull = n - full.size - 1
     val dp = (full.size - restricted.size).toLong
-    val f = ((rss(restricted) - rss(full)) / dp) / (rss(full) / dfFull)
+    val rssFull = rss(full) // one fit, used in numerator and denominator
+    val f = ((rss(restricted) - rssFull) / dp) / (rssFull / dfFull)
     (f, dp, dfFull)
   }
 

@@ -44,11 +44,15 @@ object Evaluate {
   def regressionMetrics(pred: DataFrame, labelCol: String = "label",
                         predCol: String = "prediction"): Map[String, Double] = {
     val e = col(labelCol) - col(predCol)
+    // zero-label rows are excluded from MAPE (the standard convention —
+    // and a DIVIDE_BY_ZERO under ANSI otherwise); SMAPE term is defined
+    // as 0 when label and prediction are both 0
+    val smapeDen = abs(col(labelCol)) + abs(col(predCol))
     val r = pred.agg(
       sqrt(avg(e * e)).as("rmse"),
       avg(abs(e)).as("mae"),
-      avg(abs(e) / abs(col(labelCol))).as("mape"),
-      avg(lit(2.0) * abs(e) / (abs(col(labelCol)) + abs(col(predCol)))).as("smape"),
+      avg(when(col(labelCol) =!= 0.0, abs(e) / abs(col(labelCol)))).as("mape"),
+      avg(when(smapeDen =!= 0.0, lit(2.0) * abs(e) / smapeDen).otherwise(0.0)).as("smape"),
       // R² from moments: 1 − SS_res / (n·var_pop(y)) — single pass
       (lit(1.0) - sum(e * e) / (count(lit(1)) * var_pop(col(labelCol)))).as("r2"))
       .head
@@ -79,12 +83,19 @@ object Evaluate {
            features.map(f => avg(col(f)).as(f)).tail: _*)
       .collect().map(r => r.getAs[Any]("_k").toString.toDouble ->
         features.map(f => r.getAs[Double](f)).toArray).toMap
-    val scatters = centroids.map { case (k, c) =>
+    // ONE grouped pass for all scatters: map each row to its own
+    // cluster's centroid distance via a CASE chain over the (few)
+    // collected centroids, then groupBy — not k filter+agg jobs
+    val distToOwn = centroids.foldLeft(lit(Double.NaN)) { case (acc, (k, c)) =>
       val d2 = features.zipWithIndex.map { case (f, i) =>
         pow(col(f) - lit(c(i)), 2) }.reduce(_ + _)
-      k -> pred.filter(col(predCol) === k)
-        .agg(avg(sqrt(d2))).head.getDouble(0)
+      when(col(predCol) === k, sqrt(d2)).otherwise(acc)
     }
+    val scatters = pred.withColumn("_down", distToOwn)
+      .groupBy(col(predCol).as("_k")).agg(avg(col("_down")).as("_s"))
+      .collect()
+      .map(r => r.getAs[Any]("_k").toString.toDouble -> r.getAs[Double]("_s"))
+      .toMap
     val ks = centroids.keys.toSeq.sorted
     val ratios = for (i <- ks; j <- ks if i != j) yield {
       val dij = math.sqrt(centroids(i).zip(centroids(j))
@@ -110,12 +121,15 @@ object Evaluate {
       nk * features.zipWithIndex.map { case (f, i) =>
         val d = r.getAs[Double](f) - g(i); d * d }.sum
     }.sum
-    val wss = per.map { r =>
-      val kk = r.getAs[Any]("_k").toString.toDouble
+    // single pass: CASE-map each row to its own cluster's squared
+    // centroid distance, then one global sum
+    val d2ToOwn = per.foldLeft(lit(Double.NaN)) { (acc, r) =>
+      val kk = r.getAs[Any]("_k")
       val d2 = features.map(f =>
         pow(col(f) - lit(r.getAs[Double](f)), 2)).reduce(_ + _)
-      pred.filter(col(predCol) === kk).agg(sum(d2)).head.getDouble(0)
-    }.sum
+      when(col(predCol) === kk, d2).otherwise(acc)
+    }
+    val wss = pred.agg(sum(d2ToOwn)).head.getDouble(0)
     (bss / (k - 1)) / (wss / (n - k))
   }
 

@@ -28,11 +28,13 @@ object Features {
   def minMaxScaler(in: String = "features", out: String = "scaled"): MinMaxScaler =
     new MinMaxScaler().setInputCol(in).setOutputCol(out)
 
-  /** One-hot with dropLast ≡ pandas get_dummies(drop_first=True)
-    * (codes_in_book_of_statisct.ipynb cell 168). */
+  /** One-hot ≡ pandas get_dummies(drop_first=True)
+    * (codes_in_book_of_statisct.ipynb cell 168): alphabetDesc indexing
+    * puts the alphabetically FIRST category at the last index, so
+    * dropLast drops it — the same reference level pandas drops. */
   def oneHot(col: String, out: String): Pipeline = {
     val idx = new StringIndexer().setInputCol(col).setOutputCol(s"${col}_idx")
-      .setStringOrderType("alphabetAsc")
+      .setStringOrderType("alphabetDesc")
     val ohe = new OneHotEncoder().setInputCol(s"${col}_idx").setOutputCol(out)
       .setDropLast(true)
     new Pipeline().setStages(Array(idx, ohe))

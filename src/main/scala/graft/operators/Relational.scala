@@ -299,7 +299,11 @@ object Relational {
   // UDF), then aggregate.
   def eventPropsExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      // nullif guards the no-match case: regexp_extract returns '' and
+      // ''::long throws under Spark 4's default ANSI mode
+      .withColumn("k",
+        nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1), lit(""))
+          .cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("k")).as("sum_k"),

@@ -90,6 +90,8 @@ object Similarity {
   // vectors the right scale path is an IVF coarse quantizer instead.
   def lshTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
               bits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
+    require(bits % bands == 0,
+      s"bands ($bands) must divide bits ($bits) — trailing sketch bits would be silently unused")
     FloatVectorExprs.register(s)
     val r = bits / bands
     val mask = (1L << r) - 1
@@ -132,9 +134,19 @@ object Similarity {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
+      .cache() // feeds count + quantizer fit + assignment — one scan
+    // quantizer fits on a bounded sample (standard IVF practice — the
+    // coarse centroids don't need the full corpus; at 100 TB this is the
+    // difference between a minute and a day of training). Small corpora
+    // fit on everything — subsampling them just starves the centroids.
+    val corpusSize = e.count()
+    val sampleCap = 20000L
+    val sample = if (corpusSize <= sampleCap) e
+                 else e.sample(withReplacement = false,
+                   sampleCap.toDouble / corpusSize, 42L)
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(42L).setFeaturesCol("features")
-    val model = km.fit(e)
+    val model = km.fit(sample)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
       .cache()
