@@ -62,6 +62,7 @@ object SparkEntry {
     "q40_collect_sorted"    -> Relational.nationSegments _,
     "q41_rollup"            -> Relational.orderRollup _,
     "q42_sessionize"        -> ((s: SparkSession, d: String) => Relational.sessionizeEvents(s, d)),
+    "q43_embedding_dedup"   -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupPairs(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -489,5 +490,17 @@ object SparkEntry {
              round(sum(value), 2) AS total_value
       FROM numbered GROUP BY user_id, session_no
       ORDER BY user_id, session_no""",
+
+    "q43_embedding_dedup" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cosine
+      FROM pairs WHERE cosine >= 0.40
+      ORDER BY vec_a, vec_b""",
   )
 }

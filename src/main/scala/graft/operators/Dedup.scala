@@ -120,6 +120,28 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q43 — embedding-cosine near-dup pairs: all (a, b) with
+    * cosine ≥ threshold, exact (the brief's "embedding-cosine near-dup"
+    * dedup modality). Exact O(n²) formulation for the oracle; at corpus
+    * scale the LSH-bucketed candidate generator (Similarity.lshTopK's
+    * banding) replaces the cross join and this exact scorer runs only on
+    * bucket-mates. Threshold comparison happens on the 4dp-ROUNDED
+    * cosine so the DuckDB oracle makes identical include/exclude
+    * decisions. */
+  def embeddingNearDupPairs(s: SparkSession, dir: String,
+                            threshold: Double = 0.40): DataFrame = {
+    graft.plans.FloatVectorExprs.register(s)
+    import graft.functions.VectorFunctions.cosineNative
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(cosineNative(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** q28 — SimHash (64-bit) near-dup pairs. The signature computes in
     * ONE native codegen'd expression per document (graft.plans.SimHash64
     * — single pass over the token array, zero shuffle; replaces the

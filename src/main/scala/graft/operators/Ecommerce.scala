@@ -129,5 +129,8 @@ object Ecommerce {
     * (SURVEY §2.3). */
   def withCurrentPrice(products: DataFrame): DataFrame =
     products.withColumn("current_price",
-      element_at(col("price_history"), -1).getField("price"))
+      // size guard: element_at on an empty array throws under Spark 4's
+      // default ANSI mode; a product with no history yields null instead
+      when(size(col("price_history")) > 0,
+        element_at(col("price_history"), -1).getField("price")))
 }

