@@ -63,6 +63,7 @@ object SparkEntry {
     "q41_rollup"            -> Relational.orderRollup _,
     "q42_sessionize"        -> ((s: SparkSession, d: String) => Relational.sessionizeEvents(s, d)),
     "q43_embedding_dedup"   -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupPairs(s, d)),
+    "q44_split_audit"       -> Sampling.splitAudit _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -502,5 +503,19 @@ object SparkEntry {
       SELECT vec_a, vec_b, cosine
       FROM pairs WHERE cosine >= 0.40
       ORDER BY vec_a, vec_b""",
+
+    "q44_split_audit" -> """
+      WITH d AS (
+        SELECT lang, text,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+        FROM documents),
+      s AS (
+        SELECT lang, text,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM d)
+      SELECT split, lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM s GROUP BY split, lang ORDER BY split, lang""",
   )
 }

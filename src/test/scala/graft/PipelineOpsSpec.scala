@@ -72,6 +72,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r8 >= r4, s"recall@8=$r8 < recall@4=$r4")
   }
 
+  test("hash-mod splitting is stable, complete and roughly proportioned") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val s1 = docs.withColumn("split", operators.Sampling.split(col("doc_id")))
+    // complete partition: every doc in exactly one split
+    assert(s1.count() == docs.count())
+    val byS = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(byS("train") / n > 0.7 && byS("train") / n < 0.9, byS.toString)
+    // stability: re-running assigns identical splits (pure hash function)
+    val s2 = docs.withColumn("split", operators.Sampling.split(col("doc_id")))
+    assert(s1.exceptAll(s2).count() == 0)
+    // growth-stability: a doc keeps its split when the corpus is filtered
+    val subset = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("split", operators.Sampling.split(col("doc_id")))
+    assert(subset.exceptAll(s1.filter(col("doc_id") % 3 === 0)).count() == 0)
+    // deterministic stratified sample hits requested per-stratum rates
+    val strat = operators.Sampling.stratifiedSample(docs, "lang",
+      col("doc_id"), Map("en" -> 0.5, "es" -> 1.0, "de" -> 0.0,
+        "fr" -> 0.25, "zh" -> 0.25))
+    val got = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("de"))
+    assert(math.abs(got("en").toDouble / base("en") - 0.5) < 0.15, got.toString)
+  }
+
   test("language ID predicts a language for every doc") {
     val l = operators.TextOps.langId(spark, sf)
     assert(l.filter(l("pred_lang").isNull).count() == 0)
