@@ -64,6 +64,7 @@ object SparkEntry {
     "q42_sessionize"        -> ((s: SparkSession, d: String) => Relational.sessionizeEvents(s, d)),
     "q43_embedding_dedup"   -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupPairs(s, d)),
     "q44_split_audit"       -> Sampling.splitAudit _,
+    "q45_media_meta"        -> Multimodal.mediaMeta _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -517,5 +518,15 @@ object SparkEntry {
       SELECT split, lang, count(*) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM s GROUP BY split, lang ORDER BY split, lang""",
+
+    "q45_media_meta" -> """
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END                    AS kind,
+             CAST(doc_id % 8 * 160 + 320 AS INT)      AS width,
+             CAST(doc_id % 8 * 90 + 180 AS INT)       AS height,
+             CAST(doc_id % 60 * 1000 AS INT)          AS duration_ms,
+             CAST(strlen(text) AS BIGINT)             AS n_bytes
+      FROM documents ORDER BY media_id""",
   )
 }

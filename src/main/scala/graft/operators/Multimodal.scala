@@ -40,6 +40,16 @@ object Multimodal {
       (pmod(col("doc_id"), lit(8)) * 90 + 180).cast("int").as("height"),
       (pmod(col("doc_id"), lit(60)) * 1000).cast("int").as("duration_ms"))
 
+  /** q45 — media metadata audit: the typed-metadata half of the
+    * multimodal contract (kind routing, dimensions, payload size), all
+    * derivable portably so the DuckDB oracle covers it; the binary
+    * decode half stays engine-side (extractFeatures, spec-tested). */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    mediaFromDocuments(graft.sources.Tables(s, dir, "documents"))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("duration_ms"), length(col("bytes")).cast("long").as("n_bytes"))
+      .orderBy(col("media_id"))
+
   /** STUB decoder: deterministic feature vector from the payload bytes.
     * ??? → replace with a real codec; the signature (bytes in, fixed-dim
     * float features out) is the real contract. */
