@@ -21,7 +21,8 @@ object Bench {
     // between queries so one query's persist can't skew the next.
     // Each query runs `reps` times and reports the BEST time — a single
     // timing at this data scale is dominated by machine-load noise.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -29,8 +30,9 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
+        val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
         spark.catalog.clearCache()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) elapsed else -1.0
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }

@@ -104,6 +104,12 @@ object DataGen {
     * (stride coprime with nProds). */
   def sessions(spark: SparkSession, n: Long = 20000, nUsers: Int = 10000,
                nProds: Int = 5000): DataFrame = {
+    // id-format contract: session ids are exactly 10 hex chars and the
+    // derived transaction ids slice those 10 chars back out — both
+    // collision-free ONLY while ids fit in 40 bits. 2^40 ≈ 1.1e12
+    // sessions (≈10× a 100-TB table at ~1 KB/row), so this is a
+    // documented bound, not a latent overflow.
+    require(n < (1L << 40), s"session id format caps n at 2^40, got $n")
     val start = lit(WindowStart) + (u(31) * WindowSecs).cast("long")
     val dur = (u(32) * 3570).cast("int") + 30
     spark.range(n)

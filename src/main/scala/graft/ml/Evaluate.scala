@@ -51,7 +51,8 @@ object Evaluate {
     val r = pred.agg(
       sqrt(avg(e * e)).as("rmse"),
       avg(abs(e)).as("mae"),
-      avg(when(col(labelCol) =!= 0.0, abs(e) / abs(col(labelCol)))).as("mape"),
+      coalesce(avg(when(col(labelCol) =!= 0.0, abs(e) / abs(col(labelCol)))),
+        lit(Double.NaN)).as("mape"), // all-zero labels ⇒ NaN, not an NPE
       avg(when(smapeDen =!= 0.0, lit(2.0) * abs(e) / smapeDen).otherwise(0.0)).as("smape"),
       // R² from moments: 1 − SS_res / (n·var_pop(y)) — single pass
       (lit(1.0) - sum(e * e) / (count(lit(1)) * var_pop(col(labelCol)))).as("r2"))

@@ -26,8 +26,8 @@ object Sampling {
     md5Long(key.cast("string")) % buckets
 
   /** Deterministic train/val/test assignment by hash bucket
-    * (80/10/10 by default). */
-  def split(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    * (80/10/10 by default). Named to avoid shadowing functions.split. */
+  def assignSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val b = hashBucket(key, 100)
     when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
@@ -39,7 +39,7 @@ object Sampling {
   // balance across train/val/test.
   def splitAudit(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .withColumn("split", split(col("doc_id")))
+      .withColumn("split", assignSplit(col("doc_id")))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
            sum(size(org.apache.spark.sql.functions.split(col("text"), " "))
@@ -51,16 +51,24 @@ object Sampling {
     * a kept row stays kept. */
   def deterministicSample(df: DataFrame, key: Column,
                           fraction: Double, buckets: Int = 10000): DataFrame =
-    df.filter(hashBucket(key, buckets) < (fraction * buckets).toLong)
+    df.filter(hashBucket(key, buckets) < math.round(fraction * buckets))
 
-  /** Corpus mixing: union sources with per-source sampling rates
-    * (the "data mixture" step of pretraining pipelines). Rates > 1.0
-    * mean duplication-free capping is impossible — clamp at 1.0 and log
-    * via the returned effective rates if needed. */
-  def mixCorpora(sources: Seq[(DataFrame, Column, Double)]): DataFrame =
+  /** Corpus mixing: union sources with per-source sampling rates (the
+    * "data mixture" step of pretraining pipelines). A rate > 1.0 means
+    * upsampling: ⌊rate⌋ full copies plus a deterministic sample of the
+    * fractional remainder. */
+  def mixCorpora(sources: Seq[(DataFrame, Column, Double)]): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
     sources.map { case (df, key, rate) =>
-      deterministicSample(df, key, math.min(rate, 1.0))
+      require(rate >= 0.0, s"negative mix rate $rate")
+      val whole = List.fill(rate.toInt)(df)
+      val fractional = rate - rate.toInt
+      val parts = if (fractional > 0)
+        whole :+ deterministicSample(df, key, fractional) else whole
+      parts.reduceOption(_ unionByName _)
+        .getOrElse(df.filter(lit(false)))
     }.reduce(_ unionByName _)
+  }
 
   /** Stratified sampling with exact per-stratum fractions via hash
     * buckets (sampleBy's reproducible cousin). */
@@ -69,7 +77,7 @@ object Sampling {
                        buckets: Int = 10000): DataFrame = {
     val keep = fractions.foldLeft(lit(false)) { case (acc, (value, frac)) =>
       when(col(stratum) === value,
-        hashBucket(key, buckets) < (frac * buckets).toLong).otherwise(acc)
+        hashBucket(key, buckets) < math.round(frac * buckets)).otherwise(acc)
     }
     df.filter(keep)
   }

@@ -75,7 +75,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("hash-mod splitting is stable, complete and roughly proportioned") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables(spark, sf, "documents")
-    val s1 = docs.withColumn("split", operators.Sampling.split(col("doc_id")))
+    val s1 = docs.withColumn("split", operators.Sampling.assignSplit(col("doc_id")))
     // complete partition: every doc in exactly one split
     assert(s1.count() == docs.count())
     val byS = s1.groupBy("split").count().collect()
@@ -83,11 +83,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val n = docs.count().toDouble
     assert(byS("train") / n > 0.7 && byS("train") / n < 0.9, byS.toString)
     // stability: re-running assigns identical splits (pure hash function)
-    val s2 = docs.withColumn("split", operators.Sampling.split(col("doc_id")))
+    val s2 = docs.withColumn("split", operators.Sampling.assignSplit(col("doc_id")))
     assert(s1.exceptAll(s2).count() == 0)
     // growth-stability: a doc keeps its split when the corpus is filtered
     val subset = docs.filter(col("doc_id") % 3 === 0)
-      .withColumn("split", operators.Sampling.split(col("doc_id")))
+      .withColumn("split", operators.Sampling.assignSplit(col("doc_id")))
     assert(subset.exceptAll(s1.filter(col("doc_id") % 3 === 0)).count() == 0)
     // deterministic stratified sample hits requested per-stratum rates
     val strat = operators.Sampling.stratifiedSample(docs, "lang",

@@ -67,10 +67,12 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("minhash est_jaccard stays in [0,1] and self-similarity is 1") {
-    val sig = operators.Dedup.minhashSignatures(spark, sf, 12)
-    val cols = (0 until 12).map(i => col(s"mh_$i"))
-    // every signature agrees fully with itself; bounds hold by construction
+  test("minhash signatures are deterministic and est_jaccard in [0,1]") {
+    val sig1 = operators.Dedup.minhashSignatures(spark, sf, 12)
+    val sig2 = operators.Dedup.minhashSignatures(spark, sf, 12)
+    // deterministic: two independent computations produce identical
+    // signatures ⇒ self-similarity (fraction of equal minhashes) is 1
+    assert(sig1.exceptAll(sig2).count() == 0)
     val pairs = operators.Dedup.minhashLshPairs(spark, sf)
     val bad = pairs.filter(col("est_jaccard") < 0.0 || col("est_jaccard") > 1.0)
     assert(bad.count() == 0)
