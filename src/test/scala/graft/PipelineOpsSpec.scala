@@ -101,6 +101,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got("en").toDouble / base("en") - 0.5) < 0.15, got.toString)
   }
 
+  test("corpus mixing: fractional upsampling and zero rates") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val n = docs.count().toDouble
+    val mixed = operators.Sampling.mixCorpora(Seq(
+      (docs, col("doc_id"), 2.5),
+      (docs, col("doc_id"), 0.0)))
+    val ratio = mixed.count() / n
+    // 2 full copies + ~0.5 sample + zero-rate source contributes nothing
+    assert(ratio > 2.4 && ratio < 2.6, s"mix ratio $ratio")
+    // deterministic: identical on re-run
+    val again = operators.Sampling.mixCorpora(Seq(
+      (docs, col("doc_id"), 2.5), (docs, col("doc_id"), 0.0)))
+    assert(mixed.exceptAll(again).count() == 0)
+  }
+
   test("language ID predicts a language for every doc") {
     val l = operators.TextOps.langId(spark, sf)
     assert(l.filter(l("pred_lang").isNull).count() == 0)
