@@ -41,6 +41,24 @@ object EntityIO {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** ORC round-trip — second columnar format (same pushdown/pruning
+    * properties as parquet; some lakes standardize on it). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
+  /** Bucketed managed table (co-located joins; see ScaleSpec's
+    * zero-shuffle join proof). Bucket count sizes to target ~128-256 MB
+    * per bucket file at production scale. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .mode(SaveMode.Overwrite).saveAsTable(table)
+
   /** CSV with the reference's reader conventions (S9:
     * na_values='?', header, type inference). */
   def readCsv(spark: SparkSession, path: String): DataFrame =

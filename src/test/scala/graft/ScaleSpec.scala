@@ -99,6 +99,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(g.exceptAll(exp).count() == 0)
   }
 
+  test("ORC round-trips with pushdown like parquet") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    graft.sources.EntityIO.writeOrc(docs, s"$dir/docs")
+    val back = graft.sources.EntityIO.readOrc(spark, s"$dir/docs")
+      .filter(col("lang") === "en").select("doc_id", "lang")
+    assert(back.count() == docs.filter(col("lang") === "en").count())
+    val p = plan(back)
+    assert(p.contains("PushedFilters") && p.contains("lang"),
+      s"ORC filter pushdown missing:\n$p")
+  }
+
+  test("HLL sketches merge to near-exact distinct counts (100-TB distinct path)") {
+    import org.apache.spark.sql.functions._
+    // sketch per group, union the sketches, estimate — the mergeable-
+    // state pattern that replaces exact countDistinct at corpus scale
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val perFlag = li.groupBy("l_returnflag")
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sketch"))
+    val merged = perFlag.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+      .head.getLong(0)
+    val exact = li.select(countDistinct(col("l_orderkey"))).head.getLong(0)
+    val err = math.abs(merged - exact).toDouble / exact
+    assert(err < 0.05, s"HLL estimate $merged vs exact $exact (err $err)")
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     val agg = graft.sources.Tables(spark, sf, "lineitem")
