@@ -76,6 +76,42 @@ object Dedup {
     Seq.fill(12)((next() % (MinhashM - 1) + 1, next() % MinhashM))
   }
 
+  /** n-gram Jaccard with SHINGLE-FREQUENCY CAPPING — the 100-TB guard
+    * (SCALE.md): shingles appearing in more than `maxDocFreq` documents
+    * are dropped from CANDIDATE GENERATION (they explode the gram join
+    * quadratically while carrying no dedup signal, exactly like
+    * stop-words), but the exact Jaccard for surviving candidates is
+    * computed over the FULL gram sets via per-doc gram arrays, so scores
+    * are identical to the uncapped operator. A true near-dup pair is
+    * missed only if it shares nothing but ultra-common shingles. */
+  def ngramJaccardPairsCapped(s: SparkSession, dir: String,
+                              threshold: Double = 0.5,
+                              maxDocFreq: Long = 100): DataFrame = {
+    val g = grams3(s, dir)
+    val rare = g.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocFreq)
+      .select(col("gram"))
+    val capped = g.join(rare, Seq("gram")) // candidate grams only
+    val cand = capped.select(col("doc_id").as("doc_a"), col("gram"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // exact rescoring over full gram sets (arrays are per-doc sized)
+    val gramSets = g.groupBy(col("doc_id"))
+      .agg(collect_list(col("gram")).as("grams"))
+    cand
+      .join(gramSets.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(gramSets.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash signatures: portable md5-based base hash + affine family,
     * min-reduced per doc in a single groupBy with k min() aggregates. */
   def minhashSignatures(s: SparkSession, dir: String, k: Int = 12): DataFrame = {

@@ -30,6 +30,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"minhash missed ${(exact -- lsh).size} of ${exact.size} exact pairs")
   }
 
+  test("capped n-gram dedup keeps every planted pair with fewer candidates") {
+    val exact = operators.Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = operators.Dedup.ngramJaccardPairsCapped(spark, sf, maxDocFreq = 20)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    // recall: every exact pair survives capping, with the IDENTICAL score
+    exact.foreach { case (pair, j) =>
+      assert(capped.contains(pair), s"capping lost pair $pair")
+      assert(math.abs(capped(pair) - j) < 1e-12, s"score drift on $pair")
+    }
+    assert(capped.keySet == exact.keySet) // and nothing spurious
+  }
+
   test("simhash pairs include the planted near-dups at small hamming") {
     val exact = operators.Dedup.ngramJaccardPairs(spark, sf)
       .select("doc_a", "doc_b").collect()
