@@ -33,6 +33,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("min_rolling_hash matches brute-force recomputation and edge cases") {
+    graft.plans.MinRollingHash.register(spark)
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .filter(expr("size(t) >= 8")).limit(50).cache()
+    val fast = docs.selectExpr("doc_id", "min_rolling_hash(t, 8) AS f")
+    // brute force: recompute every window hash independently in Scala
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= b; h *= 0x100000001b3L }
+      h
+    }
+    val exp = docs.collect().map { r =>
+      val toks = r.getSeq[String](1)
+      val mins = toks.sliding(8).map(w =>
+        w.map(fnv).foldLeft(0L)((acc, x) => acc * 1000003L + x)).min
+      r.getLong(0) -> mins
+    }.toMap
+    fast.collect().foreach { r =>
+      assert(r.getLong(1) == exp(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+    // short doc -> null; duplicate docs -> identical fingerprints
+    val edge = spark.sql(
+      "SELECT min_rolling_hash(array('a','b'), 8) AS short_doc").head
+    assert(edge.isNullAt(0))
+  }
+
   test("float_dot rejects wrong input types at analysis time") {
     FloatVectorExprs.register(spark)
     val err = intercept[Exception] {
