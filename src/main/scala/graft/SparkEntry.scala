@@ -65,6 +65,7 @@ object SparkEntry {
     "q43_embedding_dedup"   -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupPairs(s, d)),
     "q44_split_audit"       -> Sampling.splitAudit _,
     "q45_media_meta"        -> Multimodal.mediaMeta _,
+    "q46_cap_per_source"    -> ((s: SparkSession, d: String) => Sampling.capPerSource(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -528,5 +529,19 @@ object SparkEntry {
              CAST(doc_id % 60 * 1000 AS INT)          AS duration_ms,
              CAST(strlen(text) AS BIGINT)             AS n_bytes
       FROM documents ORDER BY media_id""",
+
+    "q46_cap_per_source" -> """
+      WITH r AS (
+        SELECT source, n_chars,
+               CASE WHEN row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 50
+               THEN 1 ELSE 0 END AS kept
+        FROM documents)
+      SELECT source,
+             count(*) AS n_total,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+      FROM r GROUP BY source ORDER BY source""",
   )
 }

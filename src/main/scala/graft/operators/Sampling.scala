@@ -70,6 +70,25 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  // q46 — deterministic per-source capping (the "max docs per domain"
+  // corpus-curation op): rank docs within each source by a hash of their
+  // id (stable, content-independent shuffle order) and keep the first
+  // `cap`. Audit output: per-source kept/total counts + kept char mass.
+  def capPerSource(s: SparkSession, dir: String, cap: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables(s, dir, "documents")
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("kept", (col("_rn") <= cap).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        sum(when(col("kept") === 1, col("n_chars")).otherwise(0L)).cast("long")
+          .as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Stratified sampling with exact per-stratum fractions via hash
     * buckets (sampleBy's reproducible cousin). */
   def stratifiedSample(df: DataFrame, stratum: String, key: Column,

@@ -60,6 +60,37 @@ class ExpressionSpec extends AnyFunSuite {
     assert(edge.isNullAt(0))
   }
 
+  test("welford aggregator matches var_samp and is partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val xs = li.select(col("l_extendedprice")).as[Double]
+    val got = xs.select(graft.functions.Aggregators.welfordCol).head
+    val exp = li.agg(avg("l_extendedprice"), var_samp("l_extendedprice"),
+      count(lit(1))).head
+    assert(got.n == exp.getLong(2))
+    assert(math.abs(got.mean - exp.getDouble(0)) < 1e-6)
+    assert(math.abs(got.variance - exp.getDouble(1)) / exp.getDouble(1) < 1e-9)
+    // partition-invariance: different parallelism, same moments
+    val got2 = xs.repartition(17).select(graft.functions.Aggregators.welfordCol).head
+    assert(got2.n == got.n && math.abs(got2.variance - got.variance) < 1e-4)
+  }
+
+  test("deterministic per-group sample is layout-independent") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .selectExpr("source", "cast(doc_id as string) AS id")
+      .as[(String, String)]
+    def sample(parts: Int) = docs.repartition(parts)
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.Aggregators.deterministicSample(5).toColumn)
+      .collect().toMap
+    val a = sample(3)
+    val b = sample(13)
+    assert(a == b) // same keep-set regardless of physical layout
+    assert(a.values.forall(_.size <= 5))
+  }
+
   test("float_dot rejects wrong input types at analysis time") {
     FloatVectorExprs.register(spark)
     val err = intercept[Exception] {
