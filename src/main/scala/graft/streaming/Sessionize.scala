@@ -88,6 +88,32 @@ object Sessionize {
       }
   }
 
+  /** Watermarked stream-stream inner join: enrich an event stream with
+    * the other stream's rows for the same user within a bounded
+    * event-time window (here: an `error` event joined to the same user's
+    * `click`s in the preceding hour). The time-range predicate plus both
+    * watermarks is what BOUNDS the join state — without it Spark would
+    * have to buffer both streams forever. Semantics are identical to the
+    * equivalent batch range join (proven in spec). */
+  def errorsWithRecentClicks(events: DataFrame,
+                             watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+      .withWatermark("err_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    errors.join(clicks,
+      expr("""user_id = c_user AND
+              click_ts >= err_ts - INTERVAL 1 HOUR AND
+              click_ts < err_ts"""))
+      .select(col("user_id"), col("err_id"), col("err_ts"),
+        col("click_ts"), col("click_value"))
+  }
+
   /** Streaming dedup with bounded state: drops duplicate event_ids whose
     * event times fall within the watermark delay of each other — the
     * streaming counterpart of the batch exact-dedup pass

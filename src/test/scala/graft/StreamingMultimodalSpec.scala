@@ -103,6 +103,32 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"streaming sessions disagree with batch: ${mismatched.collect().take(3).mkString}")
   }
 
+  test("streaming: stream-stream range join matches the batch range join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val events = graft.sources.Tables(spark, sf, "events")
+    events.write.mode("overwrite").parquet(s"$dir/ev")
+    def stream = spark.readStream.schema(events.schema).parquet(s"$dir/ev")
+    val got = Sessionize.runOnce(spark,
+      Sessionize.errorsWithRecentClicks(stream), "ssj_test")
+    // batch ground truth: identical predicate on the static table
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val batch = errors.join(clicks,
+      expr("""user_id = c_user AND
+              click_ts >= err_ts - INTERVAL 1 HOUR AND
+              click_ts < err_ts"""))
+      .select(col("user_id"), col("err_id"), col("err_ts"),
+        col("click_ts"), col("click_value"))
+    assert(got.count() > 0, "join should produce enriched rows")
+    assert(got.exceptAll(batch).count() == 0,
+      "streaming join emitted rows batch would not")
+    assert(batch.exceptAll(got).count() == 0,
+      "streaming join missed rows batch produces")
+  }
+
   test("streaming: gap sessionization closes sessions on inactivity") {
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def ev(id: Long, user: Long, offsetSec: Long, v: Double) =
