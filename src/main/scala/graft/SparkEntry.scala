@@ -66,6 +66,8 @@ object SparkEntry {
     "q44_split_audit"       -> Sampling.splitAudit _,
     "q45_media_meta"        -> Multimodal.mediaMeta _,
     "q46_cap_per_source"    -> ((s: SparkSession, d: String) => Sampling.capPerSource(s, d)),
+    "q47_pii_scrub"         -> TextOps.piiScrub _,
+    "q48_repetition"        -> TextOps.repetitionScore _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -543,5 +545,30 @@ object SparkEntry {
              CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT)
                AS kept_chars
       FROM r GROUP BY source ORDER BY source""",
+
+    "q47_pii_scrub" -> """
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text, 'https?://[^\s]+'))  AS n_urls,
+             len(regexp_extract_all(text, '[0-9]{6,}'))        AS n_digit_runs,
+             md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                   '[0-9]{6,}', '<NUM>', 'g')) AS redacted_hash
+      FROM documents ORDER BY doc_id""",
+
+    "q48_repetition" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram FROM t),
+      pg AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(max(n) AS BIGINT) AS top_gram_n,
+             CAST(sum(n) AS BIGINT) AS n_grams,
+             CAST(max(n) AS DOUBLE) / sum(n) AS repetition,
+             CAST(CAST(max(n) AS DOUBLE) / sum(n) > 0.2 AS INT) AS repetitive
+      FROM pg GROUP BY doc_id ORDER BY doc_id""",
   )
 }

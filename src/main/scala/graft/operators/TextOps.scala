@@ -74,6 +74,48 @@ object TextOps {
           col("mean_token_len").between(2.0, 12.0)).cast("int"))
       .orderBy(col("doc_id"))
 
+  // q47 — PII scrubbing audit (corpus-hygiene pass): redact emails /
+  // URLs / long digit runs, report per-doc match counts + the redacted
+  // text's hash (so the oracle verifies the actual rewritten bytes, not
+  // just the counts). Pure per-row regex work — shuffle-free, codegen'd.
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val digits = "[0-9]{6,}"
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          url, "<URL>"),
+        digits, "<NUM>")
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(url), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(digits), lit(0))).cast("long").as("n_digit_runs"),
+      md5(redacted).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q48 — repetition scoring (boilerplate/spam signal): the most
+  // frequent 3-gram's share of a document's total 3-grams. High values
+  // flag template/repeated content — a standard pre-training quality
+  // gate alongside q24.
+  def repetitionScore(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))")).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_gram_n"),
+           sum(col("n")).as("n_grams"))
+      .withColumn("repetition", col("top_gram_n").cast("double") / col("n_grams"))
+      .withColumn("repetitive", (col("repetition") > 0.2).cast("int"))
+      .orderBy(col("doc_id"))
+
   // q30 — winnowing-style fingerprint: min md5 over 8-token shingles,
   // bucketed by the first hex nibble. Per-row, shuffle-free; the bucket
   // column is what a 100-TB pipeline would hash-partition on.

