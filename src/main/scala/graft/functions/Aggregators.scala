@@ -49,22 +49,28 @@ object Aggregators {
     * whose result is a pure function of the group's membership (same
     * philosophy as Sampling.hashBucket: reproducible on any cluster
     * layout). */
-  case class TopKBuf(items: Seq[(String, String)]) // (priority, value)
+  case class PrioItem(priority: Long, value: String)
+  case class TopKBuf(items: Seq[PrioItem])
 
   def deterministicSample(k: Int): Aggregator[String, TopKBuf, Seq[String]] =
     new Aggregator[String, TopKBuf, Seq[String]] {
-      private def prio(v: String): String = {
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(v.getBytes("UTF-8"))
-        d.map("%02x".format(_)).mkString
-      }
-      private def trim(s: Seq[(String, String)]) = s.sortBy(_._1).take(k)
+      // stateless xxhash64 (no per-row MessageDigest allocation); buffer
+      // trims lazily — only once it doubles past k — so the per-row cost
+      // is an append, not a sort
+      private def prio(v: String): Long =
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v),
+          org.apache.spark.sql.types.StringType, 42L)
+      private def trim(s: Seq[PrioItem]): Seq[PrioItem] =
+        if (s.size <= 2 * k) s
+        else s.sortBy(p => (p.priority, p.value)).take(k)
       def zero: TopKBuf = TopKBuf(Nil)
       def reduce(b: TopKBuf, v: String): TopKBuf =
-        TopKBuf(trim(b.items :+ (prio(v) -> v)))
+        TopKBuf(trim(b.items :+ PrioItem(prio(v), v)))
       def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
         TopKBuf(trim(a.items ++ b.items))
-      def finish(b: TopKBuf): Seq[String] = b.items.sortBy(_._1).map(_._2)
+      def finish(b: TopKBuf): Seq[String] =
+        b.items.sortBy(p => (p.priority, p.value)).take(k).map(_.value)
       def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
       def outputEncoder: Encoder[Seq[String]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()

@@ -65,6 +65,24 @@ object TextFunctions {
     expr(s"array_min(transform(sequence(1, size($t) - ${k - 1}), i -> md5(concat_ws(' ', slice($t, i, $k)))))")
   }
 
+  /** PII patterns + redaction (q47's corpus-hygiene pass). ONE
+    * definition shared by the operator, its spec, and callers — pattern
+    * drift between operator and test is exactly what a private copy
+    * would invite. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiUrl = "https?://[^\\s]+"
+  val PiiDigits = "[0-9]{6,}"
+
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "<EMAIL>"),
+        PiiUrl, "<URL>"),
+      PiiDigits, "<NUM>")
+
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** First 15 hex chars of md5 as a positive long (fits in 60 bits) —
     * portable numeric hash for bucketing/banding that DuckDB can
     * reproduce with CAST('0x'||substr(md5(x),1,15) AS BIGINT). */

@@ -87,7 +87,10 @@ object Dedup {
   def ngramJaccardPairsCapped(s: SparkSession, dir: String,
                               threshold: Double = 0.5,
                               maxDocFreq: Long = 100): DataFrame = {
-    val g = grams3(s, dir)
+    // cached: the shingle explode feeds the df-count, BOTH sides of the
+    // candidate self-join, and the gram-set collection — uncached it
+    // would recompute the most expensive stage ~6 times
+    val g = grams3(s, dir).cache()
     val rare = g.groupBy(col("gram"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDocFreq)

@@ -78,31 +78,26 @@ object TextOps {
   // URLs / long digit runs, report per-doc match counts + the redacted
   // text's hash (so the oracle verifies the actual rewritten bytes, not
   // just the counts). Pure per-row regex work — shuffle-free, codegen'd.
-  def piiScrub(s: SparkSession, dir: String): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val url = "https?://[^\\s]+"
-    val digits = "[0-9]{6,}"
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), email, "<EMAIL>"),
-          url, "<URL>"),
-        digits, "<NUM>")
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(url), lit(0))).cast("long").as("n_urls"),
-      size(regexp_extract_all(col("text"), lit(digits), lit(0))).cast("long").as("n_digit_runs"),
-      md5(redacted).as("redacted_hash"))
+      piiCount(col("text"), PiiEmail).as("n_emails"),
+      piiCount(col("text"), PiiUrl).as("n_urls"),
+      piiCount(col("text"), PiiDigits).as("n_digit_runs"),
+      md5(piiRedact(col("text"))).as("redacted_hash"))
       .orderBy(col("doc_id"))
-  }
 
   // q48 — repetition scoring (boilerplate/spam signal): the most
   // frequent 3-gram's share of a document's total 3-grams. High values
   // flag template/repeated content — a standard pre-training quality
   // gate alongside q24.
   def repetitionScore(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    repetitionScoreFor(docs(s, dir))
+
+  /** Core of q48, usable on any (doc_id, text) frame (specs plant their
+    * own repetitive/diverse docs through this same code path). */
+  def repetitionScoreFor(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(

@@ -34,23 +34,24 @@ case class MinRollingHash(child: Expression, k: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "min_rolling_hash"
 
+  // "shorter than window" is decided by LENGTH, not an in-band sentinel:
+  // the mod-2^64 hash space covers every long, so any reserved value
+  // would collide with a legitimate fingerprint (~1e-5 expected hits at
+  // SCALE.md's 1e14-window corpus) and silently null it out.
   override def nullSafeEval(v: Any): Any = {
-    val r = MinRollingHash.compute(v.asInstanceOf[ArrayData], k)
-    if (r == MinRollingHash.Empty) null else java.lang.Long.valueOf(r)
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() < k) null
+    else java.lang.Long.valueOf(MinRollingHash.compute(arr, k))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val r = ctx.freshName("rh")
-      s"""
-         |long $r = graft.plans.MinRollingHash.compute($c, $k);
-         |if ($r == graft.plans.MinRollingHash.Empty()) {
+    nullSafeCodeGen(ctx, ev, c => s"""
+         |if ($c.numElements() < $k) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $r;
+         |  ${ev.value} = graft.plans.MinRollingHash.compute($c, $k);
          |}
-       """.stripMargin
-    })
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinRollingHash =
     copy(child = newChild)
@@ -58,7 +59,6 @@ case class MinRollingHash(child: Expression, k: Int)
 
 object MinRollingHash {
   private val B = 1000003L // polynomial base (prime)
-  val Empty: Long = Long.MinValue // sentinel: doc shorter than window
 
   /** Per-token 64-bit hash (FNV-1a over UTF8 bytes — cheap, stable). */
   private def tokenHash(bytes: Array[Byte]): Long = {
@@ -70,7 +70,7 @@ object MinRollingHash {
 
   def compute(tokens: ArrayData, k: Int): Long = {
     val n = tokens.numElements()
-    if (n < k) return Empty
+    require(n >= k, "caller must length-check before compute")
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -100,6 +100,8 @@ object MinRollingHash {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_rolling_hash", exprs => {
+        require(exprs.length == 2,
+          s"min_rolling_hash(tokens, k) takes 2 arguments, got ${exprs.length}")
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(

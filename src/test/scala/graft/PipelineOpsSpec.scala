@@ -136,31 +136,39 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("PII scrubbing redacts planted emails/urls/numbers") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // drive the SHIPPED expressions (TextFunctions.piiRedact/piiCount —
+    // the exact columns q47 uses), not a private regex copy
+    import graft.functions.TextFunctions
     val dirty = Seq(
       (1L, "contact me at alice@example.com or https://evil.example/x?id=1 ref 123456789"),
       (2L, "clean text with short 12345 number")).toDF("doc_id", "text")
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val redacted = dirty.select(col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), email, "<EMAIL>"),
-          "https?://[^\\s]+", "<URL>"),
-        "[0-9]{6,}", "<NUM>").as("r"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(redacted(1L) == "contact me at <EMAIL> or <URL> ref <NUM>")
-    assert(redacted(2L) == "clean text with short 12345 number") // 5 digits kept
+    val out = dirty.select(col("doc_id"),
+      TextFunctions.piiRedact(col("text")).as("r"),
+      TextFunctions.piiCount(col("text"), TextFunctions.PiiEmail).as("ne"),
+      TextFunctions.piiCount(col("text"), TextFunctions.PiiDigits).as("nd"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("contact me at <EMAIL> or <URL> ref <NUM>", 1L, 1L)))
+    assert(out(2L) == (("clean text with short 12345 number", 0L, 0L))) // 5 digits kept
   }
 
-  test("repetition score flags repeated content and not diverse content") {
+  test("repetition score flags planted repetitive docs, not diverse ones") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // directly exercise the scoring shape used by q48 on planted docs
-    val docs = graft.sources.Tables(spark, sf, "documents")
-    val scored = operators.TextOps.repetitionScore(spark, sf)
-    // bounds + internal consistency on real data
-    assert(scored.filter(col("repetition") > 1.0 || col("repetition") <= 0.0).count() == 0)
-    assert(scored.filter(col("top_gram_n") > col("n_grams")).count() == 0)
-    assert(scored.count() == docs.filter(size(split(col("text"), " ")) >= 3).count())
+    // planted docs flow through the SAME code path q48 uses
+    val planted = Seq(
+      (1L, Seq.fill(50)("buy now click here").mkString(" ")), // boilerplate
+      (2L, (1 to 200).map(i => s"w$i").mkString(" ")))        // all-distinct
+      .toDF("doc_id", "text")
+    val scored = operators.TextOps.repetitionScoreFor(planted)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("repetition"), r.getAs[Int]("repetitive")))).toMap
+    assert(scored(1L)._2 == 1, s"boilerplate not flagged: ${scored(1L)}")
+    assert(scored(2L)._2 == 0, s"diverse doc flagged: ${scored(2L)}")
+    assert(scored(1L)._1 > scored(2L)._1)
+    // bounds on real corpus via the q48 entry point
+    val real = operators.TextOps.repetitionScore(spark, sf)
+    assert(real.filter(col("repetition") > 1.0 || col("repetition") <= 0.0).count() == 0)
+    assert(real.filter(col("top_gram_n") > col("n_grams")).count() == 0)
   }
 
   test("language ID predicts a language for every doc") {

@@ -34,6 +34,13 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("QUERIES.md matches the generated catalog (no drift)") {
+    val committed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("QUERIES.md"))
+    assert(committed == Catalog.render,
+      "QUERIES.md is stale — run `sbt \"runMain graft.Catalog\"`")
+  }
+
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list tiny and intentional (non-SQL-expressible ops only)

@@ -19,10 +19,8 @@ class ScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS ord_b")
     val li = graft.sources.Tables(spark, sf, "lineitem")
     val ord = graft.sources.Tables(spark, sf, "orders")
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_b")
-    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("ord_b")
+    graft.sources.EntityIO.writeBucketed(li, "li_b", "l_orderkey", 8)
+    graft.sources.EntityIO.writeBucketed(ord, "ord_b", "o_orderkey", 8)
     // co-located: both sides pre-bucketed on the join key ⇒ SortMergeJoin
     // with NO ShuffleExchange on either side
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
