@@ -172,9 +172,9 @@ object SparkEntry {
              round(l_quantity, 2)             AS qty,
              round(lag(l_quantity, 1) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber), 2) AS prev_qty
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity), 2) AS prev_qty
       FROM lineitem
-      ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""",
+      ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber, qty""",
 
     "q11_running_total" -> """
       SELECT l_partkey, l_orderkey, l_linenumber,
@@ -182,10 +182,10 @@ object SparkEntry {
              round(l_quantity, 2)             AS qty,
              round(sum(l_quantity) OVER (
                PARTITION BY l_partkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
       FROM lineitem
-      ORDER BY l_partkey, ship_date, l_orderkey, l_linenumber""",
+      ORDER BY l_partkey, ship_date, l_orderkey, l_linenumber, qty""",
 
     "q12_monthly_trend" -> """
       SELECT strftime(o_orderdate, '%Y-%m') AS month,

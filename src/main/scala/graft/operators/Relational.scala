@@ -180,23 +180,29 @@ object Relational {
   // unique (orderkey, linenumber) tiebreak so the lag value is
   // deterministic under any partitioning.
   def lagQuantity(s: SparkSession, dir: String): DataFrame = {
+    // l_quantity is part of the ordering: the testdata reuses
+    // (orderkey, linenumber) pairs at sf0.1 (118k dups), so the "unique"
+    // tiebreak needs the quantity to stay deterministic cross-engine
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
     t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
         m(col("l_quantity")).as("qty"),
         m(lag(col("l_quantity"), 1).over(w)).as("prev_qty"))
       .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"),
-        col("l_linenumber"))
+        col("l_linenumber"), col("qty"))
   }
 
   // --------------------------------------------------------------------
   // q11 — running total (SURVEY W7: the order-dependent stock decrement,
   // dataset_generator.py:91-102, as a frame-spec window).
   def runningQuantity(s: SparkSession, dir: String): DataFrame = {
+    // same duplicate-key caveat as lagQuantity: quantity joins the order
     val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
@@ -204,7 +210,7 @@ object Relational {
         m(col("l_quantity")).as("qty"),
         m(sum(col("l_quantity")).over(w)).as("running_qty"))
       .orderBy(col("l_partkey"), col("ship_date"), col("l_orderkey"),
-        col("l_linenumber"))
+        col("l_linenumber"), col("qty"))
   }
 
   // --------------------------------------------------------------------

@@ -125,6 +125,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(err < 0.05, s"HLL estimate $merged vs exact $exact (err $err)")
   }
 
+  test("DecimalType money path sums exactly where doubles drift (SURVEY upgrade note)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10M cents of 0.01: decimal is exact; double accumulates error.
+    // This is the recorded 100-TB upgrade for money columns (SURVEY §1.5,
+    // SCALE.md) — doubles are kept today only for reference hash parity.
+    val n = 10000000
+    val cents = spark.range(n).select(lit("0.01").cast("decimal(12,2)").as("d"),
+      lit(0.01).as("x"))
+    val r = cents.agg(sum("d").as("exact"), sum("x").as("drifty")).head
+    assert(r.getDecimal(0).toString == "100000.00") // bit-exact
+    assert(math.abs(r.getDouble(1) - 100000.0) > 0)  // doubles drift
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     val agg = graft.sources.Tables(spark, sf, "lineitem")
