@@ -68,6 +68,8 @@ object SparkEntry {
     "q46_cap_per_source"    -> ((s: SparkSession, d: String) => Sampling.capPerSource(s, d)),
     "q47_pii_scrub"         -> TextOps.piiScrub _,
     "q48_repetition"        -> TextOps.repetitionScore _,
+    "q49_fk_audit"          -> Relational.fkAudit _,
+    "q50_describe"          -> Relational.describeLineitem _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -570,5 +572,59 @@ object SparkEntry {
              CAST(max(n) AS DOUBLE) / sum(n) AS repetition,
              CAST(CAST(max(n) AS DOUBLE) / sum(n) > 0.2 AS INT) AS repetitive
       FROM pg GROUP BY doc_id ORDER BY doc_id""",
+
+    "q49_fk_audit" -> """
+      SELECT 'customer.nationkey->nation' AS relationship,
+             (SELECT count(*) FROM customer) AS n_rows,
+             (SELECT count(*) FROM customer c WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.orderkey->orders',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'lineitem.partkey->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem.suppkey->supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'nation.regionkey->region',
+             (SELECT count(*) FROM nation),
+             (SELECT count(*) FROM nation n WHERE NOT EXISTS
+               (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+      UNION ALL
+      SELECT 'orders.custkey->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      ORDER BY relationship""",
+
+    "q50_describe" -> """
+      SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
+             round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS std,
+             round(min(l_quantity), 2) AS min, round(max(l_quantity), 2) AS max
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', count(l_extendedprice),
+             round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
+             round(min(l_extendedprice), 2), round(max(l_extendedprice), 2)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', count(l_discount),
+             round(avg(l_discount), 4), round(stddev_samp(l_discount), 4),
+             round(min(l_discount), 2), round(max(l_discount), 2)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', count(l_tax),
+             round(avg(l_tax), 4), round(stddev_samp(l_tax), 4),
+             round(min(l_tax), 2), round(max(l_tax), 2)
+      FROM lineitem
+      ORDER BY "column"""",
   )
 }

@@ -468,6 +468,50 @@ object Relational {
       .orderBy(col("user_id"), col("session_no"))
   }
 
+  // q49 — referential-integrity audit across the star schema (the
+  // data-validation stage every pipeline runs on landing): orphan-FK
+  // counts via anti-join semantics, one row per relationship. Each count
+  // is a broadcast-dim anti join — no full shuffle of fact rows.
+  def fkAudit(s: SparkSession, dir: String): DataFrame = {
+    // one lazy pass per relationship: broadcast left join to the dim key
+    // and count nulls — no driver-side actions, all six audits run as one
+    // unioned job
+    def orphans(name: String, fact: DataFrame, fk: String,
+                dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk))
+        .join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left")
+        .agg(lit(name).as("relationship"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+    val li = t(s, dir, "lineitem")
+    Seq(
+      orphans("lineitem.orderkey->orders", li, "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+      orphans("lineitem.partkey->part", li, "l_partkey", t(s, dir, "part"), "p_partkey"),
+      orphans("lineitem.suppkey->supplier", li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+      orphans("orders.custkey->customer", t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey"),
+      orphans("customer.nationkey->nation", t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+      orphans("nation.regionkey->region", t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("relationship"))
+  }
+
+  // q50 — multi-column describe() (SURVEY A9 in breadth): one stats row
+  // per numeric column, computed in a single pass each and unioned.
+  def describeLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def statsOf(c: String): DataFrame =
+      li.agg(
+        lit(c).as("column"),
+        count(col(c)).as("n"),
+        round(avg(col(c)), 4).as("mean"),
+        round(stddev_samp(col(c)), 4).as("std"),
+        m(min(col(c))).as("min"),
+        m(max(col(c))).as("max"))
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(statsOf).reduce(_ unionByName _)
+      .orderBy(col("column"))
+  }
+
   // q37 — per-group argmax (SURVEY W8: head-of-sorted / max_by): each
   // customer's single largest order, via row_number window (the
   // deterministic distributed form of `argmax`).
