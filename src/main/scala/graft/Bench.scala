@@ -23,10 +23,21 @@ object Bench {
     // timing at this data scale is dominated by machine-load noise.
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2))
+    // Force FULL evaluation of every output column: a bare .count() lets
+    // Catalyst prune unused columns and drop final sorts, timing pure-
+    // projection queries as scan+count. A bit_xor over xxhash64(all cols)
+    // makes every column's bytes flow through the plan (bit_xor, not sum:
+    // ANSI mode would throw on long-sum overflow of hash values).
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      df.select(xxhash64(df.columns.map(col): _*).as("_h"))
+        .selectExpr("bit_xor(_h)").collect()
+      ()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        val ok = try { force(fn(spark, sfDir)); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }

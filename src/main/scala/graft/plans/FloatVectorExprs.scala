@@ -33,11 +33,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+  // nullable even when both children are not: a LENGTH MISMATCH yields
+  // null (matching the zip_with null-padding semantics of the HOF
+  // formulation) — a malformed embedding must surface as a detectable
+  // null, never as a plausible partial dot product.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -53,12 +59,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -72,5 +82,9 @@ object FloatVectorExprs {
     * (usable from SQL and via call_function). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "built-in")
+      "float_dot", exprs => {
+        require(exprs.length == 2,
+          s"float_dot expects exactly 2 arguments (two array<float>), got ${exprs.length}")
+        FloatVectorDot(exprs(0), exprs(1))
+      }, "built-in")
 }

@@ -64,5 +64,9 @@ object SimHash64 {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64", exprs => {
+        require(exprs.length == 1,
+          s"simhash64 expects exactly 1 argument (array<string>), got ${exprs.length}")
+        SimHash64(exprs.head)
+      }, "built-in")
 }

@@ -91,6 +91,34 @@ class ExpressionSpec extends AnyFunSuite {
     assert(a.values.forall(_.size <= 5))
   }
 
+  test("float_dot yields null on length-mismatched vectors (codegen + interpreted)") {
+    FloatVectorExprs.register(spark)
+    // codegen path (whole-stage over a real plan)
+    val r = spark.range(1).selectExpr(
+      "float_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float))) AS d").head
+    assert(r.isNullAt(0), "mismatched lengths must be null, not a partial dot")
+    // interpreted path (direct eval, no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val lit2 = Literal(ArrayData.toArrayData(Array(1.0f, 2.0f)), ArrayType(FloatType))
+    val lit1 = Literal(ArrayData.toArrayData(Array(3.0f)), ArrayType(FloatType))
+    assert(graft.plans.FloatVectorDot(lit2, lit1).eval(null) == null)
+    assert(graft.plans.FloatVectorDot(lit2, lit2).eval(null) == 5.0)
+  }
+
+  test("native function registration validates arity with a descriptive error") {
+    FloatVectorExprs.register(spark)
+    graft.plans.SimHash64.register(spark)
+    val e1 = intercept[Exception] { spark.sql("SELECT simhash64()").collect() }
+    assert(e1.getMessage.contains("simhash64"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT float_dot(array(cast(1.0 as float)))").collect()
+    }
+    assert(e2.getMessage.contains("float_dot"))
+  }
+
   test("float_dot rejects wrong input types at analysis time") {
     FloatVectorExprs.register(spark)
     val err = intercept[Exception] {

@@ -75,6 +75,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("fkOrphans n_rows is the plain fact count even when the dim PK is duplicated") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fact = Seq(1L, 1L, 2L, 3L, 99L).toDF("fk")   // 5 rows, one orphan (99)
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val dupDim = Seq(1L, 1L, 2L, 3L).toDF("pk")      // defective: duplicate PK 1
+    val clean = operators.Relational.fkOrphans("t", fact, "fk", dim, "pk").head
+    val dirty = operators.Relational.fkOrphans("t", fact, "fk", dupDim, "pk").head
+    // the audit must not assume the uniqueness invariant it exists to check:
+    // a duplicate dim PK must not inflate the audited fact-row count
+    assert(clean.getLong(1) == 5L && dirty.getLong(1) == 5L)
+    assert(clean.getLong(2) == 1L && dirty.getLong(2) == 1L)
+  }
+
   private object Relational {
     def apply(prefix: String): SparkSession => org.apache.spark.sql.DataFrame = {
       val (name, fn) = SparkEntry.queries.find(_._1.startsWith(prefix)).get
