@@ -45,7 +45,7 @@ object SparkEntry {
     "q23_lang_id"           -> TextOps.langId _,
     "q24_quality_score"     -> TextOps.qualityScore _,
     "q25_exact_dedup"       -> Dedup.exactDedup _,
-    "q26_ngram_jaccard"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "q26_ngram_jaccard"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairsCapped(s, d)),
     "q27_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
     "q28_simhash_pairs"     -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q29_ann_cosine"        -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -306,6 +306,10 @@ object SparkEntry {
       SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY text_hash""",
 
+    // Mirrors ngramJaccardPairsCapped: shingles appearing in > 100 docs
+    // are dropped from CANDIDATE generation only (the `rare`/`cg` CTEs);
+    // jaccard is rescored over the FULL gram sets, so scores are
+    // identical to the uncapped form for every surviving candidate.
     "q26_ngram_jaccard" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
                  WHERE len(string_split(text, ' ')) >= 3),
@@ -313,8 +317,14 @@ object SparkEntry {
                generate_series(1, len(tk) - 2),
                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram FROM t),
       n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
-      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
+      cg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                FROM cand c
+                JOIN g ga ON ga.doc_id = c.doc_a
+                JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
                 GROUP BY 1, 2)
       SELECT i.doc_a, i.doc_b, i.n_common, na.ng AS ng_a, nb.ng AS ng_b,
              CAST(i.n_common AS DOUBLE) / (na.ng + nb.ng - i.n_common) AS jaccard
@@ -498,17 +508,44 @@ object SparkEntry {
       FROM numbered GROUP BY user_id, session_no
       ORDER BY user_id, session_no""",
 
-    "q43_embedding_dedup" -> """
+    // Mirrors the LSH-banded embeddingNearDupPairs EXACTLY: the same
+    // md5-derived hyperplane family (Similarity.planeCoef) is embedded
+    // below as double literals (the q27-minhash technique), so both
+    // engines compute the identical 32-bit sign sketch, the identical
+    // 8×4-bit band buckets, and therefore the identical candidate set —
+    // recall < 1 is part of the operator's semantics, not oracle slack.
+    "q43_embedding_dedup" -> {
+      val bits = 32; val bands = 8; val r = bits / bands; val mask = (1L << r) - 1
+      def plane(j: Int): String = (0 until 64)
+        .map(d => operators.Similarity.planeCoef(42, j, d).toString)
+        .mkString("[", ",", "]")
+      val sketch = (0 until bits).map { j =>
+        s"(CASE WHEN list_dot_product(${plane(j)}, v) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" |\n        ")
+      val bandArms = (0 until bands).map { bd =>
+        s"SELECT vec_id, $bd AS band, (sketch >> ${bd * r}) & $mask AS key FROM sk"
+      }.mkString("\n        UNION ALL ")
+      s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      sk AS (SELECT vec_id,
+        $sketch
+        AS sketch FROM e),
+      banded AS (
+        $bandArms),
+      cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+               FROM banded x JOIN banded y
+                 ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+      scored AS (
+        SELECT c.vec_a, c.vec_b,
                round(list_dot_product(a.v, b.v) /
                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                      4) AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      SELECT vec_a, vec_b, cosine
-      FROM pairs WHERE cosine >= 0.40
-      ORDER BY vec_a, vec_b""",
+        FROM cand c
+        JOIN e a ON a.vec_id = c.vec_a
+        JOIN e b ON b.vec_id = c.vec_b)
+      SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.40
+      ORDER BY vec_a, vec_b"""
+    },
 
     "q44_split_audit" -> """
       WITH d AS (

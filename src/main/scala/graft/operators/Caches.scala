@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Caching contract for composable operators.
+  *
+  * Several operators cache an intermediate frame that feeds multiple
+  * downstream branches (a shingle explode used by both sides of a
+  * candidate self-join, an LSH sketch probed by corpus and query side).
+  * The returned DataFrames are lazy, so the operator itself can never
+  * know when its caller is done — unpersisting inside the operator would
+  * evict the block before the first action runs.
+  *
+  * Instead every operator-internal `.cache()` goes through
+  * [[Caches.track]], and library callers release the accumulated blocks
+  * with ONE call after materializing their results:
+  *
+  * {{{
+  *   val pairs = Dedup.minhashLshPairs(spark, dir).collect()
+  *   Caches.release()           // drops every operator-internal cache
+  * }}}
+  *
+  * Harness `main`s (Verify/Bench) that call `spark.catalog.clearCache()`
+  * get the same effect; `release()` is for library callers composing
+  * operators inside a long-lived session, where unreleased caches would
+  * otherwise accumulate executor storage indefinitely.
+  */
+object Caches {
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+
+  /** Cache `ds` and remember it for a later [[release]]. */
+  def track[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    tracked += ds
+    ds.cache()
+  }
+
+  /** Unpersist every tracked dataset (non-blocking) and forget them. */
+  def release(): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking = false))
+    tracked.clear()
+  }
+
+  /** Number of currently tracked cached datasets (spec surface). */
+  def trackedCount: Int = synchronized(tracked.size)
+}

@@ -89,8 +89,9 @@ object Dedup {
                               maxDocFreq: Long = 100): DataFrame = {
     // cached: the shingle explode feeds the df-count, BOTH sides of the
     // candidate self-join, and the gram-set collection — uncached it
-    // would recompute the most expensive stage ~6 times
-    val g = grams3(s, dir).cache()
+    // would recompute the most expensive stage ~6 times; released via
+    // Caches.release()
+    val g = Caches.track(grams3(s, dir))
     val rare = g.groupBy(col("gram"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDocFreq)
@@ -101,17 +102,22 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // exact rescoring over full gram sets (arrays are per-doc sized)
+    // exact rescoring over full gram sets (arrays are per-doc sized), so
+    // (n_common, ng_a, ng_b, jaccard) are identical to the uncapped
+    // operator for every surviving candidate — same output schema too
     val gramSets = g.groupBy(col("doc_id"))
       .agg(collect_list(col("gram")).as("grams"))
     cand
       .join(gramSets.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(gramSets.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("ng_a", size(col("ga")).cast("long"))
+      .withColumn("ng_b", size(col("gb")).cast("long"))
       .withColumn("jaccard", col("n_common").cast("double") /
-        (size(col("ga")) + size(col("gb")) - col("n_common")))
+        (col("ng_a") + col("ng_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("ng_a"), col("ng_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -136,7 +142,9 @@ object Dedup {
                       k: Int = 12, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = minhashSignatures(s, dir, k).cache()
+    // cached: signatures feed both band-join sides AND the final
+    // agreement rescoring; released via Caches.release()
+    val sig = Caches.track(minhashSignatures(s, dir, k))
     val bandCols = (0 until bands).map { bd =>
       val rows = (0 until r).map(j => col(s"mh_${bd * r + j}"))
       struct(lit(bd).as("band"), concat_ws("_", rows: _*).as("key")).as(s"b$bd")
@@ -159,16 +167,62 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q43 — embedding-cosine near-dup pairs: all (a, b) with
-    * cosine ≥ threshold, exact (the brief's "embedding-cosine near-dup"
-    * dedup modality). Exact O(n²) formulation for the oracle; at corpus
-    * scale the LSH-bucketed candidate generator (Similarity.lshTopK's
-    * banding) replaces the cross join and this exact scorer runs only on
-    * bucket-mates. Threshold comparison happens on the 4dp-ROUNDED
-    * cosine so the DuckDB oracle makes identical include/exclude
-    * decisions. */
+  /** q43 — embedding-cosine near-dup pairs, LSH-banded (the brief's
+    * "embedding-cosine near-dup" dedup modality). Candidate pairs come
+    * from a random-hyperplane sketch banded into `bands` keys of
+    * `bits/bands` sign bits each — a bucket-keyed equi self-join, NEVER
+    * an all-pairs cross join — and only bucket-mates are exact-rescored.
+    * At 100 TB the candidate volume per band bucket is ~n/2^(bits/bands),
+    * tunable by bits-per-band; the earlier exact formulation (kept below
+    * as [[embeddingNearDupPairsExact]]) is O(n²) and exists only as the
+    * recall baseline for specs.
+    *
+    * Recall < 1 by construction and is mirrored EXACTLY in the DuckDB
+    * oracle: the same md5-derived hyperplane family (Similarity.planeCoef)
+    * is embedded literally in the oracle SQL, so both engines generate
+    * the identical candidate set and make identical include/exclude
+    * decisions on the 4dp-ROUNDED cosine. Note the synthetic testdata's
+    * near-dups sit at cosine 0.40-0.60 (weak cluster structure), where
+    * sign-bit agreement is only ~0.63/plane — on a real corpus a near-dup
+    * threshold of 0.9+ concentrates agreement near 1 and supports many
+    * more bits per band. */
   def embeddingNearDupPairs(s: SparkSession, dir: String,
-                            threshold: Double = 0.40): DataFrame = {
+                            threshold: Double = 0.40, bits: Int = 32,
+                            bands: Int = 8, dim: Int = 64): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    graft.plans.FloatVectorExprs.register(s)
+    import graft.functions.VectorFunctions.cosineNative
+    val r = bits / bands
+    val mask = (1L << r) - 1
+    val e = Similarity.hyperplaneSketch(
+      Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding", bits, dim)
+    // cached: the (interpreted-HOF) sketch feeds BOTH sides of the
+    // bucket self-join; released via Caches.release()
+    val banded = Caches.track(
+      e.select(col("vec_id"), col("embedding"),
+        explode(array((0 until bands).map(bd =>
+          struct(lit(bd).as("band"),
+            shiftright(col("sketch"), bd * r).bitwiseAND(mask).as("key"))): _*)).as("b"))
+        .select(col("vec_id"), col("embedding"),
+          col("b.band").as("band"), col("b.key").as("key")))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("va"), col("b.embedding").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .withColumn("cosine", round(cosineNative(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Exact O(n²) variant of [[embeddingNearDupPairs]] — the recall
+    * baseline for specs ONLY; never wire this into a shipped query (the
+    * cross join is a cartesian death sentence at corpus scale). */
+  def embeddingNearDupPairsExact(s: SparkSession, dir: String,
+                                 threshold: Double = 0.40): DataFrame = {
     graft.plans.FloatVectorExprs.register(s)
     import graft.functions.VectorFunctions.cosineNative
     val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))

@@ -48,19 +48,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hyperplane coefficient plane_j[d] ∈ [-1,1), derived from md5 of
+    * (seed, plane, dim) — deterministic, data-independent, no RNG state.
+    * Public so the DuckDB oracle can embed the SAME family as literals
+    * (the q27-minhash technique applied to real-valued planes). */
+  def planeCoef(seed: Int, j: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$j:$d".getBytes("UTF-8"))
+    val v = java.nio.ByteBuffer.wrap(h).getLong(0)
+    v.toDouble / Long.MaxValue.toDouble
+  }
+
   /** Random-hyperplane sketch: `bits` sign bits from fixed pseudo-random
     * hyperplanes (deterministic seeded doubles via md5 of (plane, dim) —
     * no RNG state, reproducible on any cluster). Returns (vec_id, sketch)
     * where sketch packs the sign bits of ⟨v, plane_j⟩ into a long. */
   def hyperplaneSketch(df: DataFrame, vecCol: String, bits: Int, dim: Int,
                        seed: Int = 42): DataFrame = {
-    // plane_j[d] ∈ [-1,1) derived from md5 — deterministic, data-independent
-    def coef(j: Int, d: Int): Double = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$seed:$j:$d".getBytes("UTF-8"))
-      val v = java.nio.ByteBuffer.wrap(h).getLong(0)
-      (v.toDouble / Long.MaxValue.toDouble)
-    }
+    def coef(j: Int, d: Int): Double = planeCoef(seed, j, d)
     // One compact higher-order-function expression (planes as a nested
     // array literal) instead of bits×dim unrolled multiply-adds — the
     // unrolled form exceeds whole-stage-codegen limits and spams
@@ -98,14 +103,15 @@ object Similarity {
     val e = hyperplaneSketch(
       emb(s, dir).select(col("vec_id"), col("embedding")), "embedding", bits, dim)
     // cached: the sketch projection feeds BOTH sides of the bucket join —
-    // without this the (interpreted HOF) sketch computes twice
-    val banded = e.select(col("vec_id"), col("embedding"),
-      explode(array((0 until bands).map(bd =>
-        struct(lit(bd).as("band"),
-          shiftright(col("sketch"), bd * r).bitwiseAND(mask).as("key"))): _*)).as("b"))
-      .select(col("vec_id"), col("embedding"),
-        col("b.band").as("band"), col("b.key").as("key"))
-      .cache()
+    // without this the (interpreted HOF) sketch computes twice; released
+    // via Caches.release()
+    val banded = Caches.track(
+      e.select(col("vec_id"), col("embedding"),
+        explode(array((0 until bands).map(bd =>
+          struct(lit(bd).as("band"),
+            shiftright(col("sketch"), bd * r).bitwiseAND(mask).as("key"))): _*)).as("b"))
+        .select(col("vec_id"), col("embedding"),
+          col("b.band").as("band"), col("b.key").as("key")))
     val q = banded.filter(col("vec_id") < nQueries)
       .select(col("band"), col("key"),
         col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -132,9 +138,9 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     FloatVectorExprs.register(s)
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      .withColumn("features", array_to_vector(col("embedding")))
-      .cache() // feeds count + quantizer fit + assignment — one scan
+    val e = Caches.track( // feeds count + quantizer fit + assignment —
+      emb(s, dir).select(col("vec_id"), col("embedding")) // one scan
+        .withColumn("features", array_to_vector(col("embedding"))))
     // quantizer fits on a bounded sample (standard IVF practice — the
     // coarse centroids don't need the full corpus; at 100 TB this is the
     // difference between a minute and a day of training). Small corpora
@@ -147,9 +153,8 @@ object Similarity {
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(42L).setFeaturesCol("features")
     val model = km.fit(sample)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-      .cache()
+    val assigned = Caches.track(model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell")))
     // tiny centroid table (nCells rows) — broadcast to score probes
     val spark2 = s
     import spark2.implicits._

@@ -46,6 +46,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped.keySet == exact.keySet) // and nothing spurious
   }
 
+  test("banded embedding dedup: subset of exact, identical scores, useful recall") {
+    val exact = operators.Dedup.embeddingNearDupPairsExact(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = operators.Dedup.embeddingNearDupPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1.0: every banded pair is a true >=threshold pair with the
+    // exact-rescored cosine (banding only prunes candidates, never scores)
+    banded.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"banded emitted non-dup pair $pair")
+      assert(exact(pair) == c, s"score drift on $pair")
+    }
+    // recall floor: the synthetic dups sit at cosine 0.40-0.60 where
+    // sign-bit agreement is weak (~0.63/plane) — at a realistic 0.9+
+    // near-dup threshold the same banding is near-exhaustive
+    if (exact.nonEmpty) {
+      val recall = banded.size.toDouble / exact.size
+      assert(recall >= 0.5, s"banded recall $recall < 0.5 (${banded.size}/${exact.size})")
+    }
+  }
+
+  test("operator caches are tracked and released (library caching contract)") {
+    spark.catalog.clearCache()
+    operators.Caches.release()
+    // compose several caching operators and materialize their results
+    operators.Dedup.minhashLshPairs(spark, sf).count()
+    operators.Dedup.embeddingNearDupPairs(spark, sf).count()
+    operators.Similarity.lshTopK(spark, sf).count()
+    assert(operators.Caches.trackedCount > 0, "operators should track their caches")
+    operators.Caches.release()
+    assert(operators.Caches.trackedCount == 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "Caches.release() must leave no cached plan behind")
+  }
+
   test("simhash pairs include the planted near-dups at small hamming") {
     val exact = operators.Dedup.ngramJaccardPairs(spark, sf)
       .select("doc_a", "doc_b").collect()

@@ -77,6 +77,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("plan lint: dedup candidate generation is banded, never all-pairs") {
+    // q26/q43 must generate candidates via equi-joins on gram/band keys:
+    // neither a CartesianProduct NOR a BroadcastNestedLoopJoin (the
+    // "small data hides the cross join" failure mode) may appear — unlike
+    // the ANN queries, whose broadcast query side legitimately plans BNLJ
+    Seq("q26_ngram_jaccard", "q43_embedding_dedup").foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an all-pairs join:\n${p.take(2000)}")
+    }
+  }
+
   test("salted join is row-identical to the plain join on skewed data") {
     import spark.implicits._
     // 90% of fact rows hit one hot key
