@@ -76,9 +76,28 @@ object SparkEntry {
     * in DuckDB — e.g. hash-function-specific sketches). The driver records
     * a weaker rows-only check for these; the set must stay small. */
   def rowsOnlyQueries: Set[String] = Set(
-    "q28_simhash_pairs", // xxhash64 is Spark-specific; spec-tested instead
-    "q31_ann_lsh",       // hyperplanes generated driver-side; spec-tested vs q29
     "q38_ann_ivf")       // KMeans quantizer is MLlib-specific; spec-tested vs q29
+
+  /** The q43/q31 oracle sketch: the same md5-derived hyperplane family
+    * the Spark side uses (Similarity.planeCoef, seed 42, dim 64),
+    * embedded as double literals — Scala's shortest-round-trip toString
+    * parses to the identical IEEE double in DuckDB, and both engines
+    * left-fold the dot in array order, so the sign bits agree exactly. */
+  private def hyperplaneSketchSql(bits: Int): String =
+    (0 until bits).map { j =>
+      val plane = (0 until 64)
+        .map(d => operators.Similarity.planeCoef(42, j, d).toString)
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($plane, v) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" |\n        ")
+
+  /** UNION ALL arms exploding a packed sketch into (band, key) rows. */
+  private def bandArmsSql(bands: Int, bitsPerBand: Int): String = {
+    val mask = (1L << bitsPerBand) - 1
+    (0 until bands).map { bd =>
+      s"SELECT vec_id, $bd AS band, (sketch >> ${bd * bitsPerBand}) & $mask AS key FROM sk"
+    }.mkString("\n        UNION ALL ")
+  }
 
   /** DuckDB-runnable oracle SQL per query (same tables, same column
     * names, same rounding). Integer sums are CAST(... AS BIGINT) because
@@ -373,6 +392,32 @@ object SparkEntry {
       JOIN sig b ON b.doc_id = c.doc_b
       ORDER BY doc_a, doc_b"""),
 
+    // Mirrors simhashPairs: per-token 60-bit md5 hash (first 15 hex
+    // chars — the engine's SimHashMd5 computes the same value natively),
+    // majority vote per bit (2·ones > n ⇔ the engine's counts(j) > 0),
+    // 4 bands of 15 bits, hamming on the packed signature.
+    "q28_simhash_pairs" -> """
+      WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '),
+                   tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)) AS hs
+                 FROM documents),
+      sig AS (SELECT doc_id,
+        CAST(list_aggregate(list_transform(generate_series(0, 59), j ->
+          CASE WHEN 2 * len(list_filter(hs, h -> ((h >> j) & 1) = 1)) > len(hs)
+               THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END), 'sum')
+          AS BIGINT) AS simhash
+        FROM t),
+      banded AS (
+        SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 32767 AS key FROM sig
+        UNION ALL SELECT doc_id, simhash, 1, (simhash >> 15) & 32767 FROM sig
+        UNION ALL SELECT doc_id, simhash, 2, (simhash >> 30) & 32767 FROM sig
+        UNION ALL SELECT doc_id, simhash, 3, (simhash >> 45) & 32767 FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 6
+      ORDER BY doc_a, doc_b""",
+
     "q29_ann_cosine" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -396,6 +441,36 @@ object SparkEntry {
               i -> md5(array_to_string(tk[i:i+7], ' ')))) AS fingerprint FROM t)
       SELECT doc_id, fingerprint, substr(fingerprint, 1, 1) AS bucket
       FROM f ORDER BY doc_id""",
+
+    // Mirrors lshTopK: 16-bit sketch (prefix of the same plane family as
+    // q43), 8 bands of 2 bits, candidates from the bucket join, exact
+    // rescore, rank on 4dp-rounded cosine with vec_id tiebreak.
+    "q31_ann_lsh" -> {
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sk AS (SELECT vec_id,
+        ${hyperplaneSketchSql(16)}
+        AS sketch FROM e),
+      banded AS (
+        ${bandArmsSql(8, 2)}),
+      q AS (SELECT band, key, vec_id AS query_id FROM banded WHERE vec_id < 10),
+      cand AS (SELECT DISTINCT b.vec_id, q.query_id
+               FROM banded b JOIN q ON b.band = q.band AND b.key = q.key
+               WHERE b.vec_id != q.query_id),
+      scored AS (
+        SELECT c.query_id, c.vec_id,
+               round(list_dot_product(a.v, qv.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv.v, qv.v))),
+                     4) AS cosine
+        FROM cand c
+        JOIN e a  ON a.vec_id  = c.vec_id
+        JOIN e qv ON qv.vec_id = c.query_id),
+      ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+                 FROM scored)
+      SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
 
     "q32_grouped_ols" -> """
       SELECT l_returnflag,
@@ -515,23 +590,13 @@ object SparkEntry {
     // 8×4-bit band buckets, and therefore the identical candidate set —
     // recall < 1 is part of the operator's semantics, not oracle slack.
     "q43_embedding_dedup" -> {
-      val bits = 32; val bands = 8; val r = bits / bands; val mask = (1L << r) - 1
-      def plane(j: Int): String = (0 until 64)
-        .map(d => operators.Similarity.planeCoef(42, j, d).toString)
-        .mkString("[", ",", "]")
-      val sketch = (0 until bits).map { j =>
-        s"(CASE WHEN list_dot_product(${plane(j)}, v) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)"
-      }.mkString(" |\n        ")
-      val bandArms = (0 until bands).map { bd =>
-        s"SELECT vec_id, $bd AS band, (sketch >> ${bd * r}) & $mask AS key FROM sk"
-      }.mkString("\n        UNION ALL ")
       s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       sk AS (SELECT vec_id,
-        $sketch
+        ${hyperplaneSketchSql(32)}
         AS sketch FROM e),
       banded AS (
-        $bandArms),
+        ${bandArmsSql(8, 4)}),
       cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
                FROM banded x JOIN banded y
                  ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),

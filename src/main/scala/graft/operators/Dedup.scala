@@ -235,29 +235,30 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** q28 — SimHash (64-bit) near-dup pairs. The signature computes in
-    * ONE native codegen'd expression per document (graft.plans.SimHash64
-    * — single pass over the token array, zero shuffle; replaces the
-    * earlier explode + 64-conditional-aggregate formulation, whose
-    * groupBy shuffled every token row). Near-dups = pairs sharing a
-    * 16-bit band with overall Hamming distance ≤ maxHamming (standard
-    * banding: distance ≤ 3 guarantees a shared band). */
+  /** q28 — SimHash near-dup pairs over a 60-bit signature of
+    * md5-derived per-token hashes (graft.plans.SimHashMd5: ONE native
+    * codegen'd expression per document — single pass over the token
+    * array, zero shuffle). The md5 hash family is PORTABLE, so the
+    * whole pipeline (signature → banding → hamming) is mirrored in the
+    * DuckDB oracle; the xxhash64-based [[graft.plans.SimHash64]] stays
+    * available as the faster non-portable variant. Near-dups = pairs
+    * sharing a 15-bit band with overall Hamming distance ≤ maxHamming
+    * (banding: distance ≤ 3 guarantees a shared band among 4 bands). */
   def simhashPairs(s: SparkSession, dir: String,
                    maxHamming: Int = 6): DataFrame = {
-    graft.plans.SimHash64.register(s)
+    graft.plans.SimHashMd5.register(s)
     val sh = docs(s, dir)
       .select(col("doc_id"),
-        call_function("simhash64", tokens(col("text"))).as("simhash"))
-    // 4 bands of 16 bits: Hamming ≤ 3 guarantees a shared band; we allow
-    // up to maxHamming overall and let banding trade recall for scale.
+        call_function("simhash_md5_60", tokens(col("text"))).as("simhash"))
+    // 4 bands of 15 bits
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(bd =>
         struct(lit(bd).as("band"),
-          shiftright(col("simhash"), bd * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b"))
+          shiftright(col("simhash"), bd * 15).bitwiseAND(0x7FFFL).as("key"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.key").as("key"))
     val hamming = {
       val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
-      bit_count(x)
+      bit_count(x).cast("long")
     }
     val candA = banded.as("a")
     val candB = banded.as("b")
