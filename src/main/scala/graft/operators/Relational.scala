@@ -423,6 +423,26 @@ object Relational {
         col("n"))
       .orderBy(col("l_returnflag"))
 
+  /** The 100-TB form of [[quantityQuartiles]]: `percentile_approx`
+    * (t-digest-style mergeable sketch, bounded memory per group) instead
+    * of exact `percentile`, whose agg buffer holds EVERY value of the
+    * group — with a handful of return-flag groups, an executor-OOM plan
+    * at corpus scale. `accuracy` trades sketch size for error; the spec
+    * pins the approx results within tolerance of the exact form. Exact
+    * stays the shipped q39 only because the oracle demands bit parity. */
+  def quantityQuartilesApprox(s: SparkSession, dir: String,
+                              accuracy: Int = 10000): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile_approx(l_quantity, array(0.25D, 0.5D, 0.75D), $accuracy)").as("_q"),
+           count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("_q"), 1), 4).as("q25"),
+        round(element_at(col("_q"), 2), 4).as("q50"),
+        round(element_at(col("_q"), 3), 4).as("q75"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+
   // q40 — collect_set + array_sort (SURVEY F14/set-dedup surface):
   // per-nation sorted distinct segment list, emitted as a CSV string for
   // stable cross-engine schema.

@@ -122,6 +122,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r8 >= r4, s"recall@8=$r8 < recall@4=$r4")
   }
 
+  test("IVF quantizer is a fit-once artifact: disk reload gives identical centroids") {
+    val first = operators.Similarity.ivfQuantizer(spark, sf, 16)
+    val c1 = first.clusterCenters.map(_.toArray.toSeq).toSeq
+    // drop the in-JVM memo: the next call must come from the persisted
+    // artifact, not a refit — at corpus scale the quantizer is state,
+    // not a query step
+    operators.Similarity.clearQuantizerMemo()
+    val second = operators.Similarity.ivfQuantizer(spark, sf, 16)
+    val c2 = second.clusterCenters.map(_.toArray.toSeq).toSeq
+    assert(c1 == c2, "persisted quantizer must reload bit-identical centroids")
+    // and the probe query still works end-to-end on the loaded model
+    assert(operators.Similarity.ivfTopK(spark, sf).count() == 50)
+  }
+
   test("hash-mod splitting is stable, complete and roughly proportioned") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables(spark, sf, "documents")

@@ -75,6 +75,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("approx quartiles track exact quartiles within tolerance (q39 scale form)") {
+    import org.apache.spark.sql.functions._
+    val exact = operators.Relational.quantityQuartiles(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = operators.Relational.quantityQuartilesApprox(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    // l_quantity spans ~1..55; the sketch at accuracy 10k should land
+    // within one unit of the exact linear-interpolation quantile
+    exact.foreach { case (flag, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(flag)
+      assert(math.abs(a25 - e25) <= 1.0, s"$flag q25: $a25 vs $e25")
+      assert(math.abs(a50 - e50) <= 1.0, s"$flag q50: $a50 vs $e50")
+      assert(math.abs(a75 - e75) <= 1.0, s"$flag q75: $a75 vs $e75")
+    }
+  }
+
   test("fkOrphans n_rows is the plain fact count even when the dim PK is duplicated") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
