@@ -134,4 +134,32 @@ object Sessionize {
     q.stop()
     spark.table(name)
   }
+
+  /** Soak evidence from a chunked replay: result table plus the
+    * micro-batch count and stateful-operator row counts observed while
+    * the query ran. `maxStateRows` is THE bounded-state claim — for gap
+    * sessionization it must stay ≤ live users (one open session each),
+    * never grow with total events; for windowed rollups ≤ windows in
+    * flight × group cardinality. */
+  case class SoakReport(result: DataFrame, microBatches: Int,
+                        finalStateRows: Long, maxStateRows: Long)
+
+  /** Like [[runOnce]] but captures progress evidence. Pair with a
+    * file source chunked into many files + `maxFilesPerTrigger=1`, so
+    * the bounded input replays as MANY micro-batches with an advancing
+    * watermark — the closest local-mode analogue of a long-running
+    * production stream. */
+  def runWithProgress(spark: SparkSession, streaming: DataFrame,
+                      name: String): SoakReport = {
+    val q = streaming.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    val progress = q.recentProgress.toSeq
+    q.stop()
+    val state = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    SoakReport(spark.table(name),
+      microBatches = progress.count(_.numInputRows > 0),
+      finalStateRows = state.lastOption.getOrElse(0L),
+      maxStateRows = if (state.isEmpty) 0L else state.max)
+  }
 }

@@ -103,6 +103,49 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"streaming sessions disagree with batch: ${mismatched.collect().take(3).mkString}")
   }
 
+  test("streaming soak: chunked replay runs many micro-batches with bounded state") {
+    // replay the events table as 8 time-ordered chunks, one micro-batch
+    // each (maxFilesPerTrigger=1): the watermark advances between
+    // batches, event-time timeouts fire mid-stream, and state must stay
+    // bounded by LIVE USERS (one open session each) — never grow with
+    // total events. This is the local-mode analogue of a long-running
+    // production stream; single-batch tests can't exercise state
+    // eviction at all.
+    val ev = graft.sources.Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Sessionize.Event]
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    val byTime = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val chunked = ev.toDF().withColumn("_chunk", ntile(8).over(byTime))
+    (1 to 8).foreach { i => // sequential appends => increasing mod times
+      chunked.filter(col("_chunk") === i).drop("_chunk")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Sessionize.Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir).as[Sessionize.Event]
+    val report = Sessionize.runWithProgress(spark,
+      Sessionize.sessionize(stream).toDF(), "soak_test")
+    assert(report.microBatches >= 8,
+      s"expected one micro-batch per chunk, saw ${report.microBatches}")
+    assert(report.result.count() > 0, "sessions must close mid-stream")
+    assert(report.maxStateRows > 0 && report.maxStateRows <= nUsers,
+      s"state ${report.maxStateRows} must be bounded by live users ($nUsers), " +
+        s"not events ($nEvents)")
+    // and every closed session still matches the batch ground truth
+    val batch = operators.Relational.sessionizeEvents(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events").as("batch_n"))
+    val got = report.result.select(col("user_id"),
+      date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+      col("n_events"))
+    val mismatched = got.join(batch, Seq("user_id", "session_start"), "left")
+      .filter(col("batch_n").isNull || col("batch_n") =!= col("n_events"))
+    assert(mismatched.count() == 0)
+  }
+
   test("streaming: stream-stream range join matches the batch range join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
     val events = graft.sources.Tables(spark, sf, "events")
