@@ -87,29 +87,59 @@ object Dedup {
   def ngramJaccardPairsCapped(s: SparkSession, dir: String,
                               threshold: Double = 0.5,
                               maxDocFreq: Long = 100): DataFrame = {
-    // cached: the shingle explode feeds the df-count, BOTH sides of the
-    // candidate self-join, and the gram-set collection — uncached it
-    // would recompute the most expensive stage ~6 times; released via
-    // Caches.release()
-    val g = Caches.track(grams3(s, dir))
-    val rare = g.groupBy(col("gram"))
+    // per-doc gram ARRAYS are a per-row projection (no shuffle at all) —
+    // they feed the explode, both rescore joins, and keep the gram-set
+    // collection out of a groupBy/collect_list entirely. Cached because
+    // three consumers read it; released via Caches.release()
+    val docGrams = Caches.track(
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), shingles(col("t"), 3).as("grams")))
+    val g = docGrams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // hot shingles (df > cap) are FEW by construction — broadcast them
+    // and prune with a left-anti join instead of shuffling every gram
+    // row against the (huge) rare-gram set
+    val hot = g.groupBy(col("gram"))
       .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDocFreq)
+      .filter(col("_df") > maxDocFreq)
       .select(col("gram"))
-    val capped = g.join(rare, Seq("gram")) // candidate grams only
-    val cand = capped.select(col("doc_id").as("doc_a"), col("gram"))
+    val capped = Caches.track(g.join(broadcast(hot), Seq("gram"), "left_anti"))
+    // Upper-bound prune (the similarity-join positional-filter idea):
+    // instead of DISTINCT-ing candidate pairs and dragging both gram
+    // ARRAYS through a join for every pair that shares even one random
+    // shingle, count the common CAPPED grams per pair (a pure integer
+    // aggregate on the same shuffle). True n_common exceeds that count
+    // by at most the smaller side's HOT-gram count, and jaccard is
+    // monotone in n_common — so j(ncc + min(hotA, hotB)) is a provable
+    // upper bound and any pair below threshold on it can be dropped
+    // WITHOUT rescoring. Only the few survivors touch the arrays.
+    val ncc = capped.select(col("doc_id").as("doc_a"), col("gram"))
       .join(capped.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ncc"))
+    // per-doc totals: ng = all grams (per-row, no shuffle), ngc = capped
+    // grams — ints only, joined on doc id (AQE broadcasts when small)
+    val ngAll = docGrams.select(col("doc_id"), size(col("grams")).cast("long").as("ng"))
+    val ngCap = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("ngc"))
+    val counts = ngAll.join(ngCap, Seq("doc_id"))
+    val pruned = ncc
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("ng").as("ng_a"), col("ngc").as("ngc_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("ng").as("ng_b"), col("ngc").as("ngc_b")), "doc_b")
+      .withColumn("nc_upper",
+        col("ncc") + least(col("ng_a") - col("ngc_a"), col("ng_b") - col("ngc_b")))
+      .filter(col("nc_upper").cast("double") /
+        (col("ng_a") + col("ng_b") - col("nc_upper")) >= threshold)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
     // exact rescoring over full gram sets (arrays are per-doc sized), so
     // (n_common, ng_a, ng_b, jaccard) are identical to the uncapped
     // operator for every surviving candidate — same output schema too
-    val gramSets = g.groupBy(col("doc_id"))
-      .agg(collect_list(col("gram")).as("grams"))
-    cand
-      .join(gramSets.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
-      .join(gramSets.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+    pruned
+      .join(docGrams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(docGrams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("ng_a", size(col("ga")).cast("long"))
       .withColumn("ng_b", size(col("gb")).cast("long"))

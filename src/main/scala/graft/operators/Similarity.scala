@@ -62,14 +62,25 @@ object Similarity {
   /** Random-hyperplane sketch: `bits` sign bits from fixed pseudo-random
     * hyperplanes (deterministic seeded doubles via md5 of (plane, dim) —
     * no RNG state, reproducible on any cluster). Returns (vec_id, sketch)
-    * where sketch packs the sign bits of ⟨v, plane_j⟩ into a long. */
+    * where sketch packs the sign bits of ⟨v, plane_j⟩ into a long.
+    * Computed by the native codegen'd `hyperplane_sketch` expression
+    * (graft.plans.HyperplaneSketch) — bit-identical to the interpreted
+    * HOF formulation kept in [[hyperplaneSketchHof]] (parity spec). */
   def hyperplaneSketch(df: DataFrame, vecCol: String, bits: Int, dim: Int,
                        seed: Int = 42): DataFrame = {
+    graft.plans.HyperplaneSketch.register(df.sparkSession)
+    df.withColumn("sketch",
+      call_function("hyperplane_sketch", col(vecCol),
+        lit(bits), lit(dim), lit(seed)))
+  }
+
+  /** The original higher-order-function sketch (planes as a nested array
+    * literal; interpreted) — retained as the readable reference
+    * implementation and the spec baseline proving the native expression
+    * is bit-identical. */
+  def hyperplaneSketchHof(df: DataFrame, vecCol: String, bits: Int, dim: Int,
+                          seed: Int = 42): DataFrame = {
     def coef(j: Int, d: Int): Double = planeCoef(seed, j, d)
-    // One compact higher-order-function expression (planes as a nested
-    // array literal) instead of bits×dim unrolled multiply-adds — the
-    // unrolled form exceeds whole-stage-codegen limits and spams
-    // fallback plan dumps.
     val planes = (0 until bits).map { j =>
       (0 until dim).map(d => s"${coef(j, d)}D").mkString("array(", ",", ")")
     }.mkString("array(", ",", ")")

@@ -91,6 +91,25 @@ class ExpressionSpec extends AnyFunSuite {
     assert(a.values.forall(_.size <= 5))
   }
 
+  test("native hyperplane_sketch is bit-identical to the HOF formulation") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Seq(16, 32).foreach { bits =>
+      val native = operators.Similarity.hyperplaneSketch(e, "embedding", bits, 64)
+        .select(col("vec_id"), col("sketch"))
+      val hof = operators.Similarity.hyperplaneSketchHof(e, "embedding", bits, 64)
+        .select(col("vec_id"), col("sketch").as("sketch_hof"))
+      val diff = native.join(hof, "vec_id")
+        .filter(col("sketch") =!= col("sketch_hof"))
+      assert(diff.count() == 0, s"sketch mismatch at bits=$bits")
+    }
+    // mismatched vector length => sketch 0 (the HOF's null-padded dots)
+    val zero = spark.range(1)
+      .select(expr("array(cast(1.0 as float))").as("v"))
+    assert(operators.Similarity.hyperplaneSketch(zero, "v", 16, 64)
+      .head.getLong(1) == 0L)
+  }
+
   test("float_dot yields null on length-mismatched vectors (codegen + interpreted)") {
     FloatVectorExprs.register(spark)
     // codegen path (whole-stage over a real plan)
