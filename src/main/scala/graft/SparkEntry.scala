@@ -70,6 +70,7 @@ object SparkEntry {
     "q48_repetition"        -> TextOps.repetitionScore _,
     "q49_fk_audit"          -> Relational.fkAudit _,
     "q50_describe"          -> Relational.describeLineitem _,
+    "q51_dedup_clusters"    -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -98,6 +99,32 @@ object SparkEntry {
       s"SELECT vec_id, $bd AS band, (sketch >> ${bd * bitsPerBand}) & $mask AS key FROM sk"
     }.mkString("\n        UNION ALL ")
   }
+
+  /** The capped n-gram jaccard pair list as a CTE chain ending in
+    * `pairs` — shared by the q26 oracle and q51's connected components
+    * (the cluster oracle must recompute the SAME edge set). */
+  private val ngramPairsCtes: String = """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram FROM t),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+      rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
+      cg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                FROM cand c
+                JOIN g ga ON ga.doc_id = c.doc_a
+                JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+                GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.doc_a, i.doc_b, i.n_common, na.ng AS ng_a, nb.ng AS ng_b,
+               CAST(i.n_common AS DOUBLE) / (na.ng + nb.ng - i.n_common) AS jaccard
+        FROM inter i
+        JOIN n na ON na.doc_id = i.doc_a
+        JOIN n nb ON nb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE) / (na.ng + nb.ng - i.n_common) >= 0.5)"""
 
   /** DuckDB-runnable oracle SQL per query (same tables, same column
     * names, same rounding). Integer sums are CAST(... AS BIGINT) because
@@ -329,28 +356,9 @@ object SparkEntry {
     // are dropped from CANDIDATE generation only (the `rare`/`cg` CTEs);
     // jaccard is rescored over the FULL gram sets, so scores are
     // identical to the uncapped form for every surviving candidate.
-    "q26_ngram_jaccard" -> """
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-                 WHERE len(string_split(text, ' ')) >= 3),
-      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-               generate_series(1, len(tk) - 2),
-               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram FROM t),
-      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
-      rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
-      cg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-      inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
-                FROM cand c
-                JOIN g ga ON ga.doc_id = c.doc_a
-                JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
-                GROUP BY 1, 2)
-      SELECT i.doc_a, i.doc_b, i.n_common, na.ng AS ng_a, nb.ng AS ng_b,
-             CAST(i.n_common AS DOUBLE) / (na.ng + nb.ng - i.n_common) AS jaccard
-      FROM inter i
-      JOIN n na ON na.doc_id = i.doc_a
-      JOIN n nb ON nb.doc_id = i.doc_b
-      WHERE CAST(i.n_common AS DOUBLE) / (na.ng + nb.ng - i.n_common) >= 0.5
+    "q26_ngram_jaccard" -> s"""
+      WITH $ngramPairsCtes
+      SELECT doc_a, doc_b, n_common, ng_a, ng_b, jaccard FROM pairs
       ORDER BY doc_a, doc_b""",
 
     "q27_minhash_lsh" -> ("""
@@ -706,6 +714,23 @@ object SparkEntry {
              (SELECT count(*) FROM orders o WHERE NOT EXISTS
                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
       ORDER BY relationship""",
+
+    // Mirrors dedupClusters: edges = the SAME capped n-gram pair list as
+    // q26 (shared CTE chain); connected components via recursive
+    // min-label reachability (UNION dedup terminates the recursion);
+    // keeper = min doc_id reachable, cluster_size via window.
+    "q51_dedup_clusters" -> s"""
+      WITH RECURSIVE $ngramPairsCtes,
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.s, re.r FROM edges e JOIN reach re ON re.doc_id = e.t),
+      lab AS (SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id)
+      SELECT doc_id, keeper_id,
+             CAST(count(*) OVER (PARTITION BY keeper_id) AS BIGINT) AS cluster_size
+      FROM lab ORDER BY doc_id""",
 
     "q50_describe" -> """
       SELECT 'l_quantity' AS "column", count(l_quantity) AS n,

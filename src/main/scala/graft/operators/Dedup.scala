@@ -265,6 +265,58 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** q51 — dedup CLUSTER assignment: connected components over the
+    * near-dup pair graph (edges = [[ngramJaccardPairsCapped]] pairs),
+    * one row per document with its component keeper (min doc_id) and
+    * cluster size. Pairs alone don't dedup a corpus — transitive
+    * near-dups (A~B, B~C) must collapse to ONE keeper, which is exactly
+    * connected components.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min label among itself and its neighbors, converging in
+    * O(component diameter) rounds (near-dup clusters are shallow; the
+    * `maxIter` guard fails loudly rather than returning a half-merged
+    * labeling). Each round is one join + one groupBy shuffled on doc id;
+    * iteration state is persisted and released as soon as it is
+    * superseded, so peak storage is two label tables regardless of round
+    * count. At extreme diameters the large-star/small-star variant halves
+    * round count; for near-dup graphs plain propagation is the simpler
+    * and equally-shuffled choice. */
+  def dedupClusters(s: SparkSession, dir: String, threshold: Double = 0.5,
+                    maxDocFreq: Long = 100, maxIter: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairsCapped(s, dir, threshold, maxDocFreq)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = Caches.track(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("label"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count() // driver-side scalar only — the labeling itself never collects
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"dedupClusters did not converge in $maxIter rounds — component diameter exceeds the guard")
+    val converged = Caches.track(labels)
+    val sizes = converged.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    converged.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("keeper_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q28 — SimHash near-dup pairs over a 60-bit signature of
     * md5-derived per-token hashes (graft.plans.SimHashMd5: ONE native
     * codegen'd expression per document — single pass over the token

@@ -122,6 +122,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r8 >= r4, s"recall@8=$r8 < recall@4=$r4")
   }
 
+  test("dedup clusters: valid connected-components labeling of the pair graph") {
+    import org.apache.spark.sql.functions._
+    val pairs = operators.Dedup.ngramJaccardPairsCapped(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lab = operators.Dedup.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nDocs = graft.sources.Tables(spark, sf, "documents").count()
+    assert(lab.size == nDocs, "every document must receive a cluster label")
+    // keeper is the component minimum: never above the member id
+    lab.foreach { case (doc, (keeper, _)) => assert(keeper <= doc) }
+    // every near-dup edge joins two docs in the SAME cluster (this is
+    // what pairwise dedup alone cannot give you: transitivity)
+    pairs.foreach { case (a, b) =>
+      assert(lab(a)._1 == lab(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster sizes are consistent with the labeling
+    val byKeeper = lab.values.groupBy(_._1)
+    byKeeper.foreach { case (keeper, members) =>
+      assert(members.forall(_._2 == members.size),
+        s"cluster $keeper sizes inconsistent")
+    }
+    // and docs in no pair are singletons labeled by themselves
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    lab.foreach { case (doc, (keeper, size)) =>
+      if (!inPairs.contains(doc)) assert(keeper == doc && size >= 1)
+    }
+  }
+
   test("IVF quantizer is a fit-once artifact: disk reload gives identical centroids") {
     val first = operators.Similarity.ivfQuantizer(spark, sf, 16)
     val c1 = first.clusterCenters.map(_.toArray.toSeq).toSeq
