@@ -221,28 +221,34 @@ object Dedup {
                             bands: Int = 8, dim: Int = 64): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     graft.plans.FloatVectorExprs.register(s)
-    import graft.functions.VectorFunctions.cosineNative
+    import graft.functions.VectorFunctions.dotNative
     val r = bits / bands
     val mask = (1L << r) - 1
+    // per-vector norm computed ONCE here (sqrt(dot(v,v)) is the same
+    // double wherever computed, so the per-pair cosine stays bit-equal
+    // to the oracle while rescoring does one dot per pair, not three)
     val e = Similarity.hyperplaneSketch(
       Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       "embedding", bits, dim)
-    // cached: the (interpreted-HOF) sketch feeds BOTH sides of the
-    // bucket self-join; released via Caches.release()
+      .withColumn("_norm", sqrt(dotNative(col("embedding"), col("embedding"))))
+    // cached: the sketch/norm projection feeds BOTH sides of the bucket
+    // self-join; released via Caches.release()
     val banded = Caches.track(
-      e.select(col("vec_id"), col("embedding"),
+      e.select(col("vec_id"), col("embedding"), col("_norm"),
         explode(array((0 until bands).map(bd =>
           struct(lit(bd).as("band"),
             shiftright(col("sketch"), bd * r).bitwiseAND(mask).as("key"))): _*)).as("b"))
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"), col("embedding"), col("_norm"),
           col("b.band").as("band"), col("b.key").as("key")))
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("va"), col("b.embedding").as("vb"))
+        col("a.embedding").as("va"), col("b.embedding").as("vb"),
+        col("a._norm").as("_na"), col("b._norm").as("_nb"))
       .dropDuplicates("vec_a", "vec_b")
     cand
-      .withColumn("cosine", round(cosineNative(col("va"), col("vb")), 4))
+      .withColumn("cosine",
+        round(dotNative(col("va"), col("vb")) / (col("_na") * col("_nb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))

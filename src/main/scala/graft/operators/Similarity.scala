@@ -34,13 +34,20 @@ object Similarity {
   def bruteForceTopK(s: SparkSession, dir: String,
                      k: Int = 5, nQueries: Int = 10): DataFrame = {
     FloatVectorExprs.register(s)
+    // per-vector norm computed ONCE, not per pair — sqrt(dot(v,v)) on the
+    // same input is the same double, so cosine stays bit-identical to the
+    // per-pair formulation (and to the oracle) while rescoring does one
+    // dot per pair instead of three
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("_norm", sqrt(dotNative(col("embedding"), col("embedding"))))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("_norm").as("_qnorm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosineNative(col("embedding"), col("qv")), 4).as("cosine"))
+        round(dotNative(col("embedding"), col("qv")) /
+          (col("_norm") * col("_qnorm")), 4).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -113,25 +120,30 @@ object Similarity {
     val mask = (1L << r) - 1
     val e = hyperplaneSketch(
       emb(s, dir).select(col("vec_id"), col("embedding")), "embedding", bits, dim)
+      .withColumn("_norm", sqrt(dotNative(col("embedding"), col("embedding"))))
     // cached: the sketch projection feeds BOTH sides of the bucket join —
-    // without this the (interpreted HOF) sketch computes twice; released
-    // via Caches.release()
+    // without this the sketch and norms compute twice; released via
+    // Caches.release()
     val banded = Caches.track(
-      e.select(col("vec_id"), col("embedding"),
+      e.select(col("vec_id"), col("embedding"), col("_norm"),
         explode(array((0 until bands).map(bd =>
           struct(lit(bd).as("band"),
             shiftright(col("sketch"), bd * r).bitwiseAND(mask).as("key"))): _*)).as("b"))
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"), col("embedding"), col("_norm"),
           col("b.band").as("band"), col("b.key").as("key")))
     val q = banded.filter(col("vec_id") < nQueries)
       .select(col("band"), col("key"),
-        col("vec_id").as("query_id"), col("embedding").as("qv"))
+        col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("_norm").as("_qnorm"))
     val cand = banded.join(q, Seq("band", "key"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"), col("qv"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qv"),
+        col("_norm"), col("_qnorm"))
       .dropDuplicates("query_id", "vec_id")
+    // norm precomputed per vector (see bruteForceTopK) — bit-identical
     val scored = cand.select(col("query_id"), col("vec_id"),
-      round(cosineNative(col("embedding"), col("qv")), 4).as("cosine"))
+      round(dotNative(col("embedding"), col("qv")) /
+        (col("_norm") * col("_qnorm")), 4).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -206,7 +218,8 @@ object Similarity {
       .withColumn("features", array_to_vector(col("embedding")))
     val model = ivfQuantizer(s, dir, nCells)
     val assigned = Caches.track(model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell")))
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      .withColumn("_norm", sqrt(dotNative(col("embedding"), col("embedding")))))
     // tiny centroid table (nCells rows) — broadcast to score probes
     val spark2 = s
     import spark2.implicits._
@@ -214,18 +227,21 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
       .toSeq.toDF("cell", "centroid")
     val queries = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("_norm").as("_qnorm"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(desc("_sim"), col("cell"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("_sim", cosineNative(col("qv"), col("centroid")))
       .withColumn("_pr", row_number().over(wProbe))
       .filter(col("_pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("qv"), col("_qnorm"), col("cell"))
     val cand = assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
+    // norm precomputed per vector (see bruteForceTopK) — bit-identical
     val scored = cand.select(col("query_id"), col("vec_id"),
-      round(cosineNative(col("embedding"), col("qv")), 4).as("cosine"))
+      round(dotNative(col("embedding"), col("qv")) /
+        (col("_norm") * col("_qnorm")), 4).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
