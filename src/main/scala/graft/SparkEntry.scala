@@ -71,6 +71,8 @@ object SparkEntry {
     "q49_fk_audit"          -> Relational.fkAudit _,
     "q50_describe"          -> Relational.describeLineitem _,
     "q51_dedup_clusters"    -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
+    "q52_seq_packing"       -> ((s: SparkSession, d: String) => Packing.packSequences(s, d)),
+    "q53_contamination"     -> Sampling.contaminationAudit _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -731,6 +733,44 @@ object SparkEntry {
       SELECT doc_id, keeper_id,
              CAST(count(*) OVER (PARTITION BY keeper_id) AS BIGINT) AS cluster_size
       FROM lab ORDER BY doc_id""",
+
+    // Mirrors packSequences: same md5 order, same inclusive running sum
+    // (the engine's distributed two-pass scan depends only on the global
+    // order, so a plain window ORDER BY reproduces it), same start-based
+    // sequence assignment by exact integer division.
+    "q52_seq_packing" -> """
+      WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ok,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+                 FROM documents),
+      c AS (SELECT doc_id, nt,
+                   sum(nt) OVER (ORDER BY ok, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+      SELECT CAST((cum - nt) // 2048 AS BIGINT) AS seq_id,
+             count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS seq_tokens
+      FROM c GROUP BY 1 ORDER BY seq_id""",
+
+    // Mirrors contaminationAudit: q30's winnowing fingerprint + q44's
+    // hash-mod split rule, eval docs left-joined to distinct train
+    // fingerprints.
+    "q53_contamination" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      f AS (SELECT doc_id, list_min(list_transform(
+              generate_series(1, len(tk) - 7),
+              i -> md5(array_to_string(tk[i:i+7], ' ')))) AS fingerprint FROM t),
+      s AS (SELECT doc_id, fingerprint,
+              CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM f),
+      tr AS (SELECT DISTINCT fingerprint FROM s WHERE split = 'train')
+      SELECT s.split, count(*) AS n_docs,
+             CAST(sum(CASE WHEN tr.fingerprint IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      FROM s LEFT JOIN tr ON s.fingerprint = tr.fingerprint
+      WHERE s.split != 'train'
+      GROUP BY 1 ORDER BY 1""",
 
     "q50_describe" -> """
       SELECT 'l_quantity' AS "column", count(l_quantity) AS n,

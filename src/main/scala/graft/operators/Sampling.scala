@@ -46,6 +46,32 @@ object Sampling {
              .cast("long")).as("n_tokens"))
       .orderBy(col("split"), col("lang"))
 
+  /** q53 — cross-split contamination audit: for each eval split, how
+    * many documents share a winnowing fingerprint
+    * (TextFunctions.minShingleFingerprint, q30's prefilter) with ANY
+    * train document. The decontamination report every training pipeline
+    * runs before shipping an eval set — a contaminated benchmark doc
+    * silently inflates downstream scores. One fingerprint projection
+    * (per-row), one distinct on the train side, one equi-join on the
+    * fingerprint — no pairwise comparisons anywhere. */
+  def contaminationAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{minShingleFingerprint, tokens}
+    val f = Tables(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), minShingleFingerprint(col("t"), 8).as("fingerprint"))
+      .withColumn("split", assignSplit(col("doc_id")))
+    val train = f.filter(col("split") === "train")
+      .select(col("fingerprint")).distinct()
+      .withColumn("_hit", lit(1L))
+    f.filter(col("split") =!= "train")
+      .join(train, Seq("fingerprint"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("_hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .orderBy(col("split"))
+  }
+
   /** Deterministic subsampling: keep a fraction of rows by hash bucket
     * (keep = bucket < fraction·buckets). Stable under corpus growth —
     * a kept row stays kept. */

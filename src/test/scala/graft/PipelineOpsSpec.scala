@@ -164,6 +164,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(operators.Similarity.ivfTopK(spark, sf).count() == 50)
   }
 
+  test("distributed prefix sum: partition-count invariant and equal to the global window") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("ok"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    // ground truth: the single-task global window (fine at spec scale,
+    // the exact thing runningTotal exists to avoid at corpus scale)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ok", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val truth = d.withColumn("cum", sum(col("nt")).over(w))
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(3, 7, 32).foreach { parts =>
+      val got = operators.Packing.runningTotal(
+        d, Seq(col("ok"), col("doc_id")), col("nt"), parts)
+        .select(col("doc_id"), col("_cum")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"two-pass scan diverged at parts=$parts")
+    }
+  }
+
+  test("contamination audit agrees with a brute-force fingerprint check") {
+    import org.apache.spark.sql.functions._
+    val audit = operators.Sampling.contaminationAudit(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.keySet == Set("val", "test"))
+    // brute force in memory
+    import graft.functions.TextFunctions.{minShingleFingerprint, tokens}
+    val f = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), minShingleFingerprint(col("t"), 8).as("fp"),
+        operators.Sampling.assignSplit(col("doc_id")).as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val trainFps = f.collect { case (_, fp, "train") => fp }.toSet
+    Seq("val", "test").foreach { sp =>
+      val docs = f.filter(_._3 == sp)
+      val contaminated = docs.count(d => trainFps.contains(d._2))
+      assert(audit(sp) == (docs.size.toLong, contaminated.toLong), s"split $sp")
+    }
+  }
+
   test("hash-mod splitting is stable, complete and roughly proportioned") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables(spark, sf, "documents")
