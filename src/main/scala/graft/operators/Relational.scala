@@ -506,19 +506,43 @@ object Relational {
         count(lit(1)).as("n_rows"),
         sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
 
+  /** Audit SEVERAL foreign keys of one fact table in a SINGLE scan:
+    * chained broadcast left joins to the distinct dim keys, one
+    * aggregate carrying every orphan counter, then a `stack` unpivot of
+    * that single row into one output row per relationship. At 100 TB
+    * the fact is read once for all its relationships instead of once
+    * per relationship — the scan, not the broadcast joins, is the cost
+    * that multiplies. `rels` = (name, fkCol, dim, pkCol). */
+  def fkOrphansMulti(fact: DataFrame,
+                     rels: Seq[(String, String, DataFrame, String)]): DataFrame = {
+    val joined = rels.foldLeft(fact.select(rels.map(r => col(r._2)): _*)) {
+      case (df, (_, fk, dim, pk)) =>
+        df.join(broadcast(dim.select(col(pk)).distinct()),
+          col(fk) === col(pk), "left")
+    }
+    val aggs = count(lit(1)).as("n_rows") +: rels.map { case (_, _, _, pk) =>
+      sum(when(col(pk).isNull, 1L).otherwise(0L)).as(s"_orph_$pk")
+    }
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rels.map { case (name, _, _, pk) =>
+      s"'$name', n_rows, _orph_$pk"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${rels.size}, $stackArgs) AS (relationship, n_rows, n_orphans)")
+  }
+
   def fkAudit(s: SparkSession, dir: String): DataFrame = {
-    // all six audits run as one unioned job
-    def orphans(name: String, fact: DataFrame, fk: String,
-                dim: DataFrame, pk: String): DataFrame =
-      fkOrphans(name, fact, fk, dim, pk)
-    val li = t(s, dir, "lineitem")
+    // all six audits run as one unioned job; the three lineitem
+    // relationships share ONE fact scan via fkOrphansMulti
+    val liAudit = fkOrphansMulti(t(s, dir, "lineitem"), Seq(
+      ("lineitem.orderkey->orders", "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+      ("lineitem.partkey->part", "l_partkey", t(s, dir, "part"), "p_partkey"),
+      ("lineitem.suppkey->supplier", "l_suppkey", t(s, dir, "supplier"), "s_suppkey")))
     Seq(
-      orphans("lineitem.orderkey->orders", li, "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
-      orphans("lineitem.partkey->part", li, "l_partkey", t(s, dir, "part"), "p_partkey"),
-      orphans("lineitem.suppkey->supplier", li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
-      orphans("orders.custkey->customer", t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey"),
-      orphans("customer.nationkey->nation", t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
-      orphans("nation.regionkey->region", t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey"))
+      liAudit,
+      fkOrphans("orders.custkey->customer", t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey"),
+      fkOrphans("customer.nationkey->nation", t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"),
+      fkOrphans("nation.regionkey->region", t(s, dir, "nation"), "n_regionkey", t(s, dir, "region"), "r_regionkey"))
       .reduce(_ unionByName _)
       .orderBy(col("relationship"))
   }

@@ -91,6 +91,14 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("plan lint: q49 scans the lineitem fact exactly once for its three FK audits") {
+    val p = SparkEntry.queries("q49_fk_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val liScans = p.split("lineitem\\.parquet").length - 1
+    assert(liScans == 1,
+      s"expected ONE lineitem scan shared by all FK audits, found $liScans")
+  }
+
   test("salted join is row-identical to the plain join on skewed data") {
     import spark.implicits._
     // 90% of fact rows hit one hot key
