@@ -25,13 +25,16 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2))
     // Force FULL evaluation of every output column: a bare .count() lets
     // Catalyst prune unused columns and drop final sorts, timing pure-
-    // projection queries as scan+count. A bit_xor over xxhash64(all cols)
-    // makes every column's bytes flow through the plan (bit_xor, not sum:
-    // ANSI mode would throw on long-sum overflow of hash values).
+    // projection queries as scan+count. xxhash64 over all columns makes
+    // every column's bytes flow through the plan, and the outer fold is
+    // xxhash64(collect_list(...)) — an ORDER-SENSITIVE aggregate, so
+    // EliminateSorts cannot delete the query's final sort the way it
+    // does under count()/bit_xor (row hashes stay on executors; only
+    // one long reaches the driver).
     def force(df: org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.functions.{col, xxhash64}
       df.select(xxhash64(df.columns.map(col): _*).as("_h"))
-        .selectExpr("bit_xor(_h)").collect()
+        .selectExpr("xxhash64(collect_list(_h)) AS chk").collect()
       ()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -42,6 +45,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
         val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
+        graft.operators.Caches.release() // drop refs, keep registry bounded
         spark.catalog.clearCache()
         if (ok) elapsed else -1.0
       }

@@ -25,6 +25,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      graft.operators.Caches.release() // registry refs must not accumulate
       spark.catalog.clearCache() // per-query caches must not accumulate
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

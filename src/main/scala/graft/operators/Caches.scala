@@ -20,10 +20,16 @@ import org.apache.spark.sql.Dataset
   *   Caches.release()           // drops every operator-internal cache
   * }}}
   *
-  * Harness `main`s (Verify/Bench) that call `spark.catalog.clearCache()`
-  * get the same effect; `release()` is for library callers composing
-  * operators inside a long-lived session, where unreleased caches would
-  * otherwise accumulate executor storage indefinitely.
+  * Harness `main`s (Verify/Bench) call `release()` after every query so
+  * neither the cached blocks nor the registry's Dataset references
+  * accumulate; `release()` is likewise for library callers composing
+  * operators inside a long-lived session.
+  *
+  * SCOPE: the registry is process-wide and assumes ONE composition at a
+  * time — `release()` drops every tracked cache, including those of a
+  * concurrently running composition in the same JVM. Concurrent
+  * pipelines should serialize their release points (results stay
+  * correct either way: an evicted cache recomputes, it never corrupts).
   */
 object Caches {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]

@@ -335,9 +335,12 @@ object Dedup {
   def simhashPairs(s: SparkSession, dir: String,
                    maxHamming: Int = 6): DataFrame = {
     graft.plans.SimHashMd5.register(s)
-    val sh = docs(s, dir)
+    // cached: the md5-per-token signature is the dominant per-row cost
+    // and feeds BOTH sides of the band self-join; released via
+    // Caches.release()
+    val sh = Caches.track(docs(s, dir)
       .select(col("doc_id"),
-        call_function("simhash_md5_60", tokens(col("text"))).as("simhash"))
+        call_function("simhash_md5_60", tokens(col("text"))).as("simhash")))
     // 4 bands of 15 bits
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(bd =>

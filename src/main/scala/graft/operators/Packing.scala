@@ -30,8 +30,14 @@ object Packing {
     * broadcast. */
   def runningTotal(df: DataFrame, order: Seq[Column], value: Column,
                    parts: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("_pid", spark_partition_id())
+    // MUST be materialized once: the within-partition branch and the
+    // offsets branch both read the pid assignment, and RangePartitioner
+    // boundaries are sample-based — two independent executions of the
+    // exchange could disagree on boundaries and join wrong offsets.
+    // The cache pins ONE boundary draw for both consumers.
+    val ranged = Caches.track(
+      df.repartitionByRange(parts, order: _*)
+        .withColumn("_pid", spark_partition_id()))
     val wIn = Window.partitionBy(col("_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = ranged.withColumn("_cum_in", sum(value).over(wIn))
@@ -59,7 +65,7 @@ object Packing {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"),
         md5(col("doc_id").cast("string")).as("_ok"),
-        size(split(col("text"), " ")).cast("long").as("_nt"))
+        graft.functions.TextFunctions.tokenCount(col("text")).as("_nt"))
     runningTotal(d, Seq(col("_ok"), col("doc_id")), col("_nt"))
       .withColumn("seq_id", expr(s"(_cum - _nt) div ${budget}L"))
       .groupBy(col("seq_id"))

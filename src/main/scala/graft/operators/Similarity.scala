@@ -163,17 +163,22 @@ object Similarity {
     * (seed 42, 20k sample cap), so a loaded model and a refit model
     * assign identical cells. Persisted under
     * `$SPARK_GRAFT_QUANTIZER_DIR` (default /tmp/graft_quantizers),
-    * keyed by md5(dir) and nCells; delete the directory to force a
-    * refit after the underlying corpus changes. */
+    * keyed by a CORPUS FINGERPRINT (row count + order-insensitive
+    * xxhash64 fold of the vectors) and nCells — a regenerated or edited
+    * corpus at the same path can never silently reuse stale centroids;
+    * the fingerprint scan is one cheap pass, paid once per process. */
   def ivfQuantizer(s: SparkSession, dir: String, nCells: Int)
       : org.apache.spark.ml.clustering.KMeansModel = {
     val key = (dir, nCells)
     val memo = quantizers.get(key)
     if (memo != null) return memo
     val root = sys.env.getOrElse("SPARK_GRAFT_QUANTIZER_DIR", "/tmp/graft_quantizers")
-    val dirHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = s"$root/ivf_${dirHash}_c$nCells"
+    val fp = emb(s, dir)
+      .select(xxhash64(col("vec_id"), col("embedding")).as("_h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(_h)").as("x"))
+      .head
+    val corpusFp = f"${fp.getLong(0)}%d_${fp.getLong(1)}%016x"
+    val path = s"$root/ivf_${corpusFp}_c$nCells"
     val model =
       if (new java.io.File(path).exists())
         org.apache.spark.ml.clustering.KMeansModel.load(path)

@@ -148,17 +148,48 @@ object Sessionize {
     * file source chunked into many files + `maxFilesPerTrigger=1`, so
     * the bounded input replays as MANY micro-batches with an advancing
     * watermark — the closest local-mode analogue of a long-running
-    * production stream. */
+    * production stream.
+    *
+    * Stats come from a [[StreamingQueryListener]], NOT
+    * `query.recentProgress`: the latter is capped (default 100 entries),
+    * so a long replay would silently under-count micro-batches and
+    * could miss the true state-rows peak — exactly what a soak exists
+    * to catch. Listener delivery is async, so after stop() we wait for
+    * the event stream to drain (count stable across polls). */
   def runWithProgress(spark: SparkSession, streaming: DataFrame,
                       name: String): SoakReport = {
-    val q = streaming.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    val progress = q.recentProgress.toSeq
-    q.stop()
-    val state = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val listener = new StreamingQueryListener {
+      import StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == name) seen.synchronized {
+          seen += ((e.progress.numInputRows,
+            e.progress.stateOperators.map(_.numRowsTotal).sum))
+        }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = streaming.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      var prev = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 10000) {
+        val n = seen.synchronized(seen.size)
+        if (n == prev) stable += 1 else { stable = 0; prev = n }
+        Thread.sleep(100)
+        waited += 100
+      }
+    } finally spark.streams.removeListener(listener)
+    val snap = seen.synchronized(seen.toList)
+    val state = snap.map(_._2)
     SoakReport(spark.table(name),
-      microBatches = progress.count(_.numInputRows > 0),
+      microBatches = snap.count(_._1 > 0),
       finalStateRows = state.lastOption.getOrElse(0L),
       maxStateRows = if (state.isEmpty) 0L else state.max)
   }

@@ -119,9 +119,22 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_soak").toString
     val byTime = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
     val chunked = ev.toDF().withColumn("_chunk", ntile(8).over(byTime))
-    (1 to 8).foreach { i => // sequential appends => increasing mod times
+    // FileStreamSource replays files in modification-time order, and two
+    // fast appends can land in the same coarse mtime tick — pin a
+    // strictly increasing mtime per chunk so replay order is
+    // deterministic, not a filesystem-granularity coin flip
+    val seenFiles = scala.collection.mutable.Set.empty[String]
+    val mtimeBase = System.currentTimeMillis() - 120000L
+    (1 to 8).foreach { i =>
       chunked.filter(col("_chunk") === i).drop("_chunk")
         .coalesce(1).write.mode("append").parquet(dir)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try files.iterator().forEachRemaining { p =>
+        val f = p.getFileName.toString
+        if (f.endsWith(".parquet") && seenFiles.add(f))
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 2000L))
+      } finally files.close()
     }
     val stream = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[Sessionize.Event]].schema)
