@@ -295,7 +295,13 @@ object Dedup {
     val edges = Caches.track(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("label"))
+    // iterate ONLY over the pair subgraph — docs in no pair can never
+    // change label, so propagating over the full corpus would shuffle
+    // every doc id per round for nothing; near-dup subgraphs are a tiny
+    // fraction of any real corpus
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
       .persist()
     var changed = 1L
     var iter = 0
@@ -316,9 +322,13 @@ object Dedup {
     require(changed == 0,
       s"dedupClusters did not converge in $maxIter rounds — component diameter exceeds the guard")
     val converged = Caches.track(labels)
-    val sizes = converged.groupBy(col("label"))
+    // singletons rejoin with label = self in ONE pass (no iteration)
+    val all = docs(s, dir).select(col("doc_id"))
+      .join(converged, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+    val sizes = all.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
-    converged.join(sizes, Seq("label"))
+    all.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("keeper_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
