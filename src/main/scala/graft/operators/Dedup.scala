@@ -303,6 +303,11 @@ object Dedup {
       .distinct()
       .withColumn("label", col("doc_id"))
       .persist()
+    // materialize labels (and, through the distinct, the edges cache)
+    // BEFORE the loop: the first iteration's job references edges in TWO
+    // subtrees, and racing both through a cold cache computes the whole
+    // pair pipeline twice
+    labels.count()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -322,14 +327,19 @@ object Dedup {
     require(changed == 0,
       s"dedupClusters did not converge in $maxIter rounds — component diameter exceeds the guard")
     val converged = Caches.track(labels)
-    // singletons rejoin with label = self in ONE pass (no iteration)
-    val all = docs(s, dir).select(col("doc_id"))
-      .join(converged, Seq("doc_id"), "left")
-      .withColumn("label", coalesce(col("label"), col("doc_id")))
-    val sizes = all.groupBy(col("label"))
+    // cluster sizes need only the SUBGRAPH labeling (every subgraph doc
+    // is in ≥1 pair; docs outside it are singletons of size 1 by
+    // definition) — so the corpus-sized groupBy disappears and the
+    // corpus is scanned exactly once, in the final left join
+    val sizes = converged.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
-    all.join(sizes, Seq("label"))
+    val labeled = converged.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("keeper_id"), col("cluster_size"))
+    docs(s, dir).select(col("doc_id"))
+      .join(labeled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
       .orderBy(col("doc_id"))
   }
 
