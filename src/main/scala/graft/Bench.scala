@@ -26,15 +26,22 @@ object Bench {
     // Force FULL evaluation of every output column: a bare .count() lets
     // Catalyst prune unused columns and drop final sorts, timing pure-
     // projection queries as scan+count. xxhash64 over all columns makes
-    // every column's bytes flow through the plan, and the outer fold is
-    // xxhash64(collect_list(...)) — an ORDER-SENSITIVE aggregate, so
-    // EliminateSorts cannot delete the query's final sort the way it
-    // does under count()/bit_xor (row hashes stay on executors; only
-    // one long reaches the driver).
+    // every column's bytes flow through the plan; the per-partition
+    // mapPartitions fold is ORDER-SENSITIVE (Catalyst can't see through
+    // it, so EliminateSorts keeps the query's final sort, unlike under
+    // count()/bit_xor) and CONSTANT-MEMORY per task — a collect_list
+    // checksum would buffer every row hash in one aggregation buffer,
+    // the single-task anti-pattern this bench exists to expose.
     def force(df: org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.functions.{col, xxhash64}
-      df.select(xxhash64(df.columns.map(col): _*).as("_h"))
-        .selectExpr("xxhash64(collect_list(_h)) AS chk").collect()
+      import spark.implicits._
+      df.select(xxhash64(df.columns.map(col): _*).as("_h")).as[Long]
+        .mapPartitions { rows =>
+          var acc = 0L
+          rows.foreach(h => acc = acc * 1000003L + h)
+          Iterator.single(acc)
+        }
+        .reduce(_ ^ _)
       ()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -50,7 +50,7 @@ object Packing {
       .select(col("_pid"), col("_off"))
     within.join(broadcast(offsets), Seq("_pid"))
       .withColumn("_cum", col("_cum_in") + col("_off"))
-      .drop("_pid", "_cum_in")
+      .drop("_pid", "_cum_in", "_off") // internal columns must not leak
   }
 
   /** q52 — sequence-packing audit: documents ordered by md5(doc_id) (a

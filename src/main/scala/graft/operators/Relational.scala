@@ -492,19 +492,15 @@ object Relational {
   // data-validation stage every pipeline runs on landing): orphan-FK
   // counts via anti-join semantics, one row per relationship. Each count
   // is a broadcast-dim anti join — no full shuffle of fact rows.
-  /** One relationship audit: broadcast left join to the DISTINCT dim key
-    * and count nulls — no driver-side actions. The dim side is
-    * deduplicated before the join so a duplicate dim primary key (the
-    * very defect an audit exists to surface) cannot multiply fact rows
-    * and inflate `n_rows`; with a distinct build side, `n_rows` is the
-    * plain fact count regardless of dim integrity. */
+  /** One relationship audit — the single-relationship form of
+    * [[fkOrphansMulti]] (ONE implementation of the distinct-dim
+    * broadcast-left-join orphan count, so the two entry points cannot
+    * drift). The dim side is deduplicated before the join so a duplicate
+    * dim primary key (the very defect an audit exists to surface) cannot
+    * multiply fact rows and inflate `n_rows`. */
   def fkOrphans(name: String, fact: DataFrame, fk: String,
                 dim: DataFrame, pk: String): DataFrame =
-    fact.select(col(fk))
-      .join(broadcast(dim.select(col(pk)).distinct()), col(fk) === col(pk), "left")
-      .agg(lit(name).as("relationship"),
-        count(lit(1)).as("n_rows"),
-        sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+    fkOrphansMulti(fact, Seq((name, fk, dim, pk)))
 
   /** Audit SEVERAL foreign keys of one fact table in a SINGLE scan:
     * chained broadcast left joins to the distinct dim keys, one

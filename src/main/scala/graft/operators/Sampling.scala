@@ -56,11 +56,14 @@ object Sampling {
     * fingerprint — no pairwise comparisons anywhere. */
   def contaminationAudit(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{minShingleFingerprint, tokens}
-    val f = Tables(s, dir, "documents")
+    // cached: the fingerprint projection feeds the train side AND the
+    // eval side — untracked it would scan + tokenize documents twice;
+    // released via Caches.release()
+    val f = Caches.track(Tables(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"), minShingleFingerprint(col("t"), 8).as("fingerprint"))
-      .withColumn("split", assignSplit(col("doc_id")))
+      .withColumn("split", assignSplit(col("doc_id"))))
     val train = f.filter(col("split") === "train")
       .select(col("fingerprint")).distinct()
       .withColumn("_hit", lit(1L))

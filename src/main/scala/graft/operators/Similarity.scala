@@ -169,15 +169,21 @@ object Similarity {
     * the fingerprint scan is one cheap pass, paid once per process. */
   def ivfQuantizer(s: SparkSession, dir: String, nCells: Int)
       : org.apache.spark.ml.clustering.KMeansModel = {
-    val key = (dir, nCells)
-    val memo = quantizers.get(key)
-    if (memo != null) return memo
     val root = sys.env.getOrElse("SPARK_GRAFT_QUANTIZER_DIR", "/tmp/graft_quantizers")
+    // the fingerprint scan runs on EVERY call (one cheap column pass) so
+    // even the in-JVM memo can never serve centroids fit on a corpus
+    // that has since changed; what the artifact+memo skip is the
+    // expensive FIT. On a real lakehouse swap the scan for catalog
+    // metadata (table snapshot id / file-manifest hash).
     val fp = emb(s, dir)
       .select(xxhash64(col("vec_id"), col("embedding")).as("_h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(_h)").as("x"))
       .head
+    require(fp.getLong(0) > 0, s"ivfQuantizer: no embeddings found under $dir")
     val corpusFp = f"${fp.getLong(0)}%d_${fp.getLong(1)}%016x"
+    val key = (corpusFp, nCells)
+    val memo = quantizers.get(key)
+    if (memo != null) return memo
     val path = s"$root/ivf_${corpusFp}_c$nCells"
     val model =
       if (new java.io.File(path).exists())

@@ -176,15 +176,21 @@ object Sessionize {
         .format("memory").queryName(name).start()
       q.processAllAvailable()
       q.stop()
+      // wait for the async listener bus to drain: require a sustained
+      // quiet window (5 polls) and FAIL LOUDLY on timeout — returning
+      // partial stats silently would reintroduce the undercounting this
+      // listener exists to eliminate
       var prev = -1
       var stable = 0
       var waited = 0
-      while (stable < 2 && waited < 10000) {
+      while (stable < 5 && waited < 30000) {
         val n = seen.synchronized(seen.size)
         if (n == prev) stable += 1 else { stable = 0; prev = n }
         Thread.sleep(100)
         waited += 100
       }
+      require(stable >= 5,
+        "runWithProgress: listener event stream did not quiesce within 30s — stats would be partial")
     } finally spark.streams.removeListener(listener)
     val snap = seen.synchronized(seen.toList)
     val state = snap.map(_._2)

@@ -94,7 +94,7 @@ class ScaleSpec extends AnyFunSuite {
   test("plan lint: q49 scans the lineitem fact exactly once for its three FK audits") {
     val p = SparkEntry.queries("q49_fk_audit")(spark, sf)
       .queryExecution.executedPlan.toString
-    val liScans = p.split("lineitem\\.parquet").length - 1
+    val liScans = p.split("lineitem\\.parquet", -1).length - 1 // -1: keep trailing empty token
     assert(liScans == 1,
       s"expected ONE lineitem scan shared by all FK audits, found $liScans")
   }
