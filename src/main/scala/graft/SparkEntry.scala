@@ -73,6 +73,7 @@ object SparkEntry {
     "q51_dedup_clusters"    -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "q52_seq_packing"       -> ((s: SparkSession, d: String) => Packing.packSequences(s, d)),
     "q53_contamination"     -> Sampling.contaminationAudit _,
+    "q54_funnel"            -> Relational.conversionFunnel _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -771,6 +772,52 @@ object SparkEntry {
       FROM s LEFT JOIN tr ON s.fingerprint = tr.fingerprint
       WHERE s.split != 'train'
       GROUP BY 1 ORDER BY 1""",
+
+    // Mirrors conversionFunnel: identical strictly-earlier running
+    // windows over the same (ts, event_id) total order, identical
+    // stage gating, exact count divisions.
+    "q54_funnel" -> """
+      WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+        FROM events),
+      s1 AS (
+        SELECT *, coalesce(max(is_view) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_view
+        FROM e),
+      s2 AS (
+        SELECT *, CASE WHEN event_type = 'click' AND prev_view = 1
+                       THEN 1 ELSE 0 END AS q_click
+        FROM s1),
+      s3 AS (
+        SELECT *, coalesce(max(q_click) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_qclick
+        FROM s2),
+      s4 AS (
+        SELECT *, CASE WHEN event_type = 'purchase' AND prev_qclick = 1
+                       THEN 1 ELSE 0 END AS q_purchase
+        FROM s3),
+      per_user AS (
+        SELECT user_id, max(is_view) AS r1, max(q_click) AS r2,
+               max(q_purchase) AS r3
+        FROM s4 GROUP BY user_id),
+      tot AS (
+        SELECT count(*) AS n_total,
+               CAST(sum(r1) AS BIGINT) AS n1,
+               CAST(sum(r2) AS BIGINT) AS n2,
+               CAST(sum(r3) AS BIGINT) AS n3
+        FROM per_user)
+      SELECT '1_view' AS stage, n1 AS n_users,
+             CAST(n1 AS DOUBLE) / n_total AS conv_rate FROM tot
+      UNION ALL
+      SELECT '2_click_after_view', n2,
+             CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / n1 END FROM tot
+      UNION ALL
+      SELECT '3_purchase_after_click', n3,
+             CASE WHEN n2 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n2 END FROM tot
+      ORDER BY stage""",
 
     "q50_describe" -> """
       SELECT 'l_quantity' AS "column", count(l_quantity) AS n,

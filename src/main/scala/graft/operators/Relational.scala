@@ -543,6 +543,49 @@ object Relational {
       .orderBy(col("relationship"))
   }
 
+  /** q54 — behavioral conversion funnel over the event stream: users who
+    * viewed, users who clicked AFTER a view, users who purchased AFTER
+    * such a click — the strict-event-order semantics a naive
+    * "has all three types" query gets wrong. Three chained running
+    * windows carry the stage flags; all three share the SAME (user_id,
+    * ordered ts) partitioning, so Catalyst plans ONE shuffle for the
+    * whole funnel, then a per-user max and a single global aggregate.
+    * Rates are exact integer-count divisions (bit-stable cross-engine). */
+  def conversionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly-earlier rows
+    val staged = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("is_view", when(col("event_type") === "view", 1).otherwise(0))
+      .withColumn("prev_view", coalesce(max(col("is_view")).over(w), lit(0)))
+      .withColumn("q_click",
+        when(col("event_type") === "click" && col("prev_view") === 1, 1).otherwise(0))
+      .withColumn("prev_qclick", coalesce(max(col("q_click")).over(w), lit(0)))
+      .withColumn("q_purchase",
+        when(col("event_type") === "purchase" && col("prev_qclick") === 1, 1).otherwise(0))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(max(col("is_view")).as("r1"),
+           max(col("q_click")).as("r2"),
+           max(col("q_purchase")).as("r3"))
+    val totals = perUser.agg(
+      count(lit(1)).as("n_total"),
+      sum(col("r1")).cast("long").as("n1"),
+      sum(col("r2")).cast("long").as("n2"),
+      sum(col("r3")).cast("long").as("n3"))
+      .withColumn("rate1", col("n1").cast("double") / col("n_total"))
+      .withColumn("rate2",
+        when(col("n1") === 0, lit(null)).otherwise(col("n2").cast("double") / col("n1")))
+      .withColumn("rate3",
+        when(col("n2") === 0, lit(null)).otherwise(col("n3").cast("double") / col("n2")))
+    totals.selectExpr(
+      """stack(3,
+           '1_view',                 n1, rate1,
+           '2_click_after_view',     n2, rate2,
+           '3_purchase_after_click', n3, rate3)
+         AS (stage, n_users, conv_rate)""")
+      .orderBy(col("stage"))
+  }
+
   // q50 — multi-column describe() (SURVEY A9 in breadth): one stats row
   // per numeric column, computed in a single pass each and unioned.
   def describeLineitem(s: SparkSession, dir: String): DataFrame = {

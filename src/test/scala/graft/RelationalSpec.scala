@@ -92,6 +92,38 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel stages agree with a brute-force ordered walk per user") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Relational.conversionFunnel(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute force: per user, sort by (ts, event_id) and walk the strict
+    // view -> click -> purchase state machine
+    val events = graft.sources.Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val byUser = events.groupBy(_._1)
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    byUser.values.foreach { evs =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      var (sawView, sawQClick, sawQPurch) = (false, false, false)
+      sorted.foreach { e =>
+        e._4 match {
+          case "view" => sawView = true
+          case "click" if sawView => sawQClick = true
+          case "purchase" if sawQClick => sawQPurch = true
+          case _ =>
+        }
+      }
+      if (sawView) n1 += 1
+      if (sawQClick) n2 += 1
+      if (sawQPurch) n3 += 1
+    }
+    assert(got("1_view") == n1 && got("2_click_after_view") == n2 &&
+      got("3_purchase_after_click") == n3,
+      s"got $got, brute force ($n1, $n2, $n3)")
+    assert(n1 >= n2 && n2 >= n3, "funnel must be monotone")
+  }
+
   test("fkOrphans n_rows is the plain fact count even when the dim PK is duplicated") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
