@@ -67,6 +67,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash_md5_60 is permutation-invariant and equals a direct recompute") {
+    forAll(words) { ws =>
+      graft.plans.SimHashMd5.register(spark)
+      val sig = (l: List[String]) => Seq(l).toDF("t")
+        .select(call_function("simhash_md5_60", col("t"))).head.getLong(0)
+      val s = sig(ws)
+      assert(s == sig(scala.util.Random.shuffle(ws))) // per-bit sums commute
+      assert((s >>> 60) == 0L, "signature must fit in 60 bits")
+      // independent Scala recompute of the md5-60 bit-majority definition
+      val counts = new Array[Int](60)
+      ws.foreach { w =>
+        val h = graft.plans.SimHashMd5.md5Hash60(w.getBytes("UTF-8"))
+        (0 until 60).foreach(j => counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1))
+      }
+      val expected = (0 until 60).foldLeft(0L)((acc, j) =>
+        if (counts(j) > 0) acc | (1L << j) else acc)
+      assert(s == expected)
+    }
+  }
+
+  test("hyperplane sketch is invariant under positive scaling of the vector") {
+    // sign(⟨c·v, p⟩) == sign(⟨v, p⟩) for c > 0 — the sketch depends only
+    // on direction, which is exactly why it works for cosine similarity
+    import spark.implicits._
+    val vecs = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(50)
+    val scaled = vecs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x * 4.0 AS float))").as("embedding"))
+    val a = operators.Similarity.hyperplaneSketch(vecs, "embedding", 16, 64)
+      .select(col("vec_id"), col("sketch"))
+    val b = operators.Similarity.hyperplaneSketch(scaled, "embedding", 16, 64)
+      .select(col("vec_id"), col("sketch").as("sketch_scaled"))
+    val diff = a.join(b, "vec_id").filter(col("sketch") =!= col("sketch_scaled"))
+    assert(diff.count() == 0)
+  }
+
   test("minhash signatures are deterministic and est_jaccard in [0,1]") {
     val sig1 = operators.Dedup.minhashSignatures(spark, sf, 12)
     val sig2 = operators.Dedup.minhashSignatures(spark, sf, 12)
