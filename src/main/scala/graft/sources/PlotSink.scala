@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.awt.image.BufferedImage
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** PNG chart sink (SURVEY §2.1 S15): the reference renders aggregated
+  * results to chart images (visualizations.py:85-99, matplotlib);
+  * re-expressed with ONLY the JDK's headless AWT raster — no native or
+  * third-party imaging dependency.
+  *
+  * Plots are intrinsically small-data: the input contract is an ALREADY
+  * AGGREGATED frame (months, categories, top-N …), so the `collect()`
+  * here is the sink's definition, not a distributed anti-pattern — the
+  * heavy lifting happened in the aggregation that produced the input.
+  * Rendering draws only filled rectangles and axis lines (no text), so
+  * output bytes are deterministic across runs and platforms.
+  */
+object PlotSink {
+
+  /** Render (label, value) rows as a bar chart PNG. Bars appear in the
+    * frame's row order; heights are scaled to the max value (all-zero
+    * input draws an axis-only chart). Returns the written file. */
+  def barChart(df: DataFrame, labelCol: String, valueCol: String,
+               path: String, width: Int = 640, height: Int = 400): File = {
+    val rows = df.select(col(labelCol).cast("string"),
+        col(valueCol).cast("double")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+    require(rows.nonEmpty, "plot input is empty — aggregate before plotting")
+    require(rows.length <= 10000,
+      s"plot input has ${rows.length} rows — a chart sink takes aggregated results, not raw data")
+    System.setProperty("java.awt.headless", "true")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, width, height)
+      val margin = 40
+      val plotW = width - 2 * margin
+      val plotH = height - 2 * margin
+      g.setColor(java.awt.Color.BLACK)
+      g.drawLine(margin, height - margin, width - margin, height - margin) // x axis
+      g.drawLine(margin, margin, margin, height - margin)                  // y axis
+      val maxV = math.max(rows.map(_._2).max, 0.0)
+      if (maxV > 0.0) {
+        val n = rows.length
+        val slot = plotW.toDouble / n
+        val barW = math.max(1, (slot * 0.8).toInt)
+        g.setColor(new java.awt.Color(31, 119, 180)) // the classic C0 blue
+        rows.zipWithIndex.foreach { case ((_, v), i) =>
+          val h = math.max(0, (plotH * (v / maxV)).toInt)
+          val x = margin + (i * slot + slot * 0.1).toInt
+          g.fillRect(x, height - margin - h, barW, h)
+        }
+      }
+    } finally g.dispose()
+    val f = new File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    javax.imageio.ImageIO.write(img, "png", f)
+    f
+  }
+}

@@ -147,4 +147,28 @@ class EcommerceSpec extends AnyFunSuite {
     assert(fallback.head.getAs[org.apache.spark.sql.Row]("category")
       .getAs[String]("name") == "Unknown Category")
   }
+
+  test("S15 plot sink renders an aggregated result to a deterministic PNG") {
+    val trend = operators.Relational.monthlyRevenue(spark, sf) // q12 feed
+    val dir = java.nio.file.Files.createTempDirectory("graft_plot").toString
+    val f1 = graft.sources.PlotSink.barChart(trend, "month", "revenue", s"$dir/a.png")
+    val f2 = graft.sources.PlotSink.barChart(trend, "month", "revenue", s"$dir/b.png")
+    assert(f1.exists() && f1.length() > 0)
+    val img = javax.imageio.ImageIO.read(f1)
+    assert(img.getWidth == 640 && img.getHeight == 400)
+    // bars actually drawn: the C0-blue fill appears somewhere in the plot
+    val blue = new java.awt.Color(31, 119, 180).getRGB
+    val pixels = for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+      yield img.getRGB(x, y)
+    assert(pixels.contains(blue), "expected bar pixels in the rendered chart")
+    // text-free rect rendering is deterministic: byte-identical re-render
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(f1.toPath),
+      java.nio.file.Files.readAllBytes(f2.toPath)))
+    // the sink refuses raw (unaggregated) inputs
+    val big = spark.range(20000).selectExpr("cast(id as string) AS k", "cast(id as double) AS v")
+    intercept[IllegalArgumentException] {
+      graft.sources.PlotSink.barChart(big, "k", "v", s"$dir/c.png")
+    }
+  }
 }
