@@ -551,10 +551,17 @@ object Relational {
     * ordered ts) partitioning, so Catalyst plans ONE shuffle for the
     * whole funnel, then a per-user max and a single global aggregate.
     * Rates are exact integer-count divisions (bit-stable cross-engine). */
-  def conversionFunnel(s: SparkSession, dir: String): DataFrame = {
+  def conversionFunnel(s: SparkSession, dir: String): DataFrame =
+    conversionFunnelFrom(t(s, dir, "events"))
+
+  /** Core funnel over any (user_id, ts, event_id, event_type) frame —
+    * separated from the table binding so specs can pin the strict-order
+    * gating on hand-built event sequences (the synthetic corpus converts
+    * every user at every stage, which discriminates nothing). */
+  def conversionFunnelFrom(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1) // strictly-earlier rows
-    val staged = t(s, dir, "events")
+    val staged = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("is_view", when(col("event_type") === "view", 1).otherwise(0))
       .withColumn("prev_view", coalesce(max(col("is_view")).over(w), lit(0)))

@@ -25,12 +25,16 @@ object PlotSink {
     * input draws an axis-only chart). Returns the written file. */
   def barChart(df: DataFrame, labelCol: String, valueCol: String,
                path: String, width: Int = 640, height: Int = 400): File = {
+    // limit BEFORE collect: the guard must refuse raw input without
+    // first materializing it on the driver
     val rows = df.select(col(labelCol).cast("string"),
-        col(valueCol).cast("double")).collect()
+        col(valueCol).cast("double")).limit(10001).collect()
       .map(r => (r.getString(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
     require(rows.nonEmpty, "plot input is empty — aggregate before plotting")
     require(rows.length <= 10000,
-      s"plot input has ${rows.length} rows — a chart sink takes aggregated results, not raw data")
+      "plot input exceeds 10000 rows — a chart sink takes aggregated results, not raw data")
+    require(rows.forall(!_._2.isNaN),
+      s"plot input contains NaN in $valueCol — clean the aggregate before plotting")
     System.setProperty("java.awt.headless", "true")
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     val g = img.createGraphics()

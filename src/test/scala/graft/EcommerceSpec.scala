@@ -165,10 +165,15 @@ class EcommerceSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(
       java.nio.file.Files.readAllBytes(f1.toPath),
       java.nio.file.Files.readAllBytes(f2.toPath)))
-    // the sink refuses raw (unaggregated) inputs
+    // the sink refuses raw (unaggregated) inputs and NaN values
     val big = spark.range(20000).selectExpr("cast(id as string) AS k", "cast(id as double) AS v")
     intercept[IllegalArgumentException] {
       graft.sources.PlotSink.barChart(big, "k", "v", s"$dir/c.png")
+    }
+    val withNan = spark.range(2).selectExpr("cast(id as string) AS k",
+      "CASE WHEN id = 0 THEN cast('NaN' as double) ELSE 1.0 END AS v")
+    intercept[IllegalArgumentException] {
+      graft.sources.PlotSink.barChart(withNan, "k", "v", s"$dir/d.png")
     }
   }
 }

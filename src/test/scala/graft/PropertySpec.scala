@@ -91,16 +91,20 @@ class PropertySpec extends AnyFunSuite {
     // sign(⟨c·v, p⟩) == sign(⟨v, p⟩) for c > 0 — the sketch depends only
     // on direction, which is exactly why it works for cosine similarity
     import spark.implicits._
+    // deterministic pick: bare limit() may choose different rows across
+    // the two independent jobs, shrinking the join to a vacuous compare
     val vecs = graft.sources.Tables(spark, sf, "embeddings")
-      .select(col("vec_id"), col("embedding")).limit(50)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 50)
     val scaled = vecs.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x * 4.0 AS float))").as("embedding"))
     val a = operators.Similarity.hyperplaneSketch(vecs, "embedding", 16, 64)
       .select(col("vec_id"), col("sketch"))
     val b = operators.Similarity.hyperplaneSketch(scaled, "embedding", 16, 64)
       .select(col("vec_id"), col("sketch").as("sketch_scaled"))
-    val diff = a.join(b, "vec_id").filter(col("sketch") =!= col("sketch_scaled"))
-    assert(diff.count() == 0)
+    val joined = a.join(b, "vec_id").cache()
+    assert(joined.count() == 50, "both sides must cover the same 50 vectors")
+    assert(joined.filter(col("sketch") =!= col("sketch_scaled")).count() == 0)
   }
 
   test("minhash signatures are deterministic and est_jaccard in [0,1]") {

@@ -92,15 +92,40 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel strict-order gating on planted sequences (naive has-all-types would differ)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // u1 full convert; u2 clicked BEFORE viewing (stage2 must reject);
+    // u3 purchased BEFORE its qualified click (stage3 must reject — a
+    // naive "has all three types" query would wrongly count u3);
+    // u4 never viewed
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "click"), (2L, 2L, "view"),
+      (3L, 1L, "view"), (3L, 2L, "purchase"), (3L, 3L, "click"),
+      (4L, 1L, "purchase"))
+      .toDF("user_id", "seq", "event_type")
+      .select(col("user_id"),
+        timestamp_seconds(col("seq") * 60).as("ts"),
+        col("seq").as("event_id"), col("event_type"))
+    val got = operators.Relational.conversionFunnelFrom(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("1_view") == 3L, s"views: $got")
+    assert(got("2_click_after_view") == 2L, s"strict clicks: $got")
+    assert(got("3_purchase_after_click") == 1L, s"strict purchases: $got")
+  }
+
   test("funnel stages agree with a brute-force ordered walk per user") {
     import org.apache.spark.sql.functions._
     val got = operators.Relational.conversionFunnel(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // brute force: per user, sort by (ts, event_id) and walk the strict
-    // view -> click -> purchase state machine
+    // view -> click -> purchase state machine. Compare on epoch MICROS —
+    // ts is microsecond-precision and a millisecond truncation could
+    // reorder same-ms events differently than the engine
     val events = graft.sources.Tables(spark, sf, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val byUser = events.groupBy(_._1)
     var (n1, n2, n3) = (0L, 0L, 0L)
     byUser.values.foreach { evs =>
