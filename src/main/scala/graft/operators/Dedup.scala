@@ -311,6 +311,11 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // ONE propagation round per check. (Batching two rounds per check
+      // was tried and reverted: the inner round's un-materialized output
+      // is consumed twice by the outer round — as the join probe AND the
+      // union arm — so lazy batching recomputes it and costs MORE than
+      // the extra check action it saves.)
       val prop = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("label"))
       val next = labels.unionByName(prop)
