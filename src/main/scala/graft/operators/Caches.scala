@@ -40,6 +40,15 @@ object Caches {
     ds.cache()
   }
 
+  /** Remember an ALREADY-persisted dataset for a later [[release]]
+    * (iterative operators persist loop state themselves; re-calling
+    * `.cache()` on it would only log a spurious "already cached"
+    * warning). */
+  def register[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    tracked += ds
+    ds
+  }
+
   /** Unpersist every tracked dataset (non-blocking) and forget them. */
   def release(): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking = false))

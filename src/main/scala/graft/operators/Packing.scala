@@ -17,7 +17,8 @@ import graft.sources.Tables
   * dataset into ONE task (Spark warns exactly this), which is a
   * non-starter at corpus scale. [[runningTotal]] instead range-partitions
   * on the order key, computes running sums within partitions, and adds
-  * broadcast per-partition offsets — the classic two-pass parallel scan.
+  * per-partition offsets folded on the driver into a literal expression
+  * (`parts` scalars) — the classic two-pass parallel scan.
   * The result depends only on the global order, not on partition
   * boundaries (spec: partition-count invariance).
   */
@@ -27,7 +28,7 @@ object Packing {
     * order columns must be a total order — include a unique tiebreak).
     * Adds `_cum` to the frame. Two-pass scan: O(rows/partitions) memory
     * per task, one range shuffle + one tiny (partition-count-row)
-    * broadcast. */
+    * driver fold. */
   def runningTotal(df: DataFrame, order: Seq[Column], value: Column,
                    parts: Int = 32): DataFrame = {
     // MUST be materialized once: the within-partition branch and the
@@ -41,16 +42,41 @@ object Packing {
     val wIn = Window.partitionBy(col("_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = ranged.withColumn("_cum_in", sum(value).over(wIn))
-    // per-partition totals: `parts` rows — the offset table is tiny by
-    // construction, so the second pass is a broadcast join, not a shuffle
-    val wOff = Window.orderBy(col("_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("_pid")).agg(sum(value).as("_ptot"))
-      .withColumn("_off", coalesce(sum(col("_ptot")).over(wOff), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    within.join(broadcast(offsets), Seq("_pid"))
-      .withColumn("_cum", col("_cum_in") + col("_off"))
-      .drop("_pid", "_cum_in", "_off") // internal columns must not leak
+    // per-partition totals: `parts` rows BY CONSTRUCTION — folded on the
+    // driver into a literal per-pid offset expression (the same place AQE
+    // keeps per-partition stats). This is deliberately NOT a window: an
+    // unpartitioned Window over the totals fires WindowExec's
+    // "No Partition Defined" warning (and a constant partition key gets
+    // optimized away to the same plan), and that log noise would mask a
+    // REAL data-sized global window ever sneaking into the engine. The
+    // collect also eagerly pins ONE RangePartitioner boundary draw before
+    // the big second pass reads the cache. Exclusive prefix accumulation
+    // runs in pid order — the identical left fold the window form did, so
+    // results are bit-equal for long AND double values.
+    val totals = ranged.groupBy(col("_pid")).agg(sum(value).as("_ptot"))
+      .orderBy(col("_pid")).collect()
+    val cumType = within.schema("_cum_in").dataType
+    var accL = 0L
+    var accD = 0.0
+    var accB = java.math.BigDecimal.ZERO
+    val offs: Array[(Int, Column)] = totals.map { r =>
+      val pid = r.getInt(0)
+      val off = r.get(1) match {
+        case l: java.lang.Long => val o = lit(accL); accL += l; o
+        case d: java.lang.Double => val o = lit(accD); accD += d; o
+        case b: java.math.BigDecimal => val o = lit(accB); accB = accB.add(b); o
+        case null => lit(accL) // all-null partition contributes nothing
+        case other => throw new IllegalArgumentException(
+          s"runningTotal supports long/double/decimal sums, got ${other.getClass}")
+      }
+      pid -> off.cast(cumType)
+    }
+    val offExpr = offs.foldLeft(lit(null).cast(cumType)) {
+      case (acc, (pid, off)) => when(col("_pid") === pid, off).otherwise(acc)
+    }
+    within
+      .withColumn("_cum", col("_cum_in") + offExpr)
+      .drop("_pid", "_cum_in") // internal columns must not leak
   }
 
   /** q52 — sequence-packing audit: documents ordered by md5(doc_id) (a

@@ -593,20 +593,26 @@ object Relational {
       .orderBy(col("stage"))
   }
 
-  // q50 — multi-column describe() (SURVEY A9 in breadth): one stats row
-  // per numeric column, computed in a single pass each and unioned.
+  // q50 — multi-column describe() (SURVEY A9 in breadth): ALL per-column
+  // stats in ONE aggregate over ONE fact scan, then a `stack` unpivot
+  // into one row per column (the fkOrphansMulti technique). The earlier
+  // one-agg-per-column union read lineitem four times — at 100 TB that
+  // is four full scans of the fact for a 4-row result.
   def describeLineitem(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    def statsOf(c: String): DataFrame =
-      li.agg(
-        lit(c).as("column"),
-        count(col(c)).as("n"),
-        round(avg(col(c)), 4).as("mean"),
-        round(stddev_samp(col(c)), 4).as("std"),
-        m(min(col(c))).as("min"),
-        m(max(col(c))).as("max"))
-    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      .map(statsOf).reduce(_ unionByName _)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"_n_$c"),
+      round(avg(col(c)), 4).as(s"_mean_$c"),
+      round(stddev_samp(col(c)), 4).as(s"_std_$c"),
+      m(min(col(c))).as(s"_min_$c"),
+      m(max(col(c))).as(s"_max_$c"))
+    }
+    val one = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', _n_$c, _mean_$c, _std_$c, _min_$c, _max_$c")
+      .mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (`column`, n, mean, std, min, max)")
       .orderBy(col("column"))
   }
 

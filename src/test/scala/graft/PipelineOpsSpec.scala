@@ -150,6 +150,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components converge on a 64-node chain (pointer jumping beats O(diameter))") {
+    import spark.implicits._
+    // a 64-link chain has diameter 63 — plain min-label propagation
+    // needs 63 rounds and the round-3 engine hard-aborted at 20; with
+    // pointer jumping it must converge inside the default maxIter=50
+    // (in ~log2(64) label-halving rounds), plus a triangle component and
+    // an isolated pair to prove components don't bleed into each other
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val edges = (chain ++ extra).toDF("doc_a", "doc_b")
+    val lab = operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    operators.Caches.release()
+    (1L to 64L).foreach(i => assert(lab(i) == 1L, s"chain node $i -> ${lab(i)}"))
+    Seq(100L, 101L, 102L).foreach(i => assert(lab(i) == 100L))
+    Seq(200L, 201L).foreach(i => assert(lab(i) == 200L))
+    assert(lab.size == 64 + 3 + 2)
+  }
+
   test("IVF quantizer is a fit-once artifact: disk reload gives identical centroids") {
     val first = operators.Similarity.ivfQuantizer(spark, sf, 16)
     val c1 = first.clusterCenters.map(_.toArray.toSeq).toSeq

@@ -99,6 +99,14 @@ class ScaleSpec extends AnyFunSuite {
       s"expected ONE lineitem scan shared by all FK audits, found $liScans")
   }
 
+  test("plan lint: q50 computes all 24 describe stats in ONE lineitem scan") {
+    val p = SparkEntry.queries("q50_describe")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val liScans = p.split("lineitem\\.parquet", -1).length - 1
+    assert(liScans == 1,
+      s"expected ONE lineitem scan feeding the stacked describe, found $liScans")
+  }
+
   test("salted join is row-identical to the plain join on skewed data") {
     import spark.implicits._
     // 90% of fact rows hit one hot key
