@@ -78,9 +78,11 @@ object SparkEntry {
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
     * in DuckDB — e.g. hash-function-specific sketches). The driver records
-    * a weaker rows-only check for these; the set must stay small. */
-  def rowsOnlyQueries: Set[String] = Set(
-    "q38_ann_ivf")       // KMeans quantizer is MLlib-specific; spec-tested vs q29
+    * a weaker rows-only check for these; the set must stay small.
+    * EMPTY since round 4: q38's KMeans quantizer became the checked-in
+    * [[graft.operators.IvfCentroids]] artifact, whose literal centroids
+    * the oracle embeds (the q31/q43 plane-literal technique). */
+  def rowsOnlyQueries: Set[String] = Set.empty
 
   /** The q43/q31 oracle sketch: the same md5-derived hyperplane family
     * the Spark side uses (Similarity.planeCoef, seed 42, dim 64),
@@ -101,6 +103,57 @@ object SparkEntry {
     (0 until bands).map { bd =>
       s"SELECT vec_id, $bd AS band, (sketch >> ${bd * bitsPerBand}) & $mask AS key FROM sk"
     }.mkString("\n        UNION ALL ")
+  }
+
+  /** One IVF centroid as a DuckDB DOUBLE[] literal. The artifact stores
+    * floats; their exact doubles are rendered (Scala's shortest-round-trip
+    * toString), so `list_dot_product(v, [...])` in DuckDB runs the same
+    * IEEE ops as the engine's `float_dot(embedding, centroid)`. */
+  private def ivfCentroidSql(j: Int): String =
+    operators.IvfCentroids.cells(j)
+      .map(f => f.toDouble.toString).mkString("[", ",", "]")
+
+  /** The q38 oracle: identical literal centroids → identical cell
+    * assignment (argmax of dot − ½‖c‖², first-index-of-max on ties),
+    * identical probe ranking, identical rescoring — mirrors
+    * [[operators.Similarity.ivfTopK]] decision-for-decision. */
+  private def ivfSql(nQueries: Int, nProbe: Int, k: Int): String = {
+    val cents = operators.IvfCentroids.cells
+    val halfSq = cents.map(c => 0.5 * operators.IvfCentroids.sqNorm(c))
+    val cnorm = cents.map(c => math.sqrt(operators.IvfCentroids.sqNorm(c)))
+    val scoreList = cents.indices
+      .map(j => s"list_dot_product(v, ${ivfCentroidSql(j)}) - ${halfSq(j)}")
+      .mkString("[\n        ", ",\n        ", "]")
+    val probeArms = cents.indices.map { j =>
+      val head = if (j == 0) "SELECT query_id, qv, qnrm, CAST(1 AS BIGINT) AS cell, "
+                 else s"SELECT query_id, qv, qnrm, ${j + 1}, "
+      head + s"list_dot_product(qv, ${ivfCentroidSql(j)}) / (qnrm * ${cnorm(j)}) AS sim FROM q"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      sc AS (SELECT vec_id, v, nrm, $scoreList AS scores FROM n),
+      asg AS (SELECT vec_id, v, nrm,
+                CAST(list_position(scores, list_aggregate(scores, 'max')) AS BIGINT) AS cell
+              FROM sc),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM asg
+            WHERE vec_id < $nQueries),
+      probe_sims AS (
+        $probeArms),
+      probes AS (SELECT query_id, qv, qnrm, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, cell) AS pr
+          FROM probe_sims) WHERE pr <= $nProbe),
+      cand AS (SELECT p.query_id, p.qv, p.qnrm, a.vec_id, a.v, a.nrm
+               FROM asg a JOIN probes p
+                 ON a.cell = p.cell AND a.vec_id != p.query_id),
+      scored AS (SELECT query_id, vec_id,
+                   round(list_dot_product(v, qv) / (nrm * qnrm), 4) AS cosine
+                 FROM cand),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+      SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
   /** The capped n-gram jaccard pair list as a CTE chain ending in
@@ -482,6 +535,10 @@ object SparkEntry {
       SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     },
+
+    // Mirrors ivfTopK (defaults nQueries=10, nProbe=4, k=5) with the
+    // IvfCentroids artifact embedded as literals — see ivfSql.
+    "q38_ann_ivf" -> ivfSql(10, 4, 5),
 
     "q32_grouped_ols" -> """
       SELECT l_returnflag,

@@ -215,35 +215,54 @@ object Similarity {
   /** Spec/maintenance surface: drop the in-JVM quantizer memo. */
   def clearQuantizerMemo(): Unit = quantizers.clear()
 
-  // IVF ANN — the scale path for weakly-structured vectors: a KMeans
-  // coarse quantizer partitions the corpus into nCells inverted lists;
-  // each query probes its nProbe nearest cells and exact-rescoring runs
-  // only inside them. At 100 TB the corpus is written partitioned by
-  // cell id, so a probe reads nProbe/nCells of the data (partition
-  // pruning), and the candidate join shuffles on the cell key only.
+  // IVF ANN — the scale path for weakly-structured vectors: a coarse
+  // quantizer partitions the corpus into nCells inverted lists; each
+  // query probes its nProbe nearest cells and exact-rescoring runs only
+  // inside them. At 100 TB the corpus is written partitioned by cell id,
+  // so a probe reads nProbe/nCells of the data (partition pruning), and
+  // the candidate join shuffles on the cell key only.
+  //
+  // The quantizer is the checked-in [[IvfCentroids]] ARTIFACT (KMeans
+  // seed 42 fit via [[ivfQuantizer]]; graft.tools.FitIvfCentroids
+  // regenerates it) — centroids are a versioned partition function, not
+  // a query step. Cell assignment is a PURE EXPRESSION over the literal
+  // centroids: argmax_j of dot(v,c_j) − ½‖c_j‖² (equivalent to nearest-
+  // by-L2 since ‖v‖² is constant per row), evaluated with the codegen'd
+  // float_dot. The DuckDB oracle embeds the identical literals, so both
+  // engines make bit-identical cell, probe, and ranking decisions — the
+  // recall<1 of probing nProbe/nCells lists is operator semantics, not
+  // oracle slack (the q43 banding argument).
   def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4): DataFrame = {
     FloatVectorExprs.register(s)
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      .withColumn("features", array_to_vector(col("embedding")))
-    val model = ivfQuantizer(s, dir, nCells)
-    val assigned = Caches.track(model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-      .withColumn("_norm", sqrt(dotNative(col("embedding"), col("embedding")))))
-    // tiny centroid table (nCells rows) — broadcast to score probes
-    val spark2 = s
-    import spark2.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cell", "centroid")
+    val cents = IvfCentroids.cells
+    val halfSq = cents.map(c => 0.5 * IvfCentroids.sqNorm(c))
+    val cnorm = cents.map(c => math.sqrt(IvfCentroids.sqNorm(c)))
+    // nearest-centroid scores as one array; cell = 1-based first argmax
+    // (array_position and DuckDB's list_position agree on both counts)
+    val scores = array(cents.indices.map(j =>
+      dotNative(col("embedding"), typedlit(cents(j).toSeq)) - lit(halfSq(j))): _*)
+    val assigned = Caches.track(
+      emb(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("_scores", scores)
+        .withColumn("cell", expr("array_position(_scores, array_max(_scores))"))
+        .drop("_scores")
+        .withColumn("_norm", sqrt(dotNative(col("embedding"), col("embedding")))))
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("_norm").as("_qnorm"))
+    // probe selection: cosine of the query against each literal centroid
+    // (posexplode of an nCells array — no centroid table, no join), top
+    // nProbe per query with cell tiebreak
+    val sims = array(cents.indices.map(j =>
+      dotNative(col("qv"), typedlit(cents(j).toSeq)) /
+        (col("_qnorm") * lit(cnorm(j)))): _*)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(desc("_sim"), col("cell"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("_sim", cosineNative(col("qv"), col("centroid")))
+    val probes = queries
+      .select(col("query_id"), col("qv"), col("_qnorm"),
+        posexplode(sims).as(Seq("_c0", "_sim")))
+      .withColumn("cell", (col("_c0") + 1).cast("long"))
       .withColumn("_pr", row_number().over(wProbe))
       .filter(col("_pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("_qnorm"), col("cell"))
