@@ -558,38 +558,56 @@ object Relational {
     * separated from the table binding so specs can pin the strict-order
     * gating on hand-built event sequences (the synthetic corpus converts
     * every user at every stage, which discriminates nothing). */
-  def conversionFunnelFrom(events: DataFrame): DataFrame = {
+  def conversionFunnelFrom(events: DataFrame): DataFrame =
+    conversionFunnelFrom(events, Seq("view", "click", "purchase"))
+
+  /** k-stage strict-order funnel (the match_recognize-style general
+    * form): a user qualifies for stage i only on an event of type
+    * `stages(i)` that occurs STRICTLY AFTER an event that qualified for
+    * stage i−1. The stage chain is generated by a fold — one qualifying
+    * flag plus one strictly-earlier running-max window per stage — and
+    * every window shares the SAME (user_id, ts-ordered) spec, so
+    * Catalyst plans ONE shuffle for the whole funnel regardless of k.
+    * Rates are exact integer-count divisions (bit-stable cross-engine).
+    * Stage labels are `1_<s0>` then `<i+1>_<si>_after_<si-1>`; the output
+    * sort is lexicographic on the label, so funnels past 9 stages should
+    * order on their own key. */
+  def conversionFunnelFrom(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, "funnel stages must be distinct")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1) // strictly-earlier rows
-    val staged = events
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("is_view", when(col("event_type") === "view", 1).otherwise(0))
-      .withColumn("prev_view", coalesce(max(col("is_view")).over(w), lit(0)))
-      .withColumn("q_click",
-        when(col("event_type") === "click" && col("prev_view") === 1, 1).otherwise(0))
-      .withColumn("prev_qclick", coalesce(max(col("q_click")).over(w), lit(0)))
-      .withColumn("q_purchase",
-        when(col("event_type") === "purchase" && col("prev_qclick") === 1, 1).otherwise(0))
+    val base = events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"))
+    val staged = stages.zipWithIndex.foldLeft(base) {
+      case (df, (st, 0)) =>
+        df.withColumn("_q0", when(col("event_type") === st, 1).otherwise(0))
+      case (df, (st, i)) =>
+        df.withColumn(s"_q$i",
+          when(col("event_type") === st &&
+            coalesce(max(col(s"_q${i - 1}")).over(w), lit(0)) === 1, 1)
+            .otherwise(0))
+    }
     val perUser = staged.groupBy(col("user_id"))
-      .agg(max(col("is_view")).as("r1"),
-           max(col("q_click")).as("r2"),
-           max(col("q_purchase")).as("r3"))
-    val totals = perUser.agg(
-      count(lit(1)).as("n_total"),
-      sum(col("r1")).cast("long").as("n1"),
-      sum(col("r2")).cast("long").as("n2"),
-      sum(col("r3")).cast("long").as("n3"))
-      .withColumn("rate1", col("n1").cast("double") / col("n_total"))
-      .withColumn("rate2",
-        when(col("n1") === 0, lit(null)).otherwise(col("n2").cast("double") / col("n1")))
-      .withColumn("rate3",
-        when(col("n2") === 0, lit(null)).otherwise(col("n3").cast("double") / col("n2")))
-    totals.selectExpr(
-      """stack(3,
-           '1_view',                 n1, rate1,
-           '2_click_after_view',     n2, rate2,
-           '3_purchase_after_click', n3, rate3)
-         AS (stage, n_users, conv_rate)""")
+      .agg(max(col("_q0")).as("_r0"),
+        stages.indices.tail.map(i => max(col(s"_q$i")).as(s"_r$i")): _*)
+    val sums = count(lit(1)).as("n_total") +:
+      stages.indices.map(i => sum(col(s"_r$i")).cast("long").as(s"_n$i"))
+    val rated = stages.indices.foldLeft(perUser.agg(sums.head, sums.tail: _*)) {
+      case (df, 0) =>
+        df.withColumn("_rate0", col("_n0").cast("double") / col("n_total"))
+      case (df, i) =>
+        df.withColumn(s"_rate$i",
+          when(col(s"_n${i - 1}") === 0, lit(null))
+            .otherwise(col(s"_n$i").cast("double") / col(s"_n${i - 1}")))
+    }
+    def label(i: Int): String =
+      if (i == 0) s"1_${stages(0)}"
+      else s"${i + 1}_${stages(i)}_after_${stages(i - 1)}"
+    val stackArgs = stages.indices
+      .map(i => s"'${label(i)}', _n$i, _rate$i").mkString(", ")
+    rated.selectExpr(
+      s"stack(${stages.size}, $stackArgs) AS (stage, n_users, conv_rate)")
       .orderBy(col("stage"))
   }
 

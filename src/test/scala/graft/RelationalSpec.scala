@@ -115,6 +115,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(got("3_purchase_after_click") == 1L, s"strict purchases: $got")
   }
 
+  test("k-stage funnel: 4-stage chain gates each stage on the previous one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A converts in order; B's cart precedes its qualified click (stage 3
+    // must reject it and therefore stage 4 too); C never views; D stops
+    // after viewing
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "cart"), (1L, 4L, "purchase"),
+      (2L, 1L, "view"), (2L, 2L, "cart"), (2L, 3L, "click"), (2L, 4L, "purchase"),
+      (3L, 1L, "click"), (3L, 2L, "cart"), (3L, 3L, "purchase"),
+      (4L, 1L, "view"))
+      .toDF("user_id", "seq", "event_type")
+      .select(col("user_id"),
+        timestamp_seconds(col("seq") * 60).as("ts"),
+        col("seq").as("event_id"), col("event_type"))
+    val got = operators.Relational
+      .conversionFunnelFrom(ev, Seq("view", "click", "cart", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "1_view" -> 3L, "2_click_after_view" -> 2L,
+      "3_cart_after_click" -> 1L, "4_purchase_after_cart" -> 1L), got.toString)
+  }
+
   test("funnel stages agree with a brute-force ordered walk per user") {
     import org.apache.spark.sql.functions._
     val got = operators.Relational.conversionFunnel(spark, sf)
