@@ -45,6 +45,25 @@ object Approx {
       model.transform(randomFourierFeatures(score, inputCols, d, gamma))
   }
 
+  /** M12 (composed, the reference's full SVM lab): MULTICLASS
+    * RBF-kernel SVC = one shared RFF feature space + one-vs-rest over
+    * LinearSVC. sklearn's SVC(kernel='rbf') runs one-vs-ONE — OVR is
+    * MLlib's native multiclass strategy; that delta is the recorded M12
+    * gap, the kernel approximation itself is [[randomFourierFeatures]].
+    * Decision scores stay available per class inside the OVR model; the
+    * binary [[rbfSvc]] path exposes them as `rawPrediction` for
+    * decision-function ROC curves (spec: pair-counting AUC agreement). */
+  def rbfSvcOvr(train: DataFrame, labelCol: String, inputCols: Seq[String],
+                d: Int = 64, gamma: Double = 1.0,
+                regParam: Double = 0.01): DataFrame => DataFrame = {
+    val trainF = randomFourierFeatures(train, inputCols, d, gamma)
+    val base = new LinearSVC().setFeaturesCol("rff").setRegParam(regParam)
+    val model = Models.oneVsRest(base, labelCol).setFeaturesCol("rff")
+      .fit(trainF)
+    (score: DataFrame) =>
+      model.transform(randomFourierFeatures(score, inputCols, d, gamma))
+  }
+
   /** M22 — IsolationForest substitute: Gaussian-tail anomaly scoring.
     * Fits a diagonal Gaussian to the features (one agg pass) and scores
     * rows by Mahalanobis-ish distance; `threshold` in std units flags
@@ -131,13 +150,59 @@ object Approx {
   }
 
   /** M27 — regression diagnostics: residuals and standardized residuals
-    * as columns (distributed); leverage/Q-Q remain driver-side on samples
-    * per SURVEY's doc-only note. */
+    * as columns (distributed); [[influenceDiagnostics]] adds the
+    * leverage/studentized surface. */
   def residualDiagnostics(pred: DataFrame, labelCol: String,
                           predCol: String = "prediction"): DataFrame = {
     val resid = col(labelCol) - col(predCol)
     val sd = pred.agg(stddev_samp(resid)).head.getDouble(0)
     pred.withColumn("residual", resid)
       .withColumn("std_residual", resid / lit(math.max(sd, 1e-12)))
+  }
+
+  /** M27 (full) — OLS influence diagnostics, the statsmodels
+    * `OLSInfluence` surface: per-row LEVERAGE (hat-matrix diagonal
+    * h_i = x_iᵀ(XᵀX)⁻¹x_i over the intercept-augmented design), raw
+    * residual, and INTERNALLY STUDENTIZED residual
+    * e_i / √(s²·(1−h_i)) with s² = RSS/(n−p−1) — matching
+    * `hat_matrix_diag` / `resid_studentized_internal`.
+    *
+    * Distributed shape: ONE aggregation pass collects the (p+1)²
+    * cross-moments and Xᵀy (the same sufficient statistics q32's
+    * closed-form OLS uses), the (p+1)×(p+1) inversion runs on the driver
+    * (p is the feature count — tiny), a second pass aggregates RSS, and
+    * leverage/residual/studentized are then pure column expressions:
+    * at 100 TB this is two scans and no per-row driver work, which is
+    * why hat diagonals do NOT need the single-node hat matrix. */
+  def influenceDiagnostics(df: DataFrame, labelCol: String,
+                           features: Seq[String]): DataFrame = {
+    val p = features.size
+    val xs: Seq[Column] = lit(1.0) +: features.map(f => col(f).cast("double"))
+    val y = col(labelCol).cast("double")
+    val momAggs =
+      (for (a <- 0 to p; b <- a to p)
+        yield sum(xs(a) * xs(b)).as(s"_xx_${a}_$b")) ++
+      (0 to p).map(a => sum(xs(a) * y).as(s"_xy_$a"))
+    val r = df.agg(momAggs.head, momAggs.tail: _*).head
+    val xtx = Array.tabulate(p + 1, p + 1)((a, b) =>
+      if (a <= b) r.getAs[Double](s"_xx_${a}_$b")
+      else r.getAs[Double](s"_xx_${b}_$a"))
+    val xty = Array.tabulate(p + 1)(a => r.getAs[Double](s"_xy_$a"))
+    val n = xtx(0)(0) // Σ1 — the intercept-intercept moment
+    require(n > p + 1, s"influenceDiagnostics needs n > p+1 rows, got $n")
+    val (inv, _) = Customs.invertAndLogDet(xtx)
+    // β = (XᵀX)⁻¹Xᵀy — the exact normal-equation estimator, same as sm.OLS
+    val beta = Array.tabulate(p + 1)(a => (0 to p).map(b => inv(a)(b) * xty(b)).sum)
+    val predicted = xs.zipWithIndex.map { case (x, a) => x * lit(beta(a)) }
+      .reduce(_ + _)
+    val lev = (for (a <- 0 to p; b <- 0 to p)
+      yield xs(a) * xs(b) * lit(inv(a)(b))).reduce(_ + _)
+    val withRes = df.withColumn("residual", y - predicted)
+      .withColumn("leverage", lev)
+    val rss = withRes.agg(sum(col("residual") * col("residual")))
+      .head.getDouble(0)
+    val s2 = rss / (n - p - 1)
+    withRes.withColumn("student_resid",
+      col("residual") / sqrt(lit(s2) * (lit(1.0) - col("leverage"))))
   }
 }

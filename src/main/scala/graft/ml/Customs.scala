@@ -52,7 +52,7 @@ object Customs {
     }.sortBy(_.label)
   }
 
-  private def invertAndLogDet(m: Array[Array[Double]]): (Array[Array[Double]], Double) = {
+  private[ml] def invertAndLogDet(m: Array[Array[Double]]): (Array[Array[Double]], Double) = {
     // Gauss-Jordan with partial pivoting; p is small (features count)
     val p = m.length
     val a = Array.tabulate(p, 2 * p)((i, j) =>

@@ -45,6 +45,45 @@ class ApproxSpec extends AnyFunSuite {
     assert(rbfAcc > 0.9, s"rbf approx should separate, got $rbfAcc")
   }
 
+  test("RBF-SVC + OVR separates 3 concentric rings; decision-score ROC matches pair counting (M12)") {
+    import org.apache.spark.ml.functions.vector_to_array
+    // three rings at radii ~0 / 2 / 4 — radially separable ONLY, so OVR
+    // over the shared RFF space must do what no linear multiclass can
+    def ring(n: Int, r: Double, seed: Int, label: Double): DataFrame = {
+      val angle = rand(seed) * 2 * math.Pi
+      spark.range(n).select(
+        (cos(angle) * r + randn(seed + 100) * 0.2).as("f1"),
+        (sin(angle) * r + randn(seed + 200) * 0.2).as("f2"),
+        lit(label).as("label"))
+    }
+    val rings = ring(150, 0.0, 60, 0.0)
+      .unionByName(ring(150, 2.0, 61, 1.0))
+      .unionByName(ring(150, 4.0, 62, 2.0)).cache()
+    val scorer = Approx.rbfSvcOvr(rings, "label", Seq("f1", "f2"),
+      d = 128, gamma = 0.5)
+    val pred = scorer(rings)
+    val acc = pred.filter(col("prediction") === col("label")).count().toDouble /
+      pred.count()
+    assert(acc > 0.85, s"OVR rbf accuracy=$acc")
+    // binary decision-function ROC (SVM lab's roc_curve over
+    // clf.decision_function): MLlib's AUC on the margin score must agree
+    // with the definitional pair-counting AUC
+    val bin = Approx.rbfSvc(circles, "label", Seq("f1", "f2"), d = 128)
+    val scored = bin(circles)
+      .select(col("label"), vector_to_array(col("rawPrediction"))(1).as("score"))
+      .cache()
+    val auc = Evaluate.rocAuc(scored, "label", "score")
+    val rows = scored.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val pos = rows.filter(_._1 == 1.0).map(_._2)
+    val neg = rows.filter(_._1 == 0.0).map(_._2)
+    val bf = pos.map(p => neg.map(nn =>
+      if (p > nn) 1.0 else if (p == nn) 0.5 else 0.0).sum).sum /
+      (pos.length.toDouble * neg.length)
+    assert(math.abs(auc - bf) < 1e-6, s"evaluator AUC $auc vs pair-count $bf")
+    assert(auc > 0.95, s"decision-score AUC=$auc")
+    scored.unpersist(); rings.unpersist()
+  }
+
   test("gaussian-tail anomaly scoring flags the planted outliers (M22)") {
     val scored = Approx.gaussianAnomaly(anomalies, Seq("f1", "f2"), threshold = 3.0)
     val m = Evaluate.binaryMetrics(
@@ -85,6 +124,52 @@ class ApproxSpec extends AnyFunSuite {
     val (fJunk, _, _) = Approx.anovaF(df, "y", Seq("x1", "x2"), Seq("x1", "x2", "junk"))
     assert(fGood > 100.0, s"F for real regressor = $fGood")
     assert(fJunk < 10.0, s"F for junk regressor = $fJunk")
+  }
+
+  test("OLS influence diagnostics match the closed-form hat/studentized values (M27)") {
+    import spark.implicits._
+    // simple regression has textbook closed forms:
+    //   h_i = 1/n + (x_i − x̄)²/Sxx,  t_i = e_i/√(s²(1−h_i)), s² = RSS/(n−2)
+    // — an INDEPENDENT derivation of what influenceDiagnostics computes
+    // via the inverse moment matrix. x=10 is the planted high-leverage pt.
+    val pts = Seq((1.0, 2.1), (2.0, 3.9), (3.0, 6.2), (4.0, 8.1),
+      (5.0, 9.7), (10.0, 21.0))
+    val diag = Approx.influenceDiagnostics(pts.toDF("x", "y"), "y", Seq("x"))
+      .collect().map(r => r.getAs[Double]("x") ->
+        ((r.getAs[Double]("leverage"), r.getAs[Double]("residual"),
+          r.getAs[Double]("student_resid")))).toMap
+    val n = pts.size
+    val xbar = pts.map(_._1).sum / n
+    val sxx = pts.map(t => (t._1 - xbar) * (t._1 - xbar)).sum
+    val slope = pts.map(t => (t._1 - xbar) * t._2).sum / sxx
+    val icpt = pts.map(_._2).sum / n - slope * xbar
+    val resid = pts.map { case (x, yy) => x -> (yy - (icpt + slope * x)) }.toMap
+    val s2 = resid.values.map(e => e * e).sum / (n - 2)
+    pts.foreach { case (x, _) =>
+      val h = 1.0 / n + (x - xbar) * (x - xbar) / sxx
+      assert(math.abs(diag(x)._1 - h) < 1e-8, s"leverage at x=$x: ${diag(x)._1} vs $h")
+      assert(math.abs(diag(x)._2 - resid(x)) < 1e-8, s"residual at x=$x")
+      val t = resid(x) / math.sqrt(s2 * (1.0 - h))
+      assert(math.abs(diag(x)._3 - t) < 1e-8, s"studentized at x=$x: ${diag(x)._3} vs $t")
+    }
+    val hs = diag.values.map(_._1)
+    assert(math.abs(hs.sum - 2.0) < 1e-8, "trace of hat matrix must be p+1")
+    assert(diag(10.0)._1 == hs.max, "the far point must carry the top leverage")
+  }
+
+  test("influence diagnostics hold hat-matrix invariants on a 2-feature fit (M27)") {
+    val df = spark.range(200).select(randn(50).as("x1"), randn(51).as("x2"))
+      .withColumn("y", col("x1") * 2.0 - col("x2") + randn(52) * 0.4)
+    val diag = Approx.influenceDiagnostics(df, "y", Seq("x1", "x2")).cache()
+    // 0 < h ≤ 1 row-wise; Σh = p+1 = 3; residuals orthogonal to the design
+    assert(diag.filter(col("leverage") <= 0.0 || col("leverage") > 1.0).count() == 0)
+    val hsum = diag.agg(sum("leverage")).head.getDouble(0)
+    assert(math.abs(hsum - 3.0) < 1e-6, s"trace=$hsum")
+    val dots = diag.agg(sum(col("residual")),
+      sum(col("residual") * col("x1")), sum(col("residual") * col("x2"))).head
+    Seq(0, 1, 2).foreach(i => assert(math.abs(dots.getDouble(i)) < 1e-6,
+      s"residual not orthogonal to design col $i: ${dots.getDouble(i)}"))
+    diag.unpersist()
   }
 
   test("residual diagnostics standardize to unit scale (M27)") {
