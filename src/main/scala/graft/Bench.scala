@@ -19,10 +19,13 @@ object Bench {
     // a failed query reports -1.0 (never a plausible elapsed time) so a
     // regression can't masquerade as a speedup; caches are cleared
     // between queries so one query's persist can't skew the next.
-    // Each query runs `reps` times and reports the BEST time — a single
-    // timing at this data scale is dominated by machine-load noise.
+    // Each query runs `reps` times in THIS one JVM; the headline number
+    // per query is the MEDIAN (machine-load noise swings single timings
+    // ±40%, and a best-of hides stable regressions behind one lucky
+    // rep), with the min carried alongside for the warm-path floor.
+    // Cross-round comparisons should use the medians only.
     val reps = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2))
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     // Force FULL evaluation of every output column: a bare .count() lets
     // Catalyst prune unused columns and drop final sorts, timing pure-
     // projection queries as scan+count. xxhash64 over all columns makes
@@ -56,12 +59,19 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) elapsed else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val (med, best) =
+        if (times.contains(-1.0)) (-1.0, -1.0)
+        else (times.sorted.apply((times.size - 1) / 2), times.min)
+      name -> ((med, best))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // driver contract: "queries" maps query -> ONE number; that number is
+    // the median. The per-query min rides in "queries_min".
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qsMin = results.map { case (k, (_, best)) => s"\"" + k + "\":" + best }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, (med, _)) if med >= 0 => med }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","reps":$reps,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

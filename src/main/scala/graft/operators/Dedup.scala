@@ -290,12 +290,27 @@ object Dedup {
     * the same aggregate that produces the next labeling); every 5 rounds
     * the labeling is `localCheckpoint`ed so lineage depth — and with it
     * stage-retry cost — stays bounded regardless of round count. Peak
-    * storage is two label tables plus the static edge cache. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * storage is two label tables plus the static edge cache.
+    *
+    * SMALL-SUBGRAPH SHORTCUT: candidate-pair subgraphs are a corpus
+    * FRACTION by construction (only near-dups produce edges), and a
+    * distributed round has a fixed multi-job overhead that dwarfs the
+    * work when the subgraph is thousands of nodes. When the measured
+    * edge count fits comfortably on the driver
+    * (`localSolveMaxEdges`, default 2²⁰ edges ≈ 16 MB) the labeling is
+    * computed by an exact in-memory union-find instead — the same move
+    * AQE makes when it shrinks a planned shuffle join to a local one.
+    * Both paths produce the identical component-min labeling; pass
+    * `localSolveMaxEdges = 0` to force the distributed loop (specs do). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          localSolveMaxEdges: Long = 1L << 20): DataFrame = {
     val Seq(a, b) = pairs.columns.take(2).toSeq.map(col)
     val edges = Caches.track(
       pairs.select(a.as("src"), b.as("dst"))
         .unionByName(pairs.select(b.as("src"), a.as("dst"))))
+    // ONE action materializes the edge cache AND decides the path
+    val nEdges = edges.count() / 2
+    if (nEdges <= localSolveMaxEdges) return localComponents(edges)
     // iterate ONLY over the pair subgraph — docs in no pair can never
     // change label, so propagating over the full corpus would shuffle
     // every doc id per round for nothing; near-dup subgraphs are a tiny
@@ -304,11 +319,7 @@ object Dedup {
       .distinct()
       .withColumn("label", col("doc_id"))
       .persist()
-    // materialize labels (and, through the distinct, the edges cache)
-    // BEFORE the loop: the first iteration's job references edges in TWO
-    // subtrees, and racing both through a cold cache computes the whole
-    // pair pipeline twice
-    labels.count()
+    labels.count() // materialize before the loop's twin subtree reads
     var cached = labels // the persisted handle superseded next round
     var changed = 1L
     var iter = 0
@@ -352,6 +363,36 @@ object Dedup {
     // hand it to the registry so the library caller's release() drops it
     Caches.register(cached)
     labels
+  }
+
+  /** Driver-side exact union-find over a (small, pre-counted) symmetric
+    * edge list — the [[connectedComponents]] small-subgraph path. Union
+    * always points the LARGER root at the smaller, so every root IS its
+    * component minimum; path compression keeps finds amortized ~O(1). */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { // halve the path as we walk it
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp
+        x = p
+        p = gp
+      }
+      x
+    }
+    val nodes = scala.collection.mutable.HashSet.empty[Long]
+    edges.collect().foreach { r =>
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      nodes += s
+      nodes += d
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    nodes.toSeq.sorted.map(n => (n, find(n))).toDF("doc_id", "label")
   }
 
   /** q51 — dedup CLUSTER assignment: connected components over the

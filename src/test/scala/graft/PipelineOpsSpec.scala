@@ -164,13 +164,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     val chain = (1L until 64L).map(i => (i, i + 1))
     val extra = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
     val edges = (chain ++ extra).toDF("doc_a", "doc_b")
-    val lab = operators.Dedup.connectedComponents(edges)
+    // localSolveMaxEdges = 0 forces the DISTRIBUTED loop — the subject
+    // under test here; the small-subgraph union-find path is compared
+    // against it below
+    val lab = operators.Dedup.connectedComponents(edges, localSolveMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     operators.Caches.release()
     (1L to 64L).foreach(i => assert(lab(i) == 1L, s"chain node $i -> ${lab(i)}"))
     Seq(100L, 101L, 102L).foreach(i => assert(lab(i) == 100L))
     Seq(200L, 201L).foreach(i => assert(lab(i) == 200L))
     assert(lab.size == 64 + 3 + 2)
+    // the driver union-find shortcut must produce the identical labeling
+    val local = operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    operators.Caches.release()
+    assert(local == lab, "local union-find diverged from the distributed loop")
   }
 
   test("IVF quantizer is a fit-once artifact: disk reload gives identical centroids") {
