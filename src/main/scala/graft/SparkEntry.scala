@@ -74,6 +74,8 @@ object SparkEntry {
     "q52_seq_packing"       -> ((s: SparkSession, d: String) => Packing.packSequences(s, d)),
     "q53_contamination"     -> Sampling.contaminationAudit _,
     "q54_funnel"            -> Relational.conversionFunnel _,
+    "q55_asof_join"         -> Relational.asofLastEvent _,
+    "q56_salted_agg"        -> Relational.saltedRevenue _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -897,5 +899,26 @@ object SparkEntry {
              round(min(l_tax), 2), round(max(l_tax), 2)
       FROM lineitem
       ORDER BY "column"""",
+
+    // as-of join: DuckDB re-derives it as range-join + argmax (QUALIFY
+    // row_number), the semantic spec the union+window form must match
+    "q55_asof_join" -> """
+      SELECT o.o_orderkey, o.o_custkey,
+             strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+             round(o.o_totalprice, 2) AS o_totalprice,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS last_event_ts,
+             e.event_type AS last_event_type
+      FROM orders o LEFT JOIN events e
+        ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+      QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+              ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) = 1""",
+
+    // salted two-stage aggregation must be result-identical to the
+    // plain GROUP BY
+    "q56_salted_agg" -> """
+      SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_price,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag""",
   )
 }

@@ -163,6 +163,70 @@ object Customs {
     math.sqrt(stats.map(x => (x - mean) * (x - mean)).sum / (b - 1))
   }
 
+  /** One fitted support from [[bestSubset]]: the minimum-RSS model among
+    * all C(p,k) supports of size `k`. */
+  case class SubsetFit(k: Int, support: Seq[String], intercept: Double,
+                       coef: Map[String, Double], rss: Double, r2: Double)
+
+  /** M17 — exact best-subset selection (the reference's `l0bnb`
+    * best-subset path, explained_codes.ipynb:~1405 (cell 29)), re-derived
+    * Spark-first: ONE aggregation pass collects the (p+1)² cross-moments
+    * XᵀX, Xᵀy and yᵀy — the same sufficient statistics the OLS /
+    * influence closed forms use — then the driver enumerates every
+    * support of size ≤ `maxK` and solves each restricted normal system
+    * FROM THOSE MOMENTS. Zero further scans: row count never re-enters.
+    *
+    * A single-node MIP solver is the wrong shape at 100 TB; for the
+    * small p the notebooks use (p ≤ ~20), sufficient-statistics
+    * enumeration is EXACT (global optimum per support size, which is
+    * what the l0 path reports) and costs one scan plus 2^p tiny
+    * driver-side solves. Rank-deficient supports (non-finite RSS) are
+    * skipped rather than reported as spurious zeros.
+    */
+  def bestSubset(df: DataFrame, labelCol: String, features: Seq[String],
+                 maxK: Int): Seq[SubsetFit] = {
+    val p = features.size
+    require(p <= 20, s"bestSubset enumerates subsets of p=$p features; cap is 20")
+    val xs: Seq[Column] = lit(1.0) +: features.map(f => col(f).cast("double"))
+    val y = col(labelCol).cast("double")
+    val aggs =
+      (for (a <- 0 to p; b <- a to p)
+        yield sum(xs(a) * xs(b)).as(s"_xx_${a}_$b")) ++
+      (0 to p).map(a => sum(xs(a) * y).as(s"_xy_$a")) :+ sum(y * y).as("_yy")
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    val xtx = Array.tabulate(p + 1, p + 1)((a, b) =>
+      if (a <= b) r.getAs[Double](s"_xx_${a}_$b")
+      else r.getAs[Double](s"_xx_${b}_$a"))
+    val xty = Array.tabulate(p + 1)(a => r.getAs[Double](s"_xy_$a"))
+    val yy = r.getAs[Double]("_yy")
+    val n = xtx(0)(0) // Σ1
+    require(n > 1, s"bestSubset needs at least 2 rows, got $n")
+    val tss = yy - xty(0) * xty(0) / n // Σ(y−ȳ)²; xty(0) = Σy
+    (1 to math.min(maxK, p)).flatMap { k =>
+      val fits = features.indices.combinations(k).flatMap { s =>
+        val sel = 0 +: s.map(_ + 1)
+        val a = Array.tabulate(k + 1, k + 1)((i, j) => xtx(sel(i))(sel(j)))
+        val b = Array.tabulate(k + 1)(i => xty(sel(i)))
+        val (inv, _) = invertAndLogDet(a)
+        val beta = Array.tabulate(k + 1)(i => (0 to k).map(j => inv(i)(j) * b(j)).sum)
+        val rss = yy - (0 to k).map(i => beta(i) * b(i)).sum
+        // reject rank-deficient supports: a singular XᵀX slips through
+        // Gauss-Jordan as a huge-but-finite inverse, so validate the
+        // normal equations A·β = b instead of trusting the RSS value
+        val resid = (0 to k).map(i =>
+          math.abs((0 to k).map(j => a(i)(j) * beta(j)).sum - b(i))).max
+        val scale = 1.0 + b.map(math.abs).max
+        if (!rss.isFinite || resid > 1e-6 * scale) None
+        else {
+          val rc = math.max(rss, 0.0)
+          Some(SubsetFit(k, s.map(features), beta(0),
+            s.map(features).zip(beta.drop(1)).toMap, rc, 1.0 - rc / tss))
+        }
+      }.toSeq
+      if (fits.isEmpty) None else Some(fits.minBy(_.rss))
+    }
+  }
+
   /** Forward stepwise selection by validation MSE (M16): greedy add-one
     * driver loop; each candidate fit is distributed. Returns the chosen
     * feature order with the validation MSE at each step. */

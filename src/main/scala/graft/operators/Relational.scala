@@ -634,6 +634,66 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** q55 — as-of join: each order paired with the customer's most
+    * recent event AT OR BEFORE the order date (the temporal-lookup
+    * operator the prompt's custom-operator ladder names; reference
+    * analogue: the stateful generation-time lookups in
+    * dataset_generator.py). Spark has no native verb, and the naive
+    * range join (`e.ts <= o.date` + per-order argmax) explodes to
+    * |orders|×|events-per-user| intermediate rows. The SCALABLE form is
+    * not a join at all: union-tag both sides onto one (user, time) axis,
+    * shuffle ONCE on user_id, and a running `last(…, ignoreNulls)`
+    * window carries the latest event forward into every later order row
+    * — cost is a sort within each user partition, independent of how
+    * many events precede each order. Ties: event rows sort before order
+    * rows at equal ts (as-of is inclusive), larger event_id wins among
+    * equal-ts events (deterministic). */
+  def asofLastEvent(s: SparkSession, dir: String): DataFrame =
+    asofLastEventFrom(t(s, dir, "events"), t(s, dir, "orders"))
+
+  /** Core as-of over any (user_id, ts, event_id, event_type) events
+    * frame and (o_orderkey, o_custkey, o_orderdate, o_totalprice) orders
+    * frame — split from the table binding so specs can pin the inclusive
+    * boundary, tie-break, and no-prior-event cases on hand-built rows. */
+  def asofLastEventFrom(events: DataFrame, orders: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("user_id").as("uid"), col("ts"),
+      lit(0).as("_kind"), col("event_id").as("_tie"),
+      col("ts").as("_ev_ts"), col("event_type").as("_ev_type"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"))
+    val ord = orders.select(
+      col("o_custkey").as("uid"), col("o_orderdate").as("ts"),
+      lit(1).as("_kind"), lit(0L).as("_tie"),
+      lit(null).cast("timestamp").as("_ev_ts"),
+      lit(null).cast("string").as("_ev_type"),
+      col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("uid"))
+      .orderBy(col("ts"), col("_kind"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("_last_ts", last(col("_ev_ts"), ignoreNulls = true).over(w))
+      .withColumn("_last_type", last(col("_ev_type"), ignoreNulls = true).over(w))
+      .filter(col("_kind") === 1)
+      .select(col("o_orderkey"), col("uid").as("o_custkey"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("order_ts"),
+        m(col("o_totalprice")).as("o_totalprice"),
+        date_format(col("_last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_event_ts"),
+        col("_last_type").as("last_event_type"))
+  }
+
+  /** q56 — skew-salted aggregation, oracle-checked: the two-stage
+    * salted group-sum from [[Skew.saltedGroupSum]] over the 3-value
+    * l_returnflag key (the canonical hot-key shape), proving the salt →
+    * partial → final rewrite is RESULT-IDENTICAL to the plain GROUP BY
+    * the oracle runs. The salt spreads each hot key over `factor` tasks;
+    * only the partitioning changes. */
+  def saltedRevenue(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedGroupSum(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+      .select(col("l_returnflag"),
+        m(col("sum_l_extendedprice")).as("sum_price"), col("n"))
+      .orderBy(col("l_returnflag"))
+
   // q37 — per-group argmax (SURVEY W8: head-of-sorted / max_by): each
   // customer's single largest order, via row_number window (the
   // deterministic distributed form of `argmax`).

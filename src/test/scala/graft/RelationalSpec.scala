@@ -138,6 +138,46 @@ class RelationalSpec extends AnyFunSuite {
       "3_cart_after_click" -> 1L, "4_purchase_after_cart" -> 1L), got.toString)
   }
 
+  test("as-of join: inclusive boundary, latest-event tie-break, no-prior-event null (q55)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: events at t=60 and t=120; orders at t=120 (inclusive hit →
+    // the t=120 event), t=90 (→ t=60 event), t=30 (no prior → null).
+    // user 2: two events at the SAME ts — larger event_id must win.
+    val ev = Seq(
+      (1L, 60L, 10L, "view"), (1L, 120L, 11L, "click"),
+      (2L, 100L, 20L, "view"), (2L, 100L, 21L, "click"))
+      .toDF("user_id", "sec", "event_id", "event_type")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("event_id"), col("event_type"))
+    val ord = Seq(
+      (101L, 1L, 120L, 10.0), (102L, 1L, 90L, 20.0), (103L, 1L, 30L, 30.0),
+      (201L, 2L, 100L, 40.0))
+      .toDF("o_orderkey", "o_custkey", "sec", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        timestamp_seconds(col("sec")).as("o_orderdate"), col("o_totalprice"))
+    val got = operators.Relational.asofLastEventFrom(ev, ord)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(4)), Option(r.getString(5)))).toMap
+    assert(got(101L) == (Some("1970-01-01 00:02:00"), Some("click")), got(101L).toString)
+    assert(got(102L) == (Some("1970-01-01 00:01:00"), Some("view")), got(102L).toString)
+    assert(got(103L) == (None, None), got(103L).toString)
+    // equal-ts tie: event_id 21 ("click") outranks 20 ("view")
+    assert(got(201L) == (Some("1970-01-01 00:01:40"), Some("click")), got(201L).toString)
+  }
+
+  test("salted group-sum is row-identical to the plain groupBy (q56)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val salted = operators.Relational.saltedRevenue(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain, s"salted $salted vs plain $plain")
+  }
+
   test("funnel stages agree with a brute-force ordered walk per user") {
     import org.apache.spark.sql.functions._
     val got = operators.Relational.conversionFunnel(spark, sf)
