@@ -160,6 +160,72 @@ object Approx {
       .withColumn("std_residual", resid / lit(math.max(sd, 1e-12)))
   }
 
+  /** M27 (Q-Q surface) — normal quantile-quantile data, the
+    * `sm.qqplot` companion of the influence diagnostics
+    * (codes_in_book_of_statisct.ipynb cell 161): sample quantiles of
+    * column `c` at plotting positions p_i = (i−0.5)/points, standardized
+    * by the column's mean/sd, against theoretical N(0,1) quantiles.
+    *
+    * Distributed shape: ONE aggregation pass computes mean, sd and the
+    * whole quantile grid (`percentile` exact by default;
+    * `percentile_approx` is the 100-TB single-pass sketch path);
+    * theoretical quantiles are data-independent, computed on the driver
+    * with Acklam's inverse-normal approximation (|rel err| < 1.15e-9).
+    * Feed the result to `PlotSink.scatter(..., refLine = true)` for the
+    * rendered plot. */
+  def qqNormal(df: DataFrame, c: String, points: Int = 99,
+               exact: Boolean = true): DataFrame = {
+    require(points >= 2 && points <= 10000, s"points in [2,10000], got $points")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = Array.tabulate(points)(i => (i + 0.5) / points)
+    val arr = ps.mkString(",")
+    val pct =
+      if (exact) expr(s"percentile($c, array($arr))")
+      else expr(s"percentile_approx($c, array($arr), 10000)")
+    val r = df.agg(avg(col(c)), stddev_samp(col(c)), pct).head
+    val mean = r.getDouble(0)
+    val sd = r.getDouble(1)
+    require(sd > 0, s"qqNormal needs positive variance in $c")
+    val qs = r.getSeq[Double](2)
+    ps.indices.map(i => (ps(i), invNormalCdf(ps(i)), (qs(i) - mean) / sd))
+      .toSeq.toDF("p", "theoretical_q", "sample_q")
+  }
+
+  /** Inverse standard-normal CDF — Acklam's rational approximation
+    * (the standard public-domain constants), |relative error| <
+    * 1.15e-9 over (0,1). Driver-side only: theoretical quantiles are
+    * data-independent. */
+  def invNormalCdf(p: Double): Double = {
+    require(p > 0 && p < 1, s"p in (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pLow = 0.02425
+    if (p < pLow) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pLow) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+
   /** M27 (full) — OLS influence diagnostics, the statsmodels
     * `OLSInfluence` surface: per-row LEVERAGE (hat-matrix diagonal
     * h_i = x_iᵀ(XᵀX)⁻¹x_i over the intercept-augmented design), raw

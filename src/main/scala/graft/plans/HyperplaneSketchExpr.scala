@@ -86,16 +86,20 @@ object HyperplaneSketch {
     sketch
   }
 
+  /** Arity-checked builder — shared by the per-session [[register]]
+    * path and the [[graft.GraftExtensions]] injection path. */
+  def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      s"hyperplane_sketch expects (array<float>, bits, dim, seed), got ${exprs.length} args")
+    def intArg(i: Int): Int = exprs(i) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_sketch arg $i must be an integer literal, got $other")
+    }
+    HyperplaneSketch(exprs.head, intArg(1), intArg(2), intArg(3))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_sketch", exprs => {
-        require(exprs.length == 4,
-          s"hyperplane_sketch expects (array<float>, bits, dim, seed), got ${exprs.length} args")
-        def intArg(i: Int): Int = exprs(i) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
-          case other => throw new IllegalArgumentException(
-            s"hyperplane_sketch arg $i must be an integer literal, got $other")
-        }
-        HyperplaneSketch(exprs.head, intArg(1), intArg(2), intArg(3))
-      }, "built-in")
+      "hyperplane_sketch", build, "built-in")
 }

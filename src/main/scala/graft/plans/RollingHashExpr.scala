@@ -97,16 +97,20 @@ object MinRollingHash {
     min
   }
 
+  /** Arity-checked builder — shared by the per-session [[register]]
+    * path and the [[graft.GraftExtensions]] injection path. */
+  def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"min_rolling_hash(tokens, k) takes 2 arguments, got ${exprs.length}")
+    val k = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"min_rolling_hash window must be an int literal, got $other")
+    }
+    MinRollingHash(exprs.head, k)
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "min_rolling_hash", exprs => {
-        require(exprs.length == 2,
-          s"min_rolling_hash(tokens, k) takes 2 arguments, got ${exprs.length}")
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"min_rolling_hash window must be an int literal, got $other")
-        }
-        MinRollingHash(exprs.head, k)
-      }, "built-in")
+      "min_rolling_hash", build, "built-in")
 }

@@ -65,4 +65,53 @@ object PlotSink {
     javax.imageio.ImageIO.write(img, "png", f)
     f
   }
+
+  /** Render (x, y) rows as a scatter PNG — the Q-Q / residual-plot
+    * surface (visualizations.py's scatter panels; statsmodels qqplot).
+    * Same contract as [[barChart]]: input is an already-aggregated
+    * frame (quantile grids, binned residuals), limit-guarded before
+    * collect, deterministic bytes. `refLine` draws the y=x diagonal
+    * (the Q-Q "perfect normality" reference). */
+  def scatter(df: DataFrame, xCol: String, yCol: String, path: String,
+              width: Int = 640, height: Int = 400,
+              refLine: Boolean = false): File = {
+    val rows = df.select(col(xCol).cast("double"), col(yCol).cast("double"))
+      .limit(10001).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    require(rows.nonEmpty, "plot input is empty — aggregate before plotting")
+    require(rows.length <= 10000,
+      "plot input exceeds 10000 rows — a chart sink takes aggregated results, not raw data")
+    require(rows.forall(p => !p._1.isNaN && !p._2.isNaN),
+      "plot input contains NaN — clean the aggregate before plotting")
+    System.setProperty("java.awt.headless", "true")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, width, height)
+      val margin = 40
+      val plotW = width - 2 * margin
+      val plotH = height - 2 * margin
+      g.setColor(java.awt.Color.BLACK)
+      g.drawLine(margin, height - margin, width - margin, height - margin)
+      g.drawLine(margin, margin, margin, height - margin)
+      val (xMin, xMax) = (rows.map(_._1).min, rows.map(_._1).max)
+      val (yMin, yMax) = (rows.map(_._2).min, rows.map(_._2).max)
+      val xSpan = math.max(xMax - xMin, 1e-12)
+      val ySpan = math.max(yMax - yMin, 1e-12)
+      def px(x: Double): Int = margin + ((x - xMin) / xSpan * plotW).toInt
+      def py(y: Double): Int = height - margin - ((y - yMin) / ySpan * plotH).toInt
+      if (refLine) {
+        g.setColor(java.awt.Color.GRAY)
+        val lo = math.max(xMin, yMin); val hi = math.min(xMax, yMax)
+        if (hi > lo) g.drawLine(px(lo), py(lo), px(hi), py(hi))
+      }
+      g.setColor(new java.awt.Color(31, 119, 180))
+      rows.foreach { case (x, y) => g.fillRect(px(x) - 1, py(y) - 1, 3, 3) }
+    } finally g.dispose()
+    val f = new File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    javax.imageio.ImageIO.write(img, "png", f)
+    f
+  }
 }

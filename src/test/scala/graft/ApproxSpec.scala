@@ -182,4 +182,63 @@ class ApproxSpec extends AnyFunSuite {
     val sd = diag.agg(stddev_samp(col("std_residual"))).head.getDouble(0)
     assert(math.abs(sd - 1.0) < 0.05, s"std_residual sd=$sd")
   }
+
+  test("inverse normal CDF matches known quantiles (M27 Q-Q)") {
+    assert(math.abs(Approx.invNormalCdf(0.5)) < 1e-12)
+    assert(math.abs(Approx.invNormalCdf(0.975) - 1.959963985) < 1e-6)
+    assert(math.abs(Approx.invNormalCdf(0.025) + 1.959963985) < 1e-6)
+    assert(math.abs(Approx.invNormalCdf(0.841344746) - 1.0) < 1e-6)
+    // symmetry across the approximation's region boundaries (0.02425)
+    Seq(0.001, 0.01, 0.02, 0.03, 0.2).foreach { p =>
+      assert(math.abs(Approx.invNormalCdf(p) + Approx.invNormalCdf(1 - p)) < 1e-8,
+        s"asymmetric at $p")
+    }
+  }
+
+  test("Q-Q against normal data lies on the diagonal; exponential data departs (M27)") {
+    val normal = spark.range(5000).select(randn(50).as("v"))
+    val qqN = Approx.qqNormal(normal, "v")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // least-squares line through the 99 QQ points
+    def line(pts: Array[(Double, Double)]): (Double, Double) = {
+      val n = pts.length
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (slope, (sy - slope * sx) / n)
+    }
+    val (slopeN, interceptN) = line(qqN)
+    assert(math.abs(slopeN - 1.0) < 0.1, s"normal QQ slope $slopeN")
+    assert(math.abs(interceptN) < 0.05, s"normal QQ intercept $interceptN")
+    // exp(1) is right-skewed: its standardized upper tail must sit WELL
+    // above the normal quantile while the lower tail is compressed
+    val expo = spark.range(5000).select((-log(rand(51))).as("v"))
+    val qqE = Approx.qqNormal(expo, "v")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val topGap = qqE.last._2 - qqE.last._1
+    val botGap = qqE.head._2 - qqE.head._1
+    assert(topGap > 0.5, s"exp upper tail should exceed normal: $topGap")
+    assert(botGap > 0.5, s"exp lower tail should be compressed: $botGap")
+  }
+
+  test("Q-Q scatter renders deterministically via the plot sink (M27/S15)") {
+    val normal = spark.range(2000).select(randn(52).as("v"))
+    val qq = Approx.qqNormal(normal, "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qq").toString
+    val f1 = graft.sources.PlotSink.scatter(qq, "theoretical_q", "sample_q",
+      s"$dir/qq1.png", refLine = true)
+    val f2 = graft.sources.PlotSink.scatter(qq, "theoretical_q", "sample_q",
+      s"$dir/qq2.png", refLine = true)
+    assert(f1.exists() && f1.length() > 0)
+    val img = javax.imageio.ImageIO.read(f1)
+    val blue = new java.awt.Color(31, 119, 180).getRGB
+    val pixels = for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+      yield img.getRGB(x, y)
+    assert(pixels.contains(blue), "expected scatter points in the render")
+    assert(pixels.contains(java.awt.Color.GRAY.getRGB), "expected the y=x reference line")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(f1.toPath),
+      java.nio.file.Files.readAllBytes(f2.toPath)))
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spec for the `spark.sql.extensions=graft.GraftExtensions` entry
+  * point: every native expression must resolve in plain SQL on a session
+  * built WITH the extension and WITHOUT any imperative `register()`
+  * call, and must agree with the register() path value-for-value. */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("GraftExtensions injects every native function at session build") {
+    val base = spark // force the shared context to exist first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // reuses base's SparkContext; a FRESH session state is built with
+      // the extension applied. (`spark.sql.extensions` is a STATIC conf
+      // — honored only at SparkContext launch, which the shared test
+      // context predates — so the builder API form is what a same-JVM
+      // spec can exercise; both routes run the same GraftExtensions.)
+      val ext = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(ext ne base, "expected a fresh session")
+      val row = ext.sql(
+        """SELECT float_dot(array(cast(1.0 AS float), cast(2.0 AS float)),
+          |                 array(cast(3.0 AS float), cast(4.0 AS float))) AS d,
+          |       simhash64(array('the','quick','fox')) AS s64,
+          |       simhash_md5_60(array('the','quick','fox')) AS s60,
+          |       min_rolling_hash(array('a','b','c','d'), 2) AS mrh,
+          |       hyperplane_sketch(array(cast(1.0 AS float), cast(-1.0 AS float)), 8, 2, 42) AS hp
+          |""".stripMargin).head
+
+      assert(row.getDouble(0) == 11.0, s"float_dot: ${row.getDouble(0)}")
+      // the register() path on the base session must agree bit-for-bit
+      graft.plans.SimHash64.register(base)
+      graft.plans.SimHashMd5.register(base)
+      graft.plans.MinRollingHash.register(base)
+      graft.plans.HyperplaneSketch.register(base)
+      val expect = base.sql(
+        """SELECT simhash64(array('the','quick','fox')),
+          |       simhash_md5_60(array('the','quick','fox')),
+          |       min_rolling_hash(array('a','b','c','d'), 2),
+          |       hyperplane_sketch(array(cast(1.0 AS float), cast(-1.0 AS float)), 8, 2, 42)
+          |""".stripMargin).head
+      assert(row.getLong(1) == expect.getLong(0), "simhash64 disagrees")
+      assert(row.getLong(2) == expect.getLong(1), "simhash_md5_60 disagrees")
+      assert(row.getLong(3) == expect.getLong(2), "min_rolling_hash disagrees")
+      assert(row.getLong(4) == expect.getLong(3), "hyperplane_sketch disagrees")
+
+      // DESCRIBE FUNCTION surfaces the injected usage text
+      val desc = ext.sql("DESCRIBE FUNCTION float_dot")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains("float_dot"), desc)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
