@@ -76,6 +76,8 @@ object SparkEntry {
     "q54_funnel"            -> Relational.conversionFunnel _,
     "q55_asof_join"         -> Relational.asofLastEvent _,
     "q56_salted_agg"        -> Relational.saltedRevenue _,
+    "q57_range_join"        -> ((s: SparkSession, d: String) => Intervals.errorWindowEvents(s, d)),
+    "q58_weighted_mix"      -> Sampling.mixedCorpusAudit _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -920,5 +922,36 @@ object SparkEntry {
              count(*) AS n
       FROM lineitem
       GROUP BY l_returnflag""",
+
+    // range join: DuckDB runs the plain inequality join the bucket-grid
+    // equi-join must be semantically identical to
+    "q57_range_join" -> """
+      SELECT p.event_type, count(*) AS n_pairs,
+             count(DISTINCT e.event_id) AS n_windows,
+             count(DISTINCT p.event_id) AS n_events
+      FROM events p JOIN events e
+        ON p.user_id = e.user_id
+       AND e.event_type = 'error' AND p.event_type <> 'error'
+       AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTES
+      GROUP BY p.event_type ORDER BY p.event_type""",
+
+    // weighted corpus mixing: whole copies as UNION ALL, fractional
+    // rates as the portable md5 bucket filter (rate·10000 threshold)
+    "q58_weighted_mix" -> """
+      WITH d AS (
+        SELECT source, n_chars,
+               CAST(substr(source, 4) AS INT) % 4 AS g,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 10000 AS b
+        FROM documents),
+      m AS (
+        SELECT source, n_chars FROM d WHERE g = 0
+        UNION ALL SELECT source, n_chars FROM d WHERE g = 0
+        UNION ALL SELECT source, n_chars FROM d WHERE g = 1
+        UNION ALL SELECT source, n_chars FROM d WHERE g = 2 AND b < 5000
+        UNION ALL SELECT source, n_chars FROM d WHERE g = 3 AND b < 2500)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM m GROUP BY source ORDER BY source""",
   )
 }

@@ -118,6 +118,26 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  // q58 — data-mixture audit: mixCorpora over the documents table with
+  // per-source-group rates (2× upsample / keep / half / quarter by
+  // source-number mod 4), then the per-source row+char accounting a
+  // pretraining pipeline checks against its target mixture weights.
+  // Everything is hash-deterministic: the same doc is upsampled or
+  // dropped identically on every run and every engine (the oracle
+  // reproduces the md5 buckets exactly).
+  def mixedCorpusAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val group = substring(col("source"), 4, 10).cast("int") % 4
+    val rates = Map(0 -> 2.0, 1 -> 1.0, 2 -> 0.5, 3 -> 0.25)
+    val mixed = mixCorpora(rates.toSeq.sortBy(_._1).map { case (g, r) =>
+      (docs.filter(group === g), col("doc_id"), r)
+    })
+    mixed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Stratified sampling with exact per-stratum fractions via hash
     * buckets (sampleBy's reproducible cousin). */
   def stratifiedSample(df: DataFrame, stratum: String, key: Column,

@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml._
+import graft.operators.{Intervals, Sampling}
+
+/** Specs for round 4's coverage closers: true cost-complexity pruning
+  * (M7), the real Isolation Forest (M22), the bucket-grid range join and
+  * the weighted corpus mix (q57/q58 brute-force twins). */
+class CcpForestSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // two separable blobs plus 15% label noise: a deep tree overfits the
+  // noise into singleton leaves, exactly what ccp pruning must undo
+  private lazy val noisy: DataFrame =
+    spark.range(600).select(
+        col("id"),
+        (randn(7) + when(col("id") % 2 === 1, 2.5).otherwise(0.0)).as("f1"),
+        (randn(8) + when(col("id") % 2 === 1, 2.5).otherwise(0.0)).as("f2"))
+      .withColumn("label",
+        when(pmod(xxhash64(col("id")), lit(100)) < 15,
+          lit(1.0) - (col("id") % 2).cast("double"))
+          .otherwise((col("id") % 2).cast("double")))
+      .drop("id")
+
+  private lazy val fitted = {
+    val assembled = Features.assemble(noisy, Seq("f1", "f2"), "features")
+    Models.decisionTree("label", maxDepth = 8).fit(assembled)
+  }
+  private lazy val ccpPath =
+    CcpPruning.pruningPath(fitted, noisy, "label", Seq("f1", "f2"))
+
+  test("ccp path: alphas strictly increase, trees shrink to a stump (M7)") {
+    val a = ccpPath.alphas
+    assert(a.head == 0.0)
+    assert(a.sliding(2).forall { case Array(x, y) => y > x; case _ => true },
+      s"alphas not increasing: ${a.mkString(",")}")
+    val leaves = ccpPath.trees.map(_.leaves)
+    assert(leaves.sliding(2).forall { case Array(x, y) => y < x; case _ => true },
+      s"leaf counts not decreasing: ${leaves.mkString(",")}")
+    assert(leaves.last == 1, "path must end at the root stump")
+    assert(leaves.head > 4, "the unpruned depth-8 tree should have overfit")
+  }
+
+  test("ccp path: risk increase per step equals alpha times leaves removed") {
+    // the defining identity of weakest-link pruning: collapsing the
+    // minimizing node(s) raises subtree risk by exactly g per removed leaf
+    val total = ccpPath.trees.head.n.toDouble
+    ccpPath.alphas.indices.drop(1).foreach { k =>
+      val dR = ccpPath.trees(k).subtreeRisk(total) -
+        ccpPath.trees(k - 1).subtreeRisk(total)
+      val dLeaves = ccpPath.trees(k - 1).leaves - ccpPath.trees(k).leaves
+      assert(math.abs(dR - ccpPath.alphas(k) * dLeaves) < 1e-9,
+        s"step $k: dR=$dR alpha*dLeaves=${ccpPath.alphas(k) * dLeaves}")
+    }
+  }
+
+  test("ccp at alpha=0 reproduces the MLlib tree's predictions") {
+    val assembled = Features.assemble(noisy, Seq("f1", "f2"), "features")
+    val mllib = fitted.transform(assembled).select(col("prediction"))
+      .as[Double].collect()
+    val ours = assembled.select(
+      CcpPruning.predictColumn(ccpPath.pruneAt(0.0), Seq("f1", "f2"))
+        .as("p")).as[Double].collect()
+    assert(mllib.sameElements(ours),
+      "unpruned PTree must route every row exactly like the MLlib model")
+  }
+
+  test("ccp at huge alpha predicts the majority class everywhere") {
+    val stump = ccpPath.pruneAt(1e9)
+    assert(stump.leaves == 1)
+    val majority = noisy.groupBy(col("label")).count()
+      .orderBy(col("count").desc, col("label")).head.getDouble(0)
+    assert(stump.prediction == majority)
+  }
+
+  test("ccp CV selects a pruned tree at least as accurate held-out (M7)") {
+    val holdout = noisy.filter(pmod(xxhash64(col("f1"), col("f2")), lit(5)) === 0)
+    val trainDf = noisy.exceptAll(holdout)
+    val (alpha, pruned, p) =
+      CcpPruning.cvSelect(trainDf, "label", Seq("f1", "f2"), maxDepth = 8)
+    assert(alpha > 0.0, "15% label noise must force some pruning")
+    assert(pruned.leaves < p.trees.head.leaves,
+      s"selected tree (${pruned.leaves} leaves) should be smaller than " +
+        s"full (${p.trees.head.leaves})")
+    def acc(t: CcpPruning.PTree): Double = {
+      val n = holdout.count().toDouble
+      holdout.filter(CcpPruning.predictColumn(t, Seq("f1", "f2")) ===
+        col("label")).count() / n
+    }
+    val prunedAcc = acc(pruned)
+    val fullAcc = acc(p.trees.head)
+    assert(prunedAcc >= fullAcc - 0.02,
+      s"pruned=$prunedAcc full=$fullAcc — pruning should not cost accuracy")
+    assert(prunedAcc > 0.8, s"pruned accuracy $prunedAcc")
+  }
+
+  // ---- Isolation Forest (M22) ----
+
+  // 400 inliers around the origin, 8 planted isolates far outside
+  private lazy val anomalies: DataFrame =
+    spark.range(400).select(
+        col("id"), randn(11).as("x1"), randn(12).as("x2"))
+      .withColumn("x1", when(col("id") < 8, col("x1") + 9.0).otherwise(col("x1")))
+      .withColumn("x2", when(col("id") < 8, col("x2") - 9.0).otherwise(col("x2")))
+
+  test("isolation forest isolates the planted outliers (M22)") {
+    val model = IsolationForest.fit(anomalies, Seq("x1", "x2"),
+      nTrees = 100, sampleSize = 64)
+    val top = model.transform(anomalies)
+      .orderBy(col("anomaly_score").desc).select(col("id")).limit(8)
+      .as[Long].collect().toSet
+    assert(top == (0L until 8L).toSet,
+      s"top-8 scores should be the planted outliers, got $top")
+    // and the paper's score semantics: isolates well above 0.6, the
+    // bulk of inliers below it
+    val flagged = model.transform(anomalies)
+      .filter(col("is_anomaly") === 1).count()
+    assert(flagged >= 8 && flagged <= 40, s"flagged=$flagged")
+  }
+
+  test("isolation forest is deterministic for a fixed seed") {
+    val m1 = IsolationForest.fit(anomalies, Seq("x1", "x2"), nTrees = 20,
+      sampleSize = 64)
+    val m2 = IsolationForest.fit(anomalies, Seq("x1", "x2"), nTrees = 20,
+      sampleSize = 64)
+    val s1 = m1.transform(anomalies).select(col("anomaly_score"))
+      .as[Double].collect()
+    val s2 = m2.transform(anomalies).select(col("anomaly_score"))
+      .as[Double].collect()
+    assert(s1.sameElements(s2))
+  }
+
+  test("avgPathLength matches the paper's c(n)") {
+    assert(IsolationForest.avgPathLength(1) == 0.0)
+    // c(2) = 2·H(1) − 2·(1/2) = 2·γ − 1 ≈ 0.1544 (H(1) = ln1 + γ)
+    assert(math.abs(IsolationForest.avgPathLength(2) -
+      (2 * 0.5772156649 - 1.0)) < 1e-6)
+    // monotone in n, ~2·ln(n) growth
+    assert(IsolationForest.avgPathLength(256) >
+      IsolationForest.avgPathLength(64))
+  }
+
+  // ---- q57 / q58 brute-force twins ----
+
+  test("bucket-grid range join equals the brute-force inequality join") {
+    val grid = Intervals.errorWindowEvents(spark, sf)
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("u"),
+        col("ts").as("lo"))
+    val pts = ev.filter(col("event_type") =!= "error")
+    val brute = pts.join(err, pts("user_id") === err("u") &&
+        pts("ts") >= err("lo") &&
+        pts("ts") < err("lo") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("err_id")).as("n_windows"),
+        countDistinct(col("event_id")).as("n_events"))
+    assert(grid.exceptAll(brute).isEmpty && brute.exceptAll(grid).isEmpty,
+      "grid join diverges from brute force")
+    assert(grid.agg(sum("n_pairs")).head.getLong(0) > 0, "fixture too sparse")
+  }
+
+  test("weighted mix audit: rates applied per source group") {
+    val audit = Sampling.mixedCorpusAudit(spark, sf).collect()
+    val bySource = audit.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val totals = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.keys.foreach { src =>
+      val g = src.drop(3).toInt % 4
+      val (n, chars) = bySource.getOrElse(src, (0L, 0L))
+      g match {
+        case 0 => assert(n == 2 * totals(src), s"$src upsample 2x")
+        case 1 => assert(n == totals(src), s"$src keep")
+        case 2 => // ~half, hash-exact: bounded by the source size
+          assert(n > 0 && n < totals(src), s"$src half got $n")
+        case 3 => assert(n < totals(src) / 2 + 2, s"$src quarter got $n")
+      }
+      if (n > 0) assert(chars > 0)
+    }
+    // fractional sampling is hash-deterministic: rerun is identical
+    val again = Sampling.mixedCorpusAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == bySource)
+  }
+}
