@@ -78,6 +78,7 @@ object SparkEntry {
     "q56_salted_agg"        -> Relational.saltedRevenue _,
     "q57_range_join"        -> ((s: SparkSession, d: String) => Intervals.errorWindowEvents(s, d)),
     "q58_weighted_mix"      -> Sampling.mixedCorpusAudit _,
+    "q59_unigram_lm"        -> TextOps.unigramLmScore _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -953,5 +954,21 @@ object SparkEntry {
       SELECT source, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS n_chars
       FROM m GROUP BY source ORDER BY source""",
+
+    // unigram LM: identical Laplace smoothing, 6dp rounding absorbs
+    // cross-engine sum-order/libm ulps
+    "q59_unigram_lm" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      c AS (SELECT token, count(*) AS n_tok FROM tok GROUP BY token),
+      t AS (SELECT CAST(sum(n_tok) AS BIGINT) + count(*) AS denom FROM c),
+      s AS (SELECT tok.doc_id,
+                   ln((c.n_tok + 1) / CAST(t.denom AS DOUBLE)) AS logp
+            FROM tok JOIN c USING (token) CROSS JOIN t)
+      SELECT doc_id, count(*) AS n_tokens,
+             round(avg(logp), 6) AS avg_logp,
+             round(min(logp), 6) AS min_logp
+      FROM s GROUP BY doc_id ORDER BY doc_id""",
   )
 }

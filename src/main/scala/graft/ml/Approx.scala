@@ -64,6 +64,60 @@ object Approx {
       model.transform(randomFourierFeatures(score, inputCols, d, gamma))
   }
 
+  /** M12 (complete) — ONE-VS-ONE multiclass RBF-SVC, sklearn
+    * `SVC(kernel='rbf')`'s actual strategy (`SVM.ipynb:~2584 (cell 18)`):
+    * one shared RFF space, one binary LinearSVC per UNORDERED CLASS PAIR
+    * fit on just that pair's rows, prediction by majority vote (ties →
+    * lowest class, sklearn's convention). Closes the OVR-vs-OVO delta
+    * [[rbfSvcOvr]] recorded.
+    *
+    * Scale shape: k(k−1)/2 fits are DRIVER-SEQUENCED JOBS over row
+    * subsets (each a distributed LinearSVC on a filtered frame — no rows
+    * ever collect); voting is pure column arithmetic over the pairwise
+    * prediction columns, so scoring stays one distributed pass. */
+  def rbfSvcOvo(train: DataFrame, labelCol: String, inputCols: Seq[String],
+                d: Int = 64, gamma: Double = 1.0,
+                regParam: Double = 0.01): DataFrame => DataFrame = {
+    val trainF = randomFourierFeatures(train, inputCols, d, gamma)
+    val classes = trainF.select(col(labelCol).cast("double"))
+      .distinct().collect().map(_.getDouble(0)).sorted
+    require(classes.length >= 2,
+      s"one-vs-one needs ≥ 2 classes, got ${classes.length}")
+    val pairs = for {
+      i <- classes.indices
+      j <- i + 1 until classes.length
+    } yield (i, j)
+    val models = pairs.map { case (i, j) =>
+      val sub = trainF.filter(col(labelCol).isin(classes(i), classes(j)))
+        .withColumn("_bl", (col(labelCol) === classes(j)).cast("double"))
+      (i, j) -> new LinearSVC().setLabelCol("_bl").setFeaturesCol("rff")
+        .setRegParam(regParam)
+        .setPredictionCol(s"_ovo_p_${i}_$j")
+        .setRawPredictionCol(s"_ovo_r_${i}_$j")
+        .fit(sub)
+    }
+    (score: DataFrame) => {
+      val f = randomFourierFeatures(score, inputCols, d, gamma)
+      val scored = models.foldLeft(f) { case (acc, (_, m)) => m.transform(acc) }
+      val votes: Seq[Column] = classes.indices.map { c =>
+        pairs.map { case (i, j) =>
+          if (i == c) when(col(s"_ovo_p_${i}_$j") === 0.0, 1).otherwise(0)
+          else if (j == c) when(col(s"_ovo_p_${i}_$j") === 1.0, 1).otherwise(0)
+          else lit(0)
+        }.reduce(_ + _)
+      }
+      // argmax votes; array_position finds the FIRST max ⇒ tie → lowest
+      // class index
+      val voteArr = array(votes: _*)
+      val idx = array_position(voteArr, array_max(voteArr))
+      val out = scored.withColumn("prediction",
+        element_at(lit(classes), idx.cast("int")))
+      pairs.foldLeft(out) { case (acc, (i, j)) =>
+        acc.drop(s"_ovo_p_${i}_$j", s"_ovo_r_${i}_$j")
+      }
+    }
+  }
+
   /** M22 — IsolationForest substitute: Gaussian-tail anomaly scoring.
     * Fits a diagonal Gaussian to the features (one agg pass) and scores
     * rows by Mahalanobis-ish distance; `threshold` in std units flags

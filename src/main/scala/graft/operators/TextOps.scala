@@ -111,6 +111,33 @@ object TextOps {
       .withColumn("repetitive", (col("repetition") > 0.2).cast("int"))
       .orderBy(col("doc_id"))
 
+  // q59 — unigram language-model scoring: fit add-one-smoothed unigram
+  // log-probs on the corpus itself, score every document by its mean and
+  // minimum token log-prob — the classic cheap LM-based quality filter
+  // (docs full of rare junk score low; `min_logp` is the rarest-token
+  // surprise). Two corpus scans by design: pass 1 aggregates the
+  // vocabulary histogram (vocab-sized ⇒ BROADCAST to the scoring join —
+  // no shuffle of the token stream), pass 2 re-explodes and scores.
+  // Caching the exploded token stream instead would trade a cheap
+  // map-side re-scan for materializing ~N_tokens rows — the wrong trade
+  // at 100 TB. Scores round to 6dp: sum order and libm ulps differ
+  // across engines.
+  def unigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val t = counts.agg(sum(col("n_tok")).cast("long"), count(lit(1))).head
+    val denom = (t.getLong(0) + t.getLong(1)).toDouble
+    val logp = log((col("n_tok") + lit(1L)).cast("double") / lit(denom))
+    tok.join(broadcast(counts), "token")
+      .withColumn("logp", logp)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("logp")), 6).as("avg_logp"),
+        round(min(col("logp")), 6).as("min_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   // q30 — winnowing-style fingerprint: min md5 over 8-token shingles,
   // bucketed by the first hex nibble. Per-row, shuffle-free; the bucket
   // column is what a 100-TB pipeline would hash-partition on.

@@ -166,6 +166,60 @@ class CcpForestSpec extends AnyFunSuite {
     assert(grid.agg(sum("n_pairs")).head.getLong(0) > 0, "fixture too sparse")
   }
 
+  test("one-vs-one RBF-SVC separates 3 concentric rings (M12 complete)") {
+    // radially separable only — each pairwise SVC must use the RFF space
+    def ring(n: Int, r: Double, seed: Int, label: Double): DataFrame = {
+      val angle = rand(seed) * 2 * math.Pi
+      spark.range(n).select(
+        (cos(angle) * r + randn(seed + 100) * 0.2).as("f1"),
+        (sin(angle) * r + randn(seed + 200) * 0.2).as("f2"),
+        lit(label).as("label"))
+    }
+    val rings = ring(150, 0.0, 70, 0.0)
+      .unionByName(ring(150, 2.0, 71, 1.0))
+      .unionByName(ring(150, 4.0, 72, 2.0)).cache()
+    val scorer = Approx.rbfSvcOvo(rings, "label", Seq("f1", "f2"),
+      d = 128, gamma = 0.5)
+    val pred = scorer(rings)
+    val acc = pred.filter(col("prediction") === col("label")).count().toDouble /
+      pred.count()
+    assert(acc > 0.85, s"OVO rbf accuracy=$acc")
+    // votes resolve to an actual class label, and the pairwise scratch
+    // columns do not leak into the output
+    val preds = pred.select(col("prediction")).distinct()
+      .as[Double].collect().toSet
+    assert(preds.subsetOf(Set(0.0, 1.0, 2.0)), s"labels $preds")
+    assert(!pred.columns.exists(_.startsWith("_ovo_")),
+      pred.columns.mkString(","))
+    rings.unpersist()
+  }
+
+  test("unigram LM scoring: common-token docs outscore rare-token docs (q59)") {
+    val lm = operators.TextOps.unigramLmScore(spark, sf).cache()
+    // every doc: negative log-probs, min ≤ avg, token count matches the
+    // q21 tokenizer
+    assert(lm.filter(col("avg_logp") >= 0 || col("min_logp") > col("avg_logp"))
+      .count() == 0)
+    val stats = operators.TextOps.docStats(spark, sf)
+      .select(col("doc_id"), col("n_tokens").as("expected"))
+    assert(lm.join(stats, "doc_id")
+      .filter(col("n_tokens") =!= col("expected")).count() == 0)
+    // the corpus's highest-avg_logp doc must be built from more common
+    // tokens than the lowest one — cross-check via the q22 frequency table
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val freq = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").count()
+    def meanFreq(id: Long): Double =
+      docs.filter(col("doc_id") === id)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        .join(freq, "token").agg(avg(col("count"))).head.getDouble(0)
+    val hi = lm.orderBy(col("avg_logp").desc).head.getLong(0)
+    val lo = lm.orderBy(col("avg_logp")).head.getLong(0)
+    assert(meanFreq(hi) > meanFreq(lo),
+      s"doc $hi (high score) should use commoner tokens than $lo")
+    lm.unpersist()
+  }
+
   test("weighted mix audit: rates applied per source group") {
     val audit = Sampling.mixedCorpusAudit(spark, sf).collect()
     val bySource = audit.map(r => r.getString(0) ->
