@@ -82,7 +82,11 @@ class ScaleSpec extends AnyFunSuite {
     // neither a CartesianProduct NOR a BroadcastNestedLoopJoin (the
     // "small data hides the cross join" failure mode) may appear — unlike
     // the ANN queries, whose broadcast query side legitimately plans BNLJ
-    Seq("q26_ngram_jaccard", "q43_embedding_dedup").foreach { name =>
+    // q57's range join belongs here too: the bucket grid must make it an
+    // EQUI-join (inequality only in the post-join filter) — a BNLJ would
+    // mean the grid key fell out of the join condition
+    Seq("q26_ngram_jaccard", "q43_embedding_dedup", "q57_range_join")
+      .foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") &&
