@@ -296,6 +296,65 @@ object Approx {
     * why hat diagonals do NOT need the single-node hat matrix. */
   def influenceDiagnostics(df: DataFrame, labelCol: String,
                            features: Seq[String]): DataFrame = {
+    val m = olsMoments(df, labelCol, features)
+    val withRes = df.withColumn("residual", m.y - m.predicted)
+      .withColumn("leverage", m.leverage)
+    val s2 = residualVariance(withRes, m)
+    withRes.withColumn("student_resid",
+      col("residual") / sqrt(lit(s2) * (lit(1.0) - col("leverage"))))
+  }
+
+  /** M1 companion (the `get_prediction().summary_frame()` surface,
+    * `data_mining_Assignment1.ipynb`'s OLS-with-prediction-intervals
+    * cell): per-row fitted value, `level` CONFIDENCE interval of the
+    * mean response (± t·s·√h) and PREDICTION interval for a new
+    * observation (± t·s·√(1+h)) — h is the same hat diagonal the
+    * influence surface uses, so this is the identical two-scan shape:
+    * one moment pass, one RSS pass, then pure column arithmetic. The
+    * t critical value uses the Cornish-Fisher expansion around the
+    * normal quantile (exact to ~1e-9 for the df ≥ 30 any distributed
+    * dataset has; documented approximation below that). */
+  def olsIntervals(df: DataFrame, labelCol: String, features: Seq[String],
+                   level: Double = 0.95): DataFrame = {
+    require(level > 0 && level < 1, s"level in (0,1), got $level")
+    val m = olsMoments(df, labelCol, features)
+    val withRes = df.withColumn("predicted", m.predicted)
+      .withColumn("residual", m.y - m.predicted)
+      .withColumn("_h", m.leverage)
+    val s2 = residualVariance(withRes, m)
+    val t = tQuantile(1.0 - (1.0 - level) / 2.0, m.dfResid)
+    val s = math.sqrt(s2)
+    val out = withRes
+      .withColumn("ci_lo", col("predicted") - lit(t * s) * sqrt(col("_h")))
+      .withColumn("ci_hi", col("predicted") + lit(t * s) * sqrt(col("_h")))
+      .withColumn("pi_lo",
+        col("predicted") - lit(t * s) * sqrt(lit(1.0) + col("_h")))
+      .withColumn("pi_hi",
+        col("predicted") + lit(t * s) * sqrt(lit(1.0) + col("_h")))
+    out.drop("_h")
+  }
+
+  /** Student-t upper quantile via the Cornish-Fisher/Peiser expansion of
+    * the normal quantile — |err| < 1e-8 for df ≥ 30, < 1e-3 at df = 5
+    * (adequate: every distributed regression has df ≫ 30; recorded
+    * approximation). */
+  def tQuantile(p: Double, df: Double): Double = {
+    val z = invNormalCdf(p)
+    val z3 = z * z * z; val z5 = z3 * z * z; val z7 = z5 * z * z
+    z + (z3 + z) / (4 * df) +
+      (5 * z5 + 16 * z3 + 3 * z) / (96 * df * df) +
+      (3 * z7 + 19 * z5 + 17 * z3 - 15 * z) / (384 * df * df * df)
+  }
+
+  /** Shared OLS sufficient statistics: ONE aggregation pass collects the
+    * (p+1)² cross-moments and Xᵀy, the (p+1)×(p+1) inversion runs on the
+    * driver, and predicted/leverage come back as column expressions. */
+  private final case class OlsMoments(y: Column, predicted: Column,
+                                      leverage: Column, n: Double,
+                                      dfResid: Double)
+
+  private def olsMoments(df: DataFrame, labelCol: String,
+                         features: Seq[String]): OlsMoments = {
     val p = features.size
     val xs: Seq[Column] = lit(1.0) +: features.map(f => col(f).cast("double"))
     val y = col(labelCol).cast("double")
@@ -309,7 +368,7 @@ object Approx {
       else r.getAs[Double](s"_xx_${b}_$a"))
     val xty = Array.tabulate(p + 1)(a => r.getAs[Double](s"_xy_$a"))
     val n = xtx(0)(0) // Σ1 — the intercept-intercept moment
-    require(n > p + 1, s"influenceDiagnostics needs n > p+1 rows, got $n")
+    require(n > p + 1, s"OLS diagnostics need n > p+1 rows, got $n")
     val (inv, _) = Customs.invertAndLogDet(xtx)
     // β = (XᵀX)⁻¹Xᵀy — the exact normal-equation estimator, same as sm.OLS
     val beta = Array.tabulate(p + 1)(a => (0 to p).map(b => inv(a)(b) * xty(b)).sum)
@@ -317,12 +376,12 @@ object Approx {
       .reduce(_ + _)
     val lev = (for (a <- 0 to p; b <- 0 to p)
       yield xs(a) * xs(b) * lit(inv(a)(b))).reduce(_ + _)
-    val withRes = df.withColumn("residual", y - predicted)
-      .withColumn("leverage", lev)
-    val rss = withRes.agg(sum(col("residual") * col("residual")))
-      .head.getDouble(0)
-    val s2 = rss / (n - p - 1)
-    withRes.withColumn("student_resid",
-      col("residual") / sqrt(lit(s2) * (lit(1.0) - col("leverage"))))
+    OlsMoments(y, predicted, lev, n, n - p - 1)
   }
+
+  /** Second pass: s² = RSS/(n−p−1) over a frame that already carries
+    * `residual`. */
+  private def residualVariance(withRes: DataFrame, m: OlsMoments): Double =
+    withRes.agg(sum(col("residual") * col("residual")))
+      .head.getDouble(0) / m.dfResid
 }

@@ -145,6 +145,38 @@ class CcpForestSpec extends AnyFunSuite {
       IsolationForest.avgPathLength(64))
   }
 
+  // ---- OLS prediction intervals (M1 companion) ----
+
+  test("olsIntervals: 95% prediction interval covers ~95% of points") {
+    // y = 2 + 3x + N(0,1), n=2000 — statsmodels' summary_frame semantics
+    val df = spark.range(2000).select((randn(21) * 2.0).as("x"))
+      .withColumn("y", lit(2.0) + lit(3.0) * col("x") + randn(22))
+    val out = Approx.olsIntervals(df, "y", Seq("x")).cache()
+    val n = out.count().toDouble
+    val inPi = out.filter(col("y").between(col("pi_lo"), col("pi_hi"))).count() / n
+    assert(inPi > 0.93 && inPi < 0.97, s"PI coverage $inPi")
+    // the mean-response CI must be strictly inside the PI, and the CI for
+    // the mean must be far narrower (√h vs √(1+h), h ≈ 1/n near x̄)
+    assert(out.filter(col("ci_lo") < col("pi_lo") - 1e-12 ||
+      col("ci_hi") > col("pi_hi") + 1e-12).count() == 0)
+    val widths = out.agg(
+      avg(col("ci_hi") - col("ci_lo")), avg(col("pi_hi") - col("pi_lo"))).head
+    assert(widths.getDouble(0) < widths.getDouble(1) / 5,
+      s"CI ${widths.getDouble(0)} vs PI ${widths.getDouble(1)}")
+    // closed form at the mean: CI halfwidth ≈ t·s·√(1/n)
+    val minCi = out.agg(min(col("ci_hi") - col("ci_lo"))).head.getDouble(0)
+    val expect = 2 * Approx.tQuantile(0.975, n - 2) * math.sqrt(1.0 / n)
+    assert(math.abs(minCi - expect) / expect < 0.1,
+      s"narrowest CI $minCi vs closed-form $expect")
+    out.unpersist()
+  }
+
+  test("tQuantile matches known critical values") {
+    assert(math.abs(Approx.tQuantile(0.975, 1e9) - 1.959964) < 1e-4)
+    assert(math.abs(Approx.tQuantile(0.975, 30) - 2.042272) < 1e-4)
+    assert(math.abs(Approx.tQuantile(0.95, 100) - 1.660234) < 1e-4)
+  }
+
   // ---- q57 / q58 brute-force twins ----
 
   test("bucket-grid range join equals the brute-force inequality join") {

@@ -117,4 +117,33 @@ class PropertySpec extends AnyFunSuite {
     val bad = pairs.filter(col("est_jaccard") < 0.0 || col("est_jaccard") > 1.0)
     assert(bad.count() == 0)
   }
+
+  test("bucket-grid range join equals brute force on random intervals (q57 core)") {
+    // random points/intervals/bucket widths — including intervals much
+    // longer AND much shorter than the grid, zero-length intervals, and
+    // boundary-touching points the grid cover must neither drop nor dup
+    val pointGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 500L)))
+    val ivGen = Gen.listOfN(15, Gen.zip(Gen.chooseNum(0L, 2L),
+      Gen.chooseNum(0L, 500L), Gen.chooseNum(0L, 120L)))
+    val wGen = Gen.oneOf(7L, 50L, 128L)
+    (1 to 8).foreach { i =>
+      val seed = Seed(1000L + i)
+      val pts = pointGen.apply(Gen.Parameters.default, seed).get
+        .zipWithIndex.map { case ((k, t), id) => (id.toLong, k, t) }
+        .toDF("pid", "k", "t")
+      val ivs = ivGen.apply(Gen.Parameters.default, seed.next).get
+        .zipWithIndex.map { case ((k, lo, len), id) => (id.toLong, k, lo, lo + len) }
+        .toDF("iid", "k", "lo", "hi")
+      val w = wGen.apply(Gen.Parameters.default, seed.next.next).get
+      val grid = operators.Intervals.rangeJoin(pts, ivs, Seq("k"),
+          "t", "lo", "hi", w)
+        .select(col("pid"), col("iid"))
+      val brute = pts.join(ivs.withColumnRenamed("k", "k2"),
+          col("k") === col("k2") && col("t") >= col("lo") && col("t") < col("hi"))
+        .select(col("pid"), col("iid"))
+      assert(grid.exceptAll(brute).isEmpty && brute.exceptAll(grid).isEmpty,
+        s"iteration $i (w=$w): grid join diverges from brute force")
+    }
+  }
 }
