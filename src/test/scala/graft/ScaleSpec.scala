@@ -131,6 +131,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(g.exceptAll(exp).count() == 0)
   }
 
+  test("z-order layout prunes row groups a single-dim sort cannot") {
+    import graft.sources.ZOrderLayout
+    val spark2 = spark
+    import spark2.implicits._
+    // column expression must equal the driver-side Morton reference
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (200L, 31L),
+      (12345L, 54321L), ((1L << 31) - 1, 77L))
+    val got = pairs.toDF("x", "y")
+      .select(ZOrderLayout.zValue(col("x"), col("y"))).as[Long].collect()
+    assert(got.sameElements(pairs.map { case (x, y) =>
+      ZOrderLayout.zValueRef(x, y) }))
+    // 40k rows uniform over a 200×200 (x,y) grid, two layouts, 8 files
+    val df = spark.range(40000).select(
+      pmod(xxhash64(col("id")), lit(200)).as("x"),
+      pmod(xxhash64(col("id") + 777), lit(200)).as("y"),
+      col("id").as("payload"))
+    val naive = "/tmp/graft_zorder_naive"
+    val zpath = "/tmp/graft_zorder_z"
+    df.repartition(8).write.mode("overwrite").parquet(naive)
+    ZOrderLayout.writeZOrdered(df, zpath, col("x"), col("y"), numFiles = 8)
+    // a 1/64-area box query: naive layout overlaps every row group, the
+    // z layout's rectangles exclude most of them — THE reason to pay the
+    // one range shuffle at write time
+    val (nOv, nTot) = ZOrderLayout.rowGroupsOverlapping(
+      spark, naive, "x", "y", 0, 24, 0, 24)
+    val (zOv, zTot) = ZOrderLayout.rowGroupsOverlapping(
+      spark, zpath, "x", "y", 0, 24, 0, 24)
+    assert(nTot >= 8 && zTot >= 8, s"expected ≥8 row groups, got $nTot/$zTot")
+    assert(nOv == nTot, "uniform layout should overlap every group")
+    assert(zOv * 2 <= zTot, s"z layout should skip ≥ half, read $zOv/$zTot")
+    // and the layout is purely physical: both reads return the same rows
+    val q = (p: String) => spark.read.parquet(p)
+      .filter(col("x") <= 24 && col("y") <= 24)
+    assert(q(naive).exceptAll(q(zpath)).isEmpty &&
+      q(zpath).exceptAll(q(naive)).isEmpty)
+  }
+
   test("ORC round-trips with pushdown like parquet") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
