@@ -95,13 +95,9 @@ object CcpPruning {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     def build(node: Node, id: Int): (PTree, Int) = node match {
-      case leaf: LeafNode =>
+      case _: LeafNode =>
         val counts = Array.tabulate(numClasses)(k =>
           hist.getOrElse((id, k), 0L))
-        // rows the tree routes here but the histogram missed would mean
-        // the routing column diverged from the model — fail loudly
-        require(counts.sum > 0 || leaf.prediction >= 0,
-          s"leaf $id received no training rows")
         (PLeaf(counts), id + 1)
       case in: InternalNode =>
         val (l, afterL) = build(in.leftChild, id)
