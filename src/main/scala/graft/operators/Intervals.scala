@@ -20,6 +20,14 @@ import graft.sources.Tables
   * W near the typical interval length so the blow-up stays ≤ ~3×.
   * (Same family as Dedup's banded LSH joins: turn a predicate join into
   * an equi-join on a coarsened key.)
+  *
+  * The constant-width special case of this rewrite also runs
+  * AUTOMATICALLY as a Catalyst optimizer rule
+  * ([[graft.plans.RangeJoinRule]], injected by `GraftExtensions`): a
+  * plain `t >= lo && t < lo + W` join written naively against an
+  * extension-enabled session plans as the grid equi-join instead of a
+  * nested loop. This operator remains the general form (variable-length
+  * intervals, multi-key).
   */
 object Intervals {
 

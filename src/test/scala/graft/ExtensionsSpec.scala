@@ -63,4 +63,70 @@ class ExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("RangeJoinRule turns a pure range join into an equi-join, same rows") {
+    import org.apache.spark.sql.functions._
+    val base = spark
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new GraftExtensions).getOrCreate()
+      import ext.implicits._
+      // 300 points, 40 constant-width intervals, NO equi key — the shape
+      // Catalyst can only nested-loop on its own
+      val pts = ext.range(300).select(col("id").as("pid"),
+        pmod(xxhash64(col("id")), lit(1000)).as("t"))
+      val ivs = ext.range(40).select(col("id").as("iid"),
+        (pmod(xxhash64(col("id") + 5), lit(950))).as("lo"))
+      val joined = pts.join(ivs,
+        col("t") >= col("lo") && col("t") < col("lo") + lit(60L))
+        .select(col("pid"), col("iid"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rule did not fire:\n${plan.take(1500)}")
+      // semantics: identical rows to the SAME query on the base session
+      // (no rule injected there)
+      val basePts = base.range(300).select(col("id").as("pid"),
+        pmod(xxhash64(col("id")), lit(1000)).as("t"))
+      val baseIvs = base.range(40).select(col("id").as("iid"),
+        (pmod(xxhash64(col("id") + 5), lit(950))).as("lo"))
+      val expected = basePts.join(baseIvs,
+        col("t") >= col("lo") && col("t") < col("lo") + lit(60L))
+        .select(col("pid"), col("iid"))
+      val baseP = expected.queryExecution.executedPlan.toString
+      assert(baseP.contains("BroadcastNestedLoopJoin") ||
+        baseP.contains("CartesianProduct"),
+        "fixture no longer exercises the nested-loop path")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val exp = expected.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.nonEmpty && got.sameElements(exp),
+        s"rows diverge: ${got.length} vs ${exp.length}")
+      // negative domains: the floor-division grid must cover below zero
+      val negPts = pts.withColumn("t", col("t") - 500)
+      val negIvs = ivs.withColumn("lo", col("lo") - 500)
+      val negGot = negPts.join(negIvs,
+          col("t") >= col("lo") && col("t") < col("lo") + lit(60L))
+        .select(col("pid"), col("iid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(negGot.sameElements(exp),
+        "negative-shifted domain must join the same (pid, iid) pairs")
+      // a join that already has an equi-conjunct must be left alone
+      val withKey = pts.withColumn("k", col("pid") % 3)
+        .join(ivs.withColumn("k2", col("iid") % 3),
+          col("k") === col("k2") &&
+            col("t") >= col("lo") && col("t") < col("lo") + lit(60L))
+      val keyPlan = withKey.queryExecution.executedPlan.toString
+      assert(!keyPlan.contains("_graft_pb"),
+        "rule must not fire when an equi-conjunct exists")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
