@@ -88,6 +88,9 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       case GreaterThanOrEqual(t, lo) => (t, lo)
       case LessThanOrEqual(lo, t) => (t, lo)
     }
+    // upper bound: open (t < lo + W) or closed/BETWEEN (t <= lo + W) —
+    // both fit the two-cell cover, since floor((lo+W)/W) = floor(lo/W)+1
+    // exactly when W divides the grid (it does: the grid IS W-wide)
     val lt: PartialFunction[Expression, (Expression, Expression, Long)] = {
       case LessThan(t, Add(lo, Literal(w: Long, _), _)) => (t, lo, w)
       case LessThan(t, Add(Literal(w: Long, _), lo, _)) => (t, lo, w)
@@ -97,6 +100,14 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       case GreaterThan(Add(Literal(w: Long, _), lo, _), t) => (t, lo, w)
       case GreaterThan(Add(lo, Literal(w: Int, _), _), t) => (t, lo, w.toLong)
       case GreaterThan(Add(Literal(w: Int, _), lo, _), t) => (t, lo, w.toLong)
+      case LessThanOrEqual(t, Add(lo, Literal(w: Long, _), _)) => (t, lo, w)
+      case LessThanOrEqual(t, Add(Literal(w: Long, _), lo, _)) => (t, lo, w)
+      case LessThanOrEqual(t, Add(lo, Literal(w: Int, _), _)) => (t, lo, w.toLong)
+      case LessThanOrEqual(t, Add(Literal(w: Int, _), lo, _)) => (t, lo, w.toLong)
+      case GreaterThanOrEqual(Add(lo, Literal(w: Long, _), _), t) => (t, lo, w)
+      case GreaterThanOrEqual(Add(Literal(w: Long, _), lo, _), t) => (t, lo, w)
+      case GreaterThanOrEqual(Add(lo, Literal(w: Int, _), _), t) => (t, lo, w.toLong)
+      case GreaterThanOrEqual(Add(Literal(w: Int, _), lo, _), t) => (t, lo, w.toLong)
     }
     cond match {
       case And(a, b) =>

@@ -114,6 +114,19 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       assert(negGot.sameElements(exp),
         "negative-shifted domain must join the same (pid, iid) pairs")
+      // BETWEEN (closed upper bound) fires too and matches the rule-free
+      // session — t = lo + W boundary rows included
+      val betGot = pts.join(ivs,
+          col("t").between(col("lo"), col("lo") + lit(60L)))
+        .select(col("pid"), col("iid"))
+      assert(!betGot.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "BETWEEN shape did not fire")
+      val betExp = basePts.join(baseIvs,
+          col("t").between(col("lo"), col("lo") + lit(60L)))
+        .select(col("pid"), col("iid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(betGot.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        .sameElements(betExp), "BETWEEN rows diverge")
       // a join that already has an equi-conjunct must be left alone
       val withKey = pts.withColumn("k", col("pid") % 3)
         .join(ivs.withColumn("k2", col("iid") % 3),
