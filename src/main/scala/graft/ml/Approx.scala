@@ -358,15 +358,8 @@ object Approx {
     val p = features.size
     val xs: Seq[Column] = lit(1.0) +: features.map(f => col(f).cast("double"))
     val y = col(labelCol).cast("double")
-    val momAggs =
-      (for (a <- 0 to p; b <- a to p)
-        yield sum(xs(a) * xs(b)).as(s"_xx_${a}_$b")) ++
-      (0 to p).map(a => sum(xs(a) * y).as(s"_xy_$a"))
-    val r = df.agg(momAggs.head, momAggs.tail: _*).head
-    val xtx = Array.tabulate(p + 1, p + 1)((a, b) =>
-      if (a <= b) r.getAs[Double](s"_xx_${a}_$b")
-      else r.getAs[Double](s"_xx_${b}_$a"))
-    val xty = Array.tabulate(p + 1)(a => r.getAs[Double](s"_xy_$a"))
+    val (xtx, xty, _) =
+      Customs.crossMoments(df, labelCol, features, withYY = false)
     val n = xtx(0)(0) // Σ1 — the intercept-intercept moment
     require(n > p + 1, s"OLS diagnostics need n > p+1 rows, got $n")
     val (inv, _) = Customs.invertAndLogDet(xtx)

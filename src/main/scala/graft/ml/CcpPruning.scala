@@ -215,21 +215,29 @@ object CcpPruning {
     val fold = pmod(xxhash64(featureCols.map(col) :+ col(labelCol): _*),
       lit(folds))
     val scores = Array.fill(grid.length)(0.0)
+    var foldsUsed = 0
     for (f <- 0 until folds) {
       val train = df.filter(fold =!= f)
-      val valid = df.filter(fold === f).cache()
+      val valid = df.filter(fold === f)
       val m = Models.decisionTree(labelCol, maxDepth)
         .fit(Features.assemble(train, featureCols, "features"))
       val p = pruningPath(m, train, labelCol, featureCols)
-      val nValid = valid.count().toDouble
-      for (i <- grid.indices) {
+      // ALL grid alphas score in ONE pass over the fold: |grid| nested-
+      // CASE accuracy columns in a single agg (one job per fold, not
+      // one per (fold, alpha))
+      val accAggs = grid.indices.map { i =>
         val pred = predictColumn(p.pruneAt(grid(i)), featureCols)
-        val acc = valid.filter(pred === col(labelCol).cast("double"))
-          .count() / math.max(nValid, 1.0)
-        scores(i) += acc / folds
+        avg((pred === col(labelCol).cast("double")).cast("double"))
+          .as(s"_acc_$i")
       }
-      valid.unpersist()
+      val r = valid.agg(accAggs.head, accAggs.tail: _*).head
+      if (!r.isNullAt(0)) { // null ⟺ the fold received no rows
+        foldsUsed += 1
+        grid.indices.foreach(i => scores(i) += r.getDouble(i))
+      }
     }
+    require(foldsUsed > 0, "every CV fold was empty")
+    grid.indices.foreach(i => scores(i) /= foldsUsed)
     // ties → larger α (smaller tree), sklearn-style parsimony
     val best = grid.indices.maxBy(i => (scores(i), grid(i)))
     (grid(best), fullPath.pruneAt(grid(best)), fullPath)

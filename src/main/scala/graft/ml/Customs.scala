@@ -183,22 +183,34 @@ object Customs {
     * driver-side solves. Rank-deficient supports (non-finite RSS) are
     * skipped rather than reported as spurious zeros.
     */
-  def bestSubset(df: DataFrame, labelCol: String, features: Seq[String],
-                 maxK: Int): Seq[SubsetFit] = {
+  /** ONE-pass OLS sufficient statistics over the intercept-augmented
+    * design: (XᵀX, Xᵀy, yᵀy or NaN). The single home of this
+    * numerically sensitive agg list — [[bestSubset]] and the
+    * `Approx` diagnostics/interval surfaces all draw from it. */
+  private[ml] def crossMoments(df: DataFrame, labelCol: String,
+                               features: Seq[String], withYY: Boolean):
+      (Array[Array[Double]], Array[Double], Double) = {
     val p = features.size
-    require(p <= 20, s"bestSubset enumerates subsets of p=$p features; cap is 20")
     val xs: Seq[Column] = lit(1.0) +: features.map(f => col(f).cast("double"))
     val y = col(labelCol).cast("double")
     val aggs =
       (for (a <- 0 to p; b <- a to p)
         yield sum(xs(a) * xs(b)).as(s"_xx_${a}_$b")) ++
-      (0 to p).map(a => sum(xs(a) * y).as(s"_xy_$a")) :+ sum(y * y).as("_yy")
+      (0 to p).map(a => sum(xs(a) * y).as(s"_xy_$a")) ++
+      (if (withYY) Seq(sum(y * y).as("_yy")) else Nil)
     val r = df.agg(aggs.head, aggs.tail: _*).head
     val xtx = Array.tabulate(p + 1, p + 1)((a, b) =>
       if (a <= b) r.getAs[Double](s"_xx_${a}_$b")
       else r.getAs[Double](s"_xx_${b}_$a"))
     val xty = Array.tabulate(p + 1)(a => r.getAs[Double](s"_xy_$a"))
-    val yy = r.getAs[Double]("_yy")
+    (xtx, xty, if (withYY) r.getAs[Double]("_yy") else Double.NaN)
+  }
+
+  def bestSubset(df: DataFrame, labelCol: String, features: Seq[String],
+                 maxK: Int): Seq[SubsetFit] = {
+    val p = features.size
+    require(p <= 20, s"bestSubset enumerates subsets of p=$p features; cap is 20")
+    val (xtx, xty, yy) = crossMoments(df, labelCol, features, withYY = true)
     val n = xtx(0)(0) // Σ1
     require(n > 1, s"bestSubset needs at least 2 rows, got $n")
     val tss = yy - xty(0) * xty(0) / n // Σ(y−ȳ)²; xty(0) = Σy

@@ -40,7 +40,10 @@ object IsolationForest {
     /** Anomaly score in (0,1]: s(x) = 2^(−E[h(x)]/c(ψ)). ~0.5 for
       * inliers, → 1 for isolates. */
     def scoreColumn: Column = {
-      val ts = trees // close over the flat arrays, not the model
+      // close over plain locals so the task closure carries only the
+      // flat arrays + one double, never `this`
+      val ts = trees
+      val cn = cNorm
       val f = udf { xs: Seq[Double] =>
         var acc = 0.0
         ts.foreach { t =>
@@ -53,7 +56,7 @@ object IsolationForest {
           }
           acc += depth + avgPathLength(t.size(node))
         }
-        math.pow(2.0, -(acc / ts.size) / cNorm)
+        math.pow(2.0, -(acc / ts.size) / cn)
       }
       // rows with a null feature score null (detectable), never NPE
       val anyNull = features.map(col(_).isNull).reduce(_ || _)

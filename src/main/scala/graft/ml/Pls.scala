@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   * estimator rather than a doc note.
   *
   * Algorithm: NIPALS for one response, re-expressed as aggregation
-  * passes. The deflated design X_h never materializes — each deflation
-  * X_{h+1} = X_h − t_h·p_hᵀ stays a COLUMN EXPRESSION over the original
-  * features, so every per-component statistic (w ∝ X_hᵀy, tᵀt, X_hᵀt,
-  * yᵀt) is one distributed `agg` over those expressions. Cost: 1 pass
-  * for means + 2 passes per component, each a p-ary sum — no per-row
-  * driver work, no collected data, so the fit shape is identical at
-  * 100 TB. Driver state is the p×h weight/loading matrices (tiny).
+  * passes. The deflated design X_h never materializes as DATA — each
+  * round PROJECTS `_xc_i − t·p_i` into a fresh named column, so later
+  * rounds reference an AttributeReference, not a re-expanded tree
+  * (building nested Column objects instead would grow the expression
+  * ~(p+1)^h and hang the driver long before any data was scanned; the
+  * projection keeps growth linear in h, and CollapseProject cannot
+  * re-inline it because each score/deflation alias is referenced more
+  * than once downstream). Every per-component statistic (w ∝ X_hᵀy,
+  * tᵀt, X_hᵀt, yᵀt) is one distributed `agg`. Cost: 1 pass for means +
+  * 2 passes per component, each a p-ary sum — no per-row driver work,
+  * no collected data, so the fit shape is identical at 100 TB. Driver
+  * state is the p×h weight/loading matrices (tiny).
   *
   * Final coefficients follow the standard identity
   * β = W·(PᵀW)⁻¹·q over centered X, folded into an intercept so
@@ -54,35 +59,43 @@ object Pls {
     val mr = df.agg(meanAggs.head, meanAggs.tail: _*).head
     val xMean = Array.tabulate(p)(i => mr.getDouble(i))
     val yMean = mr.getDouble(p)
-    val yC: Column = col(labelCol).cast("double") - lit(yMean)
-    var xC: Array[Column] = Array.tabulate(p)(i =>
-      col(features(i)).cast("double") - lit(xMean(i)))
+    // centered design as NAMED columns; every deflation round re-projects
+    // them so downstream expressions stay attribute references
+    var cur: DataFrame = df.select(
+      Array.tabulate(p)(i =>
+        (col(features(i)).cast("double") - lit(xMean(i))).as(s"_xc_$i")) :+
+        (col(labelCol).cast("double") - lit(yMean)).as("_yc"): _*)
+    def xc(i: Int): Column = col(s"_xc_$i")
 
     val ws = Array.ofDim[Double](nComponents, p)
     val ps = Array.ofDim[Double](nComponents, p)
     val qs = Array.ofDim[Double](nComponents)
-    val tExprs = scala.collection.mutable.ArrayBuffer.empty[Column]
 
     for (h <- 0 until nComponents) {
       // pass 1: w_h ∝ X_hᵀ y (p sums in one agg)
-      val wAggs = xC.map(c => sum(c * yC))
-      val wr = df.agg(wAggs.head, wAggs.tail.toIndexedSeq: _*).head
+      val wAggs = Array.tabulate(p)(i => sum(xc(i) * col("_yc")))
+      val wr = cur.agg(wAggs.head, wAggs.tail.toIndexedSeq: _*).head
       val wRaw = Array.tabulate(p)(i => wr.getDouble(i))
       val norm = math.sqrt(wRaw.map(v => v * v).sum)
       require(norm > 1e-12,
         s"PLS component ${h + 1}: X′y ≈ 0 — y is already fully deflated; " +
           s"request fewer components")
       val w = wRaw.map(_ / norm)
-      val t: Column = xC.zip(w).map { case (c, wi) => c * lit(wi) }.reduce(_ + _)
+      val withT = cur.select(col("*"),
+        Array.tabulate(p)(i => xc(i) * lit(w(i))).reduce(_ + _).as("_t"))
       // pass 2: tᵀt, p_h = X_hᵀt / tᵀt, q_h = yᵀt / tᵀt (p+2 sums, one agg)
-      val aggs2 = sum(t * t) +: (xC.map(c => sum(c * t)) :+ sum(yC * t))
-      val r2 = df.agg(aggs2.head, aggs2.tail.toIndexedSeq: _*).head
+      val aggs2 = sum(col("_t") * col("_t")) +:
+        (Array.tabulate(p)(i => sum(xc(i) * col("_t"))).toSeq :+
+          sum(col("_yc") * col("_t")))
+      val r2 = withT.agg(aggs2.head, aggs2.tail.toIndexedSeq: _*).head
       val tt = r2.getDouble(0)
       val pl = Array.tabulate(p)(i => r2.getDouble(i + 1) / tt)
       qs(h) = r2.getDouble(p + 1) / tt
-      ws(h) = w; ps(h) = pl; tExprs += t
-      // deflate: X_{h+1} = X_h − t·p_hᵀ, still pure expressions
-      xC = Array.tabulate(p)(i => xC(i) - t * lit(pl(i)))
+      ws(h) = w; ps(h) = pl
+      // deflate: X_{h+1} = X_h − t·p_hᵀ, as a fresh projection
+      cur = withT.select(
+        Array.tabulate(p)(i =>
+          (xc(i) - col("_t") * lit(pl(i))).as(s"_xc_$i")) :+ col("_yc"): _*)
     }
 
     // β = W (PᵀW)⁻¹ q — h×h driver solve; (PᵀW)_{ab} = p_a · w_b
@@ -94,7 +107,17 @@ object Pls {
     val beta = Array.tabulate(p)(i =>
       (0 until nComponents).map(h => ws(h)(i) * c(h)).sum)
     val intercept = yMean - (0 until p).map(i => beta(i) * xMean(i)).sum
+    // scores over the ORIGINAL features via the rotation identity
+    // T = Xc·W(PᵀW)⁻¹ (R = W·mInv in this row-major layout): flat
+    // p-term expressions usable on any frame carrying the feature cols
+    val rot = Array.tabulate(p, nComponents)((i, hh) =>
+      (0 until nComponents).map(b => ws(b)(i) * mInv(b)(hh)).sum)
+    val tExprs = (0 until nComponents).map { hh =>
+      (0 until p).map(i =>
+        (col(features(i)).cast("double") - lit(xMean(i))) * lit(rot(i)(hh)))
+        .reduce(_ + _)
+    }
     PlsModel(features, labelCol, xMean, yMean, ws, ps, qs, beta, intercept,
-      tExprs.toSeq)
+      tExprs)
   }
 }

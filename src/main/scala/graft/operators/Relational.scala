@@ -604,8 +604,12 @@ object Relational {
     def label(i: Int): String =
       if (i == 0) s"1_${stages(0)}"
       else s"${i + 1}_${stages(i)}_after_${stages(i - 1)}"
+    // stage names are data-derived strings headed into a selectExpr
+    // literal — escape them, or a quote in an event type breaks parsing
+    def sqlLit(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val stackArgs = stages.indices
-      .map(i => s"'${label(i)}', _n$i, _rate$i").mkString(", ")
+      .map(i => s"${sqlLit(label(i))}, _n$i, _rate$i").mkString(", ")
     rated.selectExpr(
       s"stack(${stages.size}, $stackArgs) AS (stage, n_users, conv_rate)")
       .orderBy(col("stage"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule (custom-operator route (c): `Rule[LogicalPlan]` via
   * `SparkSessionExtensions.injectOptimizerRule`): rewrites a
@@ -37,9 +37,9 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * is that two-conjunct shape over int/long columns, with `t` and `lo`
   * on opposite sides (either arrangement). Joins that already carry an
   * equi-conjunct are left alone — they hash-join fine without help, and
-  * the grid would only add explode overhead. Floor-division runs
-  * identically on both sides (exact in double for |x| < 2^52), so the
-  * two-cell cover holds for negative domains too.
+  * the grid would only add explode overhead. Cell ids use exact integer
+  * floor-division (see [[cell]]), so the two-cell cover holds over the
+  * full long range, negative domains included.
   */
 object RangeJoinRule extends Rule[LogicalPlan] {
 
@@ -129,8 +129,14 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** ⌊x / W⌋ as a long — identical expression on both sides of the
-    * rewritten join (exact in double for |x| < 2^52). */
-  private def cell(x: Expression, w: Long): Expression =
-    Cast(Floor(Divide(Cast(x, DoubleType), Literal(w.toDouble))), LongType)
+  /** ⌊x / W⌋ as a long, in EXACT integer arithmetic:
+    * (x − pmod(x, W)) div W. pmod is non-negative for W > 0, x − pmod
+    * is exactly divisible, so truncating division IS floor division —
+    * valid over the full long range (a double-based floor would round
+    * t and lo independently above 2^52 and silently drop join rows). */
+  private def cell(x: Expression, w: Long): Expression = {
+    val xl = Cast(x, LongType)
+    val wl = Literal(w)
+    IntegralDivide(Subtract(xl, Pmod(xl, wl)), wl)
+  }
 }

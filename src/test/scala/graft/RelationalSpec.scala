@@ -136,6 +136,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Map(
       "1_view" -> 3L, "2_click_after_view" -> 2L,
       "3_cart_after_click" -> 1L, "4_purchase_after_cart" -> 1L), got.toString)
+    // stage names are data-derived: quotes/backslashes must survive the
+    // stack() literal (regression: unescaped interpolation threw a
+    // ParseException here)
+    val quoted = operators.Relational.conversionFunnelFrom(
+      ev.withColumn("event_type",
+        when(col("event_type") === "view", lit("view's\\x")).otherwise(col("event_type"))),
+      Seq("view's\\x", "click"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quoted == Map("1_view's\\x" -> 3L, "2_click_after_view's\\x" -> 2L),
+      quoted.toString)
   }
 
   test("as-of join: inclusive boundary, latest-event tie-break, no-prior-event null (q55)") {
