@@ -157,4 +157,23 @@ class SubsetPlsSpec extends AnyFunSuite {
       .head.getDouble(0))
     assert(rmse < 0.15, s"2-component PLS rmse $rmse") // noise sd = 0.1
   }
+
+  test("PLS expression size stays linear in components (p=8, h=6)") {
+    // regression for the deflation blowup: nested Column expressions grew
+    // ~(p+1)^h — a p=8/h=6 fit built ~10^5-node agg trees and crawled;
+    // the projected form completes in ordinary test time with exact
+    // OLS recovery at full rank intact
+    val feats = (1 to 8).map(i => s"g$i")
+    val wide = spark.range(400).select(
+      feats.zipWithIndex.map { case (f, i) => randn(50 + i).as(f) }: _*)
+      .withColumn("y",
+        feats.zipWithIndex.map { case (f, i) => col(f) * (i + 1).toDouble }
+          .reduce(_ + _) + randn(99) * 0.1)
+    val pls = Pls.fit(wide, "y", feats, nComponents = 6)
+    assert(pls.beta.forall(java.lang.Double.isFinite))
+    val pred = pls.transform(wide)
+    val rmse = math.sqrt(pred.agg(avg(pow(col("y") - col("prediction"), 2)))
+      .head.getDouble(0))
+    assert(rmse < 1.0, s"6-component PLS on 8 features rmse $rmse")
+  }
 }
