@@ -79,6 +79,7 @@ object SparkEntry {
     "q57_range_join"        -> ((s: SparkSession, d: String) => Intervals.errorWindowEvents(s, d)),
     "q58_weighted_mix"      -> Sampling.mixedCorpusAudit _,
     "q59_unigram_lm"        -> TextOps.unigramLmScore _,
+    "q60_embedding_quant"   -> ((s: SparkSession, d: String) => Similarity.quantizationAudit(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -970,5 +971,31 @@ object SparkEntry {
              round(avg(logp), 6) AS avg_logp,
              round(min(logp), 6) AS min_logp
       FROM s GROUP BY doc_id ORDER BY doc_id""",
+
+    // int8 quantization: identical floor(v/s + 0.5) grid on both engines
+    // (round()'s tie handling is engine-defined; floor+0.5 is not);
+    // scale is deterministic arithmetic — kept raw, per the parity rules
+    "q60_embedding_quant" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, x,
+               greatest(list_max(list_transform(x, v -> abs(v))) / 127.0,
+                        1e-30) AS scale
+        FROM e)
+      SELECT vec_id,
+             CAST(len(x) AS BIGINT) AS n_dims,
+             scale,
+             round(list_max(list_transform(x,
+               v -> abs(v - floor(v / scale + 0.5) * scale))), 6) AS max_abs_err,
+             round(
+               list_aggregate(list_transform(x,
+                 v -> v * floor(v / scale + 0.5) * scale), 'sum') /
+               (sqrt(list_aggregate(list_transform(x, v -> v * v), 'sum')) *
+                sqrt(list_aggregate(list_transform(x,
+                  v -> pow(floor(v / scale + 0.5) * scale, 2)), 'sum'))), 6)
+               AS cos_sim
+      FROM s ORDER BY vec_id""",
   )
 }

@@ -278,4 +278,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** q60 — int8 quantization audit: symmetric per-vector scaling
+    * (scale = max|x| / 127), the compression step a 100-TB vector store
+    * runs before serving (4× smaller than float32, dot products stay in
+    * integer domain). Reports per vector the scale, the worst
+    * dequantization error (bounded by scale/2) and the cosine between
+    * the original and dequantized vector — the fidelity numbers that
+    * decide whether int8 is safe for a corpus.
+    *
+    * All per-row HOF arithmetic, shuffle-free. Rounding to the integer
+    * grid is `floor(v/scale + 0.5)` — NOT `round()` — deliberately:
+    * both engines evaluate that formula bit-identically, while
+    * `round()`'s tie handling is engine-defined. Ties quantize one step
+    * differently than sklearn would, which is irrelevant to fidelity
+    * and keeps the oracle exact. */
+  def quantizationAudit(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("_x", expr("transform(embedding, v -> cast(v as double))"))
+      .withColumn("scale", expr(
+        "greatest(array_max(transform(_x, v -> abs(v))) / 127.0, 1e-30d)"))
+      .withColumn("_dq", expr(
+        "transform(_x, v -> floor(v / scale + 0.5d) * scale)"))
+      .select(col("vec_id"),
+        size(col("_x")).cast("long").as("n_dims"),
+        col("scale"),
+        round(expr(
+          "array_max(zip_with(_x, _dq, (a, b) -> abs(a - b)))"), 6)
+          .as("max_abs_err"),
+        round(
+          expr("aggregate(zip_with(_x, _dq, (a, b) -> a * b), 0d, (acc, v) -> acc + v)") /
+            (sqrt(expr("aggregate(_x, 0d, (acc, v) -> acc + v * v)")) *
+             sqrt(expr("aggregate(_dq, 0d, (acc, v) -> acc + v * v)"))), 6)
+          .as("cos_sim"))
+      .orderBy(col("vec_id"))
 }

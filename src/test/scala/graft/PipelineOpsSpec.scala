@@ -325,6 +325,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(l.filter(l("pred_lang").isNull).count() == 0)
   }
 
+  test("int8 quantization audit: error bounded by scale/2, levels fit int8 (q60)") {
+    import org.apache.spark.sql.functions._
+    val a = operators.Similarity.quantizationAudit(spark, sf).cache()
+    // the defining bound of grid quantization (max_abs_err is rounded to
+    // 6dp, so allow the half-ulp of that rounding), near-lossless cosine
+    assert(a.filter(col("max_abs_err") > col("scale") / 2 + 5e-7).count() == 0)
+    assert(a.filter(col("cos_sim") < 0.999).count() == 0)
+    // every quantized level must be representable in a signed byte
+    val levels = graft.sources.Tables(spark, sf, "embeddings")
+      .withColumn("_x", expr("transform(embedding, v -> cast(v as double))"))
+      .withColumn("scale", expr(
+        "greatest(array_max(transform(_x, v -> abs(v))) / 127.0, 1e-30d)"))
+      .select(expr(
+        "array_max(transform(_x, v -> abs(floor(v / scale + 0.5d))))").as("m"))
+      .agg(max(col("m"))).head.getLong(0) // Spark floor(double) → long
+    assert(levels <= 127L, s"quantized level $levels exceeds int8")
+    a.unpersist()
+  }
+
   test("fingerprint is stable under duplicate text") {
     import org.apache.spark.sql.functions._
     // same text ⇒ same fingerprint: join docs on equal text, compare fps
