@@ -80,6 +80,7 @@ object SparkEntry {
     "q58_weighted_mix"      -> Sampling.mixedCorpusAudit _,
     "q59_unigram_lm"        -> TextOps.unigramLmScore _,
     "q60_embedding_quant"   -> ((s: SparkSession, d: String) => Similarity.quantizationAudit(s, d)),
+    "q61_media_decode"      -> Multimodal.mediaDecode _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -997,5 +998,27 @@ object SparkEntry {
                   v -> pow(floor(v / scale + 0.5) * scale, 2)), 'sum'))), 6)
                AS cos_sim
       FROM s ORDER BY vec_id""",
+
+    // q61: the Spark side ENCODES real PNG/WAV/RAWV payloads then
+    // DECODES them from bytes alone (ImageIO / RIFF walk / header
+    // parse); the oracle recomputes the expected structure from the
+    // MediaCodec fixture formulas (imageWidth/wavSamples/videoFrames,
+    // Multimodal.scala) — a mis-read header field breaks the hash gate.
+    "q61_media_decode" -> """
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 8 * 16 + 32
+                                  WHEN 1 THEN 0
+                                  ELSE doc_id % 4 * 8 + 16 END AS INT) AS width,
+             CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 8 * 9 + 18
+                                  WHEN 1 THEN 0
+                                  ELSE doc_id % 4 * 6 + 12 END AS INT) AS height,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 0
+                                  WHEN 1 THEN (doc_id % 60 * 80 + 800) // 8
+                                  ELSE (doc_id % 30 + 2) * 100 END AS INT) AS duration_ms,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 0
+                                  ELSE doc_id % 30 + 2 END AS INT) AS n_frames
+      FROM documents ORDER BY media_id""",
   )
 }

@@ -10,9 +10,61 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("codec anchors: PNG/WAV/RAWV encode to real formats, decode recovers content") {
+    import Multimodal.MediaCodec
+    // PNG: correct signature, and ImageIO round-trips EXACT pixels
+    val png = MediaCodec.pngFor(0)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == MediaCodec.imageWidth(0) &&
+      img.getHeight == MediaCodec.imageHeight(0))
+    // WAV: RIFF/WAVE magic, and the chunk walk survives an extra chunk
+    // BEFORE data (a fixed-44-byte-offset parser would mis-read this)
+    val wav = MediaCodec.wavFor(1)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val d1 = MediaCodec.decodeWav(wav, 8)
+    assert(d1.durationMs == MediaCodec.wavSamples(1) * 1000 / MediaCodec.WavRate)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val padded = wav.slice(0, 12) ++ listChunk ++ wav.drop(12)
+    val d2 = MediaCodec.decodeWav(padded, 8)
+    assert(d2.durationMs == d1.durationMs && d2.features.toSeq == d1.features.toSeq)
+    // RAWV: header fields round-trip
+    val rawv = MediaCodec.rawvFor(2)
+    val d3 = MediaCodec.decodeRawv(rawv, 8)
+    assert(d3.width == MediaCodec.videoWidth(2) &&
+      d3.nFrames == MediaCodec.videoFrames(2) &&
+      d3.durationMs == MediaCodec.videoFrames(2) * 1000 / MediaCodec.VideoFps)
+  }
+
+  test("multimodal: decoded metadata matches the fixture formulas for every row") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val got = Multimodal.mediaDecode(spark, sf)
+    val expected = docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        pmod(col("doc_id"), lit(3)).cast("int") + 1).as("kind"),
+      when(pmod(col("doc_id"), lit(3)) === 0, pmod(col("doc_id"), lit(8)) * 16 + 32)
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(0))
+        .otherwise(pmod(col("doc_id"), lit(4)) * 8 + 16).cast("int").as("width"),
+      when(pmod(col("doc_id"), lit(3)) === 0, pmod(col("doc_id"), lit(8)) * 9 + 18)
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(0))
+        .otherwise(pmod(col("doc_id"), lit(4)) * 6 + 12).cast("int").as("height"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(0))
+        .when(pmod(col("doc_id"), lit(3)) === 1, (pmod(col("doc_id"), lit(60)) * 80 + 800) / 8)
+        .otherwise((pmod(col("doc_id"), lit(30)) + 2) * 100).cast("int").as("duration_ms"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(1))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(0))
+        .otherwise(pmod(col("doc_id"), lit(30)) + 2).cast("int").as("n_frames"))
+    assert(got.count() == docs.count())
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0)
+  }
+
   test("multimodal: feature extraction preserves ids, dims and determinism") {
     val docs = graft.sources.Tables(spark, sf, "documents")
-    val media = Multimodal.mediaFromDocuments(docs).cache()
+    val media = Multimodal.realMedia(docs).cache()
     val feats = Multimodal.extractFeatures(media, dim = 16).cache()
     assert(feats.count() == docs.count())
     assert(feats.filter(f => f.features.length != 16).count() == 0)
@@ -21,17 +73,37 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val b = Multimodal.extractFeatures(media, dim = 16)
       .filter(col("media_id") === 7).head.features.toSeq
     assert(a == b)
+    // real content stats: an image row's band means live in (0,1)
+    val imgRow = feats.filter(col("kind") === "image").head.features
+    assert(imgRow(0) > 0f && imgRow(0) < 1f)
+    media.unpersist(); feats.unpersist()
   }
 
-  test("multimodal: frame sampling emits ceil(duration/step) frames") {
+  test("multimodal: frame sampling slices the exact frames the container holds") {
+    import Multimodal.MediaCodec
     val docs = graft.sources.Tables(spark, sf, "documents")
-    val media = Multimodal.mediaFromDocuments(docs)
-    val frames = Multimodal.sampleFrames(media, everyMs = 10000)
-    val check = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
-      .join(media.select(col("media_id"), col("duration_ms")), "media_id")
-      .filter(col("n") =!= ceil(col("duration_ms") / 10000.0).cast("long"))
-    assert(check.count() == 0)
-    assert(frames.filter(length(col("frame_bytes")) > 16).count() == 0)
+    val media = Multimodal.realMedia(docs).cache()
+    val everyMs = 500 // fps=10 ⇒ every 5th frame
+    val frames = Multimodal.sampleFrames(media, everyMs).cache()
+    // count per video: ceil(nFrames / stepFrames) with step = 5
+    val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val videoIds = docs.select("doc_id").as[Long].collect().filter(_ % 3 == 2)
+    assert(videoIds.nonEmpty)
+    videoIds.foreach { id =>
+      val nf = MediaCodec.videoFrames(id)
+      assert(counts(id) == (nf + 4) / 5, s"id=$id nf=$nf got=${counts.get(id)}")
+    }
+    // byte-exact: a sampled frame equals the direct slice of the payload
+    val id0 = videoIds.min
+    val raw = MediaCodec.rawvFor(id0)
+    val w = MediaCodec.videoWidth(id0); val h = MediaCodec.videoHeight(id0)
+    val frameSz = w * h * 3
+    val got = frames.filter(col("media_id") === id0 && col("frame_idx") === 0)
+      .head.getAs[Array[Byte]]("frame_bytes")
+    assert(got.toSeq == raw.slice(20, 20 + frameSz).toSeq)
+    assert(frames.filter(length(col("frame_bytes")) =!= frameSz).filter(col("media_id") === id0).count() == 0)
+    media.unpersist(); frames.unpersist()
   }
 
   test("multimodal: resize keeps aspect ratio bound") {
