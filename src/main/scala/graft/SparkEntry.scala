@@ -993,9 +993,11 @@ object SparkEntry {
              round(
                list_aggregate(list_transform(x,
                  v -> v * floor(v / scale + 0.5) * scale), 'sum') /
-               (sqrt(list_aggregate(list_transform(x, v -> v * v), 'sum')) *
-                sqrt(list_aggregate(list_transform(x,
-                  v -> pow(floor(v / scale + 0.5) * scale, 2)), 'sum'))), 6)
+               greatest(
+                 sqrt(list_aggregate(list_transform(x, v -> v * v), 'sum')) *
+                 sqrt(list_aggregate(list_transform(x,
+                   v -> pow(floor(v / scale + 0.5) * scale, 2)), 'sum')),
+                 1e-30), 6)
                AS cos_sim
       FROM s ORDER BY vec_id""",
 

@@ -142,8 +142,16 @@ object CcpPruning {
           }
       }
       cur = collapse(cur)
-      alphas += math.max(g, alphas.last) // numeric guard: path is monotone
-      trees += cur
+      val a = math.max(g, alphas.last) // numeric guard: path is monotone
+      if (a == alphas.last) {
+        // two pruning rounds tied numerically: one α entry, keep the
+        // more-pruned tree (duplicate alphas would make pruneAt's
+        // lastIndexWhere ambiguous and break strict monotonicity)
+        trees(trees.length - 1) = cur
+      } else {
+        alphas += a
+        trees += cur
+      }
     }
     CcpPath(alphas.toArray, trees.toArray)
   }

@@ -82,6 +82,9 @@ object IsolationForest {
           sampleSize: Int = 256, seed: Long = 42L): IForestModel = {
     require(nTrees > 0 && sampleSize > 1)
     val need = nTrees.toLong * sampleSize
+    require(need <= Int.MaxValue,
+      s"nTrees * sampleSize = $need overflows the Int limit() bound; " +
+        "shrink one of them (the pool is driver-collected by design)")
     // deterministic bounded pool: hash-rank rows, keep the first
     // nTrees·ψ — ONE scan + a TakeOrderedAndProject of `need` rows, never
     // a full sort materialization

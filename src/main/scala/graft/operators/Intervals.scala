@@ -39,10 +39,14 @@ object Intervals {
                 tCol: String, loCol: String, hiCol: String,
                 bucketW: Long): DataFrame = {
     require(bucketW > 0, s"bucket width must be positive, got $bucketW")
+    // exact integer floor-division, same as RangeJoinRule.cell: a
+    // double-based floor(col/W) rounds t and lo independently above
+    // 2^52 and silently drops pairs at extreme long domains
+    def cell(c: String): Column =
+      expr(s"(`$c` - pmod(`$c`, ${bucketW}L)) div ${bucketW}L")
     val gridded = intervals.withColumn("_bucket",
-      explode(sequence(floor(col(loCol) / bucketW),
-        floor(col(hiCol) / bucketW))))
-    val slotted = points.withColumn("_bucket", floor(col(tCol) / bucketW))
+      explode(sequence(cell(loCol), cell(hiCol))))
+    val slotted = points.withColumn("_bucket", cell(tCol))
     slotted.join(gridded, keys :+ "_bucket")
       .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
       .drop("_bucket")

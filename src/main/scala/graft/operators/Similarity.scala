@@ -308,8 +308,13 @@ object Similarity {
           .as("max_abs_err"),
         round(
           expr("aggregate(zip_with(_x, _dq, (a, b) -> a * b), 0d, (acc, v) -> acc + v)") /
-            (sqrt(expr("aggregate(_x, 0d, (acc, v) -> acc + v * v)")) *
-             sqrt(expr("aggregate(_dq, 0d, (acc, v) -> acc + v * v)"))), 6)
+            // greatest(…, 1e-30): an all-zero embedding would make this
+            // 0/0 — NaN in Spark, engine-defined in DuckDB; the guard
+            // (mirrored in the q60 oracle) pins 0.0 in both
+            greatest(
+              sqrt(expr("aggregate(_x, 0d, (acc, v) -> acc + v * v)")) *
+                sqrt(expr("aggregate(_dq, 0d, (acc, v) -> acc + v * v)")),
+              lit(1e-30)), 6)
           .as("cos_sim"))
       .orderBy(col("vec_id"))
 }

@@ -142,4 +142,79 @@ class ExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("RangeJoinRule fires on timestamp + INTERVAL and date + date_add domains") {
+    import org.apache.spark.sql.functions._
+    val base = spark
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new GraftExtensions).getOrCreate()
+      // --- timestamps, with SUB-SECOND micros (a seconds-truncating
+      // cast in the grid would mis-cell these and drop rows) ---
+      def tsPts(s: SparkSession) = s.range(300).select(col("id").as("pid"),
+        timestamp_micros(pmod(xxhash64(col("id")), lit(1000000000L))).as("t"))
+      def tsIvs(s: SparkSession) = s.range(40).select(col("id").as("iid"),
+        timestamp_micros(pmod(xxhash64(col("id") + 5), lit(940000000L))).as("lo"))
+      def tsJoin(s: SparkSession) =
+        tsPts(s).join(tsIvs(s),
+          col("t") >= col("lo") &&
+            col("t") < col("lo") + expr("INTERVAL 60 SECONDS"))
+          .select(col("pid"), col("iid"))
+      val extTs = tsJoin(ext)
+      val extTsPlan = extTs.queryExecution.executedPlan.toString
+      assert(!extTsPlan.contains("BroadcastNestedLoopJoin") &&
+        !extTsPlan.contains("CartesianProduct"),
+        s"timestamp shape did not fire:\n${extTsPlan.take(1500)}")
+      val baseTs = tsJoin(base)
+      assert(baseTs.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "fixture no longer exercises the nested-loop path")
+      val gotTs = extTs.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val expTs = baseTs.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(gotTs.nonEmpty && gotTs.sameElements(expTs),
+        s"timestamp rows diverge: ${gotTs.length} vs ${expTs.length}")
+      // --- dates with date_add ---
+      def dPts(s: SparkSession) = s.range(300).select(col("id").as("pid"),
+        date_add(lit("2020-01-01").cast("date"),
+          pmod(xxhash64(col("id")), lit(365)).cast("int")).as("d"))
+      def dIvs(s: SparkSession) = s.range(40).select(col("id").as("iid"),
+        date_add(lit("2020-01-01").cast("date"),
+          pmod(xxhash64(col("id") + 5), lit(358)).cast("int")).as("lo"))
+      def dJoin(s: SparkSession) =
+        dPts(s).join(dIvs(s),
+          col("d") >= col("lo") && col("d") < date_add(col("lo"), 7))
+          .select(col("pid"), col("iid"))
+      val extD = dJoin(ext)
+      assert(!extD.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "date shape did not fire")
+      val gotD = extD.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val expD = dJoin(base).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(gotD.nonEmpty && gotD.sameElements(expD), "date rows diverge")
+      // --- the naive q57 formulation (user equi-key + interval window)
+      // must never nested-loop under the extension session ---
+      val ev = graft.sources.Tables(ext, sf, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("err_user"), col("ts").as("err_ts"))
+      val others = ev.filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("ts"))
+      val naiveQ57 = others.join(errors,
+        col("user_id") === col("err_user") &&
+          col("ts") >= col("err_ts") &&
+          col("ts") < col("err_ts") + expr("INTERVAL 10 MINUTES"))
+      val q57Plan = naiveQ57.queryExecution.executedPlan.toString
+      assert(!q57Plan.contains("BroadcastNestedLoopJoin") &&
+        !q57Plan.contains("CartesianProduct"),
+        s"naive q57 shape nested-loops:\n${q57Plan.take(1500)}")
+      assert(naiveQ57.count() > 0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
