@@ -53,17 +53,22 @@ object Bench {
       // costs ~2.5s to compile), contaminating the median with compile
       // time that a long-lived cluster pays once. Caches are torn down
       // after the warmup, so the timed reps still measure cold-data cost.
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      graft.operators.Caches.release()
+      val (_, warm) = graft.operators.Caches.scope {
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+      }
+      warm.release()
       spark.catalog.clearCache()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { force(fn(spark, sfDir)); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        // per-query scope: releases exactly this rep's operator caches
+        val (ok, qscope) = graft.operators.Caches.scope {
+          try { force(fn(spark, sfDir)); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
         }
         val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
-        graft.operators.Caches.release() // drop refs, keep registry bounded
+        qscope.release()
         spark.catalog.clearCache()
         if (ok) elapsed else -1.0
       }

@@ -873,15 +873,15 @@ object SparkEntry {
                CAST(sum(r2) AS BIGINT) AS n2,
                CAST(sum(r3) AS BIGINT) AS n3
         FROM per_user)
-      SELECT '1_view' AS stage, n1 AS n_users,
+      SELECT CAST(1 AS INT) AS stage_idx, '1_view' AS stage, n1 AS n_users,
              CAST(n1 AS DOUBLE) / n_total AS conv_rate FROM tot
       UNION ALL
-      SELECT '2_click_after_view', n2,
+      SELECT CAST(2 AS INT), '2_click_after_view', n2,
              CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / n1 END FROM tot
       UNION ALL
-      SELECT '3_purchase_after_click', n3,
+      SELECT CAST(3 AS INT), '3_purchase_after_click', n3,
              CASE WHEN n2 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / n2 END FROM tot
-      ORDER BY stage""",
+      ORDER BY stage_idx""",
 
     "q50_describe" -> """
       SELECT 'l_quantity' AS "column", count(l_quantity) AS n,

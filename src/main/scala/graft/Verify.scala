@@ -25,12 +25,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // per-query scope: registry refs must not accumulate, and a
+      // hypothetical concurrent composition's caches must survive
+      val (_, scope) = graft.operators.Caches.scope {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-      graft.operators.Caches.release() // registry refs must not accumulate
+      scope.release()
       spark.catalog.clearCache() // per-query caches must not accumulate
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

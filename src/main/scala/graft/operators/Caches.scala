@@ -12,49 +12,92 @@ import org.apache.spark.sql.Dataset
   * evict the block before the first action runs.
   *
   * Instead every operator-internal `.cache()` goes through
-  * [[Caches.track]], and library callers release the accumulated blocks
-  * with ONE call after materializing their results:
+  * [[Caches.track]], and callers release the accumulated blocks after
+  * materializing their results. Two granularities:
   *
   * {{{
+  *   // whole-process (one composition at a time):
   *   val pairs = Dedup.minhashLshPairs(spark, dir).collect()
-  *   Caches.release()           // drops every operator-internal cache
+  *   Caches.release()           // drops every globally tracked cache
+  *
+  *   // per-composition scope (concurrency-safe):
+  *   val (result, scope) = Caches.scope {
+  *     Dedup.minhashLshPairs(spark, dir).collect()
+  *   }
+  *   scope.release()            // drops ONLY this composition's caches
   * }}}
   *
-  * Harness `main`s (Verify/Bench) call `release()` after every query so
-  * neither the cached blocks nor the registry's Dataset references
-  * accumulate; `release()` is likewise for library callers composing
-  * operators inside a long-lived session.
+  * [[scope]] works because tracking happens at COMPOSITION time (the
+  * operator function runs, builds the plan, calls `track`) on the
+  * caller's thread — the scope stack is a thread-local, so two
+  * compositions on different threads (or sequential scopes on one
+  * thread) can't see each other's frames. Actions run after the body
+  * merely fill blocks already tracked by the right scope. An operator
+  * invoked OUTSIDE any scope tracks into the process-global registry,
+  * preserving the original one-composition-at-a-time contract.
   *
-  * SCOPE: the registry is process-wide and assumes ONE composition at a
-  * time — `release()` drops every tracked cache, including those of a
-  * concurrently running composition in the same JVM. Concurrent
-  * pipelines should serialize their release points (results stay
-  * correct either way: an evicted cache recomputes, it never corrupts).
+  * Harness `main`s (Verify/Bench) wrap each query in a scope so neither
+  * cached blocks nor registry Dataset references accumulate, and so a
+  * concurrent composition in the same JVM keeps its caches. (Results
+  * stay correct either way: an evicted cache recomputes, never
+  * corrupts.)
   */
 object Caches {
-  private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
-  /** Cache `ds` and remember it for a later [[release]]. */
+  /** A per-composition cache registry. Obtain via [[Caches.scope]]. */
+  final class Scope private[Caches] () {
+    private[Caches] val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+
+    /** Unpersist every dataset tracked in THIS scope and forget them.
+      * Other scopes' (and the global registry's) caches stay live. */
+    def release(): Unit = Caches.synchronized {
+      tracked.foreach(_.unpersist(blocking = false))
+      tracked.clear()
+    }
+
+    /** Number of datasets this scope currently tracks (spec surface). */
+    def trackedCount: Int = Caches.synchronized(tracked.size)
+  }
+
+  private val global = new Scope
+  // stack, not a single slot: scopes nest (an operator composed inside
+  // a scoped composition may itself open a scope)
+  private val current = new ThreadLocal[List[Scope]] {
+    override def initialValue(): List[Scope] = Nil
+  }
+
+  /** Run `body` with a fresh scope capturing every [[track]]/[[register]]
+    * on this thread; returns the body's result and the scope handle. */
+  def scope[A](body: => A): (A, Scope) = {
+    val s = new Scope
+    val prev = current.get()
+    current.set(s :: prev)
+    try (body, s)
+    finally current.set(prev)
+  }
+
+  private def registry: Scope = current.get().headOption.getOrElse(global)
+
+  /** Cache `ds` and remember it for a later release (innermost active
+    * scope on this thread, else the global registry). */
   def track[T](ds: Dataset[T]): Dataset[T] = synchronized {
-    tracked += ds
+    registry.tracked += ds
     ds.cache()
   }
 
-  /** Remember an ALREADY-persisted dataset for a later [[release]]
+  /** Remember an ALREADY-persisted dataset for a later release
     * (iterative operators persist loop state themselves; re-calling
     * `.cache()` on it would only log a spurious "already cached"
     * warning). */
   def register[T](ds: Dataset[T]): Dataset[T] = synchronized {
-    tracked += ds
+    registry.tracked += ds
     ds
   }
 
-  /** Unpersist every tracked dataset (non-blocking) and forget them. */
-  def release(): Unit = synchronized {
-    tracked.foreach(_.unpersist(blocking = false))
-    tracked.clear()
-  }
+  /** Unpersist every GLOBALLY tracked dataset (non-blocking) and forget
+    * them. Scoped caches are untouched — release those via their handle. */
+  def release(): Unit = global.release()
 
-  /** Number of currently tracked cached datasets (spec surface). */
-  def trackedCount: Int = synchronized(tracked.size)
+  /** Number of globally tracked cached datasets (spec surface). */
+  def trackedCount: Int = global.trackedCount
 }

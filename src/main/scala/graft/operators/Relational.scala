@@ -569,9 +569,9 @@ object Relational {
     * every window shares the SAME (user_id, ts-ordered) spec, so
     * Catalyst plans ONE shuffle for the whole funnel regardless of k.
     * Rates are exact integer-count divisions (bit-stable cross-engine).
-    * Stage labels are `1_<s0>` then `<i+1>_<si>_after_<si-1>`; the output
-    * sort is lexicographic on the label, so funnels past 9 stages should
-    * order on their own key. */
+    * Stage labels are `1_<s0>` then `<i+1>_<si>_after_<si-1>`; ordering
+    * rides the explicit `stage_idx` int column, so funnels past 9 stages
+    * order correctly (a lexicographic label sort would put 10 before 2). */
   def conversionFunnelFrom(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct == stages, "funnel stages must be distinct")
@@ -609,10 +609,10 @@ object Relational {
     def sqlLit(s: String): String =
       "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val stackArgs = stages.indices
-      .map(i => s"${sqlLit(label(i))}, _n$i, _rate$i").mkString(", ")
+      .map(i => s"${i + 1}, ${sqlLit(label(i))}, _n$i, _rate$i").mkString(", ")
     rated.selectExpr(
-      s"stack(${stages.size}, $stackArgs) AS (stage, n_users, conv_rate)")
-      .orderBy(col("stage"))
+      s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_users, conv_rate)")
+      .orderBy(col("stage_idx"))
   }
 
   // q50 — multi-column describe() (SURVEY A9 in breadth): ALL per-column

@@ -124,6 +124,26 @@ object Sessionize {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming EXACT dedup by CONTENT — the streaming twin of the batch
+    * q25 pass (operators.Dedup.exactDedup): one surviving document per
+    * md5(text), first arrival wins. Input must carry an `ingest_ts`
+    * event-time column (any real document stream has one); keyed state
+    * holds one entry per content hash inside the watermark window and is
+    * evicted once the watermark passes — state scales with DISTINCT
+    * content in the window, never with total documents streamed. A
+    * duplicate arriving later than the watermark delay after its
+    * original re-emits (the standard watermarked-dedup contract; the
+    * batch pass is the backstop for cross-window dups, exactly the
+    * batch/streaming split production dedup runs). */
+  def streamingExactDedup(docs: DataFrame,
+                          watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+  }
+
   /** Drive a streaming query synchronously from a bounded source into an
     * in-memory table (the local smoke harness — production would swap
     * source/sink for kafka/parquet). Returns the materialized result. */

@@ -80,6 +80,51 @@ class PipelineOpsSpec extends AnyFunSuite {
       "Caches.release() must leave no cached plan behind")
   }
 
+  test("cache scopes: concurrent compositions release independently") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.storage.StorageLevel
+    spark.catalog.clearCache()
+    operators.Caches.release()
+    // two compositions on two threads, each in its own scope — the
+    // one-composition-at-a-time hazard the global registry documents
+    val fA = Future(operators.Caches.scope {
+      val df = operators.Dedup.minhashLshPairs(spark, sf)
+      df.count(); df
+    })
+    val fB = Future(operators.Caches.scope {
+      val df = operators.Similarity.lshTopK(spark, sf)
+      df.count(); df
+    })
+    val (dfA, scopeA) = Await.result(fA, 120.seconds)
+    val (dfB, scopeB) = Await.result(fB, 120.seconds)
+    assert(scopeA.trackedCount > 0 && scopeB.trackedCount > 0,
+      "each composition must track into ITS scope")
+    assert(operators.Caches.trackedCount == 0,
+      "scoped tracking must not leak into the global registry")
+    val bCachedBefore = scopeB // handle alive
+    scopeA.release()
+    assert(scopeA.trackedCount == 0)
+    assert(bCachedBefore.trackedCount > 0,
+      "scope A's release must leave scope B's registry intact")
+    // B's result is still computable and its caches still live (the
+    // cacheManager holds B's plans until B releases)
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "scope B's caches must survive scope A's release")
+    dfB.count()
+    scopeB.release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "after both scopes release, no cached plan remains")
+    // outside any scope, tracking falls back to the global registry
+    val g = operators.Caches.track(spark.range(10).toDF("x"))
+    g.count()
+    assert(operators.Caches.trackedCount == 1)
+    operators.Caches.release()
+    assert(operators.Caches.trackedCount == 0 &&
+      g.storageLevel == StorageLevel.NONE)
+  }
+
   test("simhash pairs include the planted near-dups at small hamming") {
     val exact = operators.Dedup.ngramJaccardPairs(spark, sf)
       .select("doc_a", "doc_b").collect()

@@ -109,7 +109,7 @@ class RelationalSpec extends AnyFunSuite {
         timestamp_seconds(col("seq") * 60).as("ts"),
         col("seq").as("event_id"), col("event_type"))
     val got = operators.Relational.conversionFunnelFrom(ev)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
     assert(got("1_view") == 3L, s"views: $got")
     assert(got("2_click_after_view") == 2L, s"strict clicks: $got")
     assert(got("3_purchase_after_click") == 1L, s"strict purchases: $got")
@@ -132,7 +132,7 @@ class RelationalSpec extends AnyFunSuite {
         col("seq").as("event_id"), col("event_type"))
     val got = operators.Relational
       .conversionFunnelFrom(ev, Seq("view", "click", "cart", "purchase"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
     assert(got == Map(
       "1_view" -> 3L, "2_click_after_view" -> 2L,
       "3_cart_after_click" -> 1L, "4_purchase_after_cart" -> 1L), got.toString)
@@ -143,9 +143,28 @@ class RelationalSpec extends AnyFunSuite {
       ev.withColumn("event_type",
         when(col("event_type") === "view", lit("view's\\x")).otherwise(col("event_type"))),
       Seq("view's\\x", "click"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
     assert(quoted == Map("1_view's\\x" -> 3L, "2_click_after_view's\\x" -> 2L),
       quoted.toString)
+  }
+
+  test("funnel past 9 stages orders by stage_idx, not the lexicographic label") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one user marches through 12 stages in order — every stage converts
+    val stages = (1 to 12).map(i => s"s$i")
+    val ev = stages.zipWithIndex.map { case (st, i) => (1L, (i + 1).toLong, st) }
+      .toDF("user_id", "seq", "event_type")
+      .select(col("user_id"),
+        timestamp_seconds(col("seq") * 60).as("ts"),
+        col("seq").as("event_id"), col("event_type"))
+    val rows = operators.Relational.conversionFunnelFrom(ev, stages).collect()
+    assert(rows.map(_.getAs[Int]("stage_idx")).toSeq == (1 to 12),
+      "rows must come back in stage order")
+    // lexicographic label order would interleave 10..12 after 1_
+    assert(rows.map(_.getAs[String]("stage")).take(3).toSeq ==
+      Seq("1_s1", "2_s2_after_s1", "3_s3_after_s2"))
+    assert(rows.map(_.getAs[Long]("n_users")).forall(_ == 1L))
   }
 
   test("as-of join: inclusive boundary, latest-event tie-break, no-prior-event null (q55)") {
@@ -191,7 +210,7 @@ class RelationalSpec extends AnyFunSuite {
   test("funnel stages agree with a brute-force ordered walk per user") {
     import org.apache.spark.sql.functions._
     val got = operators.Relational.conversionFunnel(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
     // brute force: per user, sort by (ts, event_id) and walk the strict
     // view -> click -> purchase state machine. Compare on epoch MICROS —
     // ts is microsecond-precision and a millisecond truncation could

@@ -66,6 +66,68 @@ class ScaleSpec extends AnyFunSuite {
       s"nested pruning failed:\n$p")
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // the 100-TB fact-dim shape: fact partitioned on the join key's
+    // granularity, dim filtered at query time — the fact scan must read
+    // ONLY the partitions the surviving dim rows name, discovered at
+    // RUNTIME via a DPP subquery (a static PartitionFilters entry can't
+    // know them; reading all partitions is the difference between
+    // scanning 1 year and scanning 30)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val ord = graft.sources.Tables(spark, sf, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+    graft.sources.EntityIO.writeParquet(ord, s"$dir/orders_p", Seq("order_year"))
+    val fact = spark.read.parquet(s"$dir/orders_p")
+    import spark.implicits._
+    // the dim must be a REAL scan: a Seq-backed LocalRelation folds its
+    // filter into the relation (ConvertToLocalRelation), leaving no
+    // selective predicate for the DPP rule to see
+    Seq((1995, "target"), (1996, "other"), (1997, "other"))
+      .toDF("dim_year", "tag").write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = fact.join(dim,
+        col("order_year") === col("dim_year") && col("tag") === "target")
+    val p = plan(joined)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a DPP subquery filter:\n${p.take(2000)}")
+    val expected = ord.filter(year(col("o_orderdate")) === 1995).count()
+    assert(joined.count() == expected)
+  }
+
+  test("bloom-filter runtime filter: selective dim filter reaches the fact scan") {
+    // the fact-fact path where DPP can't help (join key is NOT a
+    // partition column): Spark's runtime bloom filter builds a sketch of
+    // the filtered side's join keys and pre-filters the big side's scan
+    // with might_contain — at 100 TB this drops most of the fact before
+    // the shuffle. Local thresholds are cluster-sized, so pin the
+    // application-side threshold down to let the local fixture qualify.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.sources.Tables(spark, sf, "lineitem")
+      val ord = graft.sources.Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"expected a bloom-filter runtime filter on the fact side:\n${p.take(2000)}")
+      // and it is a FILTER, not a semantics change
+      val expected = li.join(
+        graft.sources.Tables(spark, sf, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("plan lint: no query plans an un-broadcast cartesian product") {
     // the ANN queries intentionally cross-join a BROADCAST query side
     // (BroadcastNestedLoopJoin) — a plain CartesianProduct anywhere is a

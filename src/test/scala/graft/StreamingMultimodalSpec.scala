@@ -147,6 +147,64 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "each duplicated event_id must survive exactly once")
   }
 
+  test("streaming exact dedup: chunked replay ≡ batch exactDedup, state bounded by distinct content") {
+    // corpus + a full clone of every document (ids offset, arriving
+    // 30 min later): every content hash appears at least twice across
+    // micro-batches, and the original (smaller doc_id) arrives first —
+    // the keeper the batch pass picks via min(doc_id)
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val orig = docs.withColumn("ingest_ts",
+      timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val clones = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1700000000L) + (col("doc_id") - 100000) + 1800))
+    val all = orig.unionByName(clones)
+    val nTotal = all.count()
+    // 8 time-ordered chunks with pinned mtimes (the soak replay pattern)
+    val dir = java.nio.file.Files.createTempDirectory("graft_exdedup").toString
+    val byTime = org.apache.spark.sql.expressions.Window.orderBy("ingest_ts", "doc_id")
+    val chunked = all.withColumn("_chunk", ntile(8).over(byTime))
+    val seenFiles = scala.collection.mutable.Set.empty[String]
+    val mtimeBase = System.currentTimeMillis() - 120000L
+    (1 to 8).foreach { i =>
+      chunked.filter(col("_chunk") === i).drop("_chunk")
+        .coalesce(1).write.mode("append").parquet(dir)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try files.iterator().forEachRemaining { p =>
+        val f = p.getFileName.toString
+        if (f.endsWith(".parquet") && seenFiles.add(f))
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 2000L))
+      } finally files.close()
+    }
+    val stream = spark.readStream
+      .schema(orig.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val report = Sessionize.runWithProgress(spark,
+      Sessionize.streamingExactDedup(stream, watermark = "2 hours"),
+      "exdedup_test")
+    val batch = operators.Dedup.exactDedup(spark, sf)
+      .select(col("text_hash"), col("keeper_id"))
+    val nHashes = batch.count()
+    assert(report.microBatches >= 8,
+      s"expected one micro-batch per chunk, saw ${report.microBatches}")
+    // output ≡ batch: same hashes, same keepers (first arrival = min id)
+    val got = report.result.select(col("text_hash"), col("doc_id"))
+    assert(got.count() == nHashes,
+      s"one survivor per content hash: ${got.count()} vs $nHashes")
+    val mismatched = got.join(batch, Seq("text_hash"), "full")
+      .filter(col("doc_id").isNull || col("keeper_id").isNull ||
+        col("doc_id") =!= col("keeper_id"))
+    assert(mismatched.count() == 0,
+      s"streaming keepers disagree with batch: ${mismatched.collect().take(3).mkString}")
+    // bounded state: one key per DISTINCT content hash, never per row
+    assert(report.maxStateRows > 0 && report.maxStateRows <= nHashes,
+      s"dedup state ${report.maxStateRows} must be bounded by distinct " +
+        s"hashes ($nHashes), not streamed rows ($nTotal)")
+  }
+
   test("streaming: batch and streaming sessionization agree on closed sessions") {
     // the batch q42 formulation is ground truth; every session the
     // streaming path closes must match a batch session exactly
