@@ -72,8 +72,13 @@ object Caches {
     val s = new Scope
     val prev = current.get()
     current.set(s :: prev)
-    try (body, s)
-    finally current.set(prev)
+    try {
+      // a throwing body would otherwise leak its already-tracked caches
+      // forever: the handle never reaches the caller and the global
+      // release() deliberately doesn't cover scoped frames
+      val r = try body catch { case t: Throwable => s.release(); throw t }
+      (r, s)
+    } finally current.set(prev)
   }
 
   private def registry: Scope = current.get().headOption.getOrElse(global)

@@ -225,19 +225,30 @@ object Multimodal {
         rate.toFloat, channels.toFloat), dim))
     }
 
-    /** RAWV header parse + first-frame pixel stats. */
-    def decodeRawv(bytes: Array[Byte], dim: Int): Decoded = {
+    /** Validated RAWV header parse, shared by [[decodeRawv]] and
+      * [[Multimodal.sampleFrames]]: checks magic, field sanity, and that
+      * the payload actually holds the claimed frames (a header lying
+      * about nframes must fail loudly, not zero-pad fabricated frames). */
+    private[operators] def rawvHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+      require(bytes.length >= 20, "RAWV payload shorter than its header")
       val bb = ByteBuffer.wrap(bytes) // big-endian
       val magic = new Array[Byte](4); bb.get(magic)
       require(new String(magic, "US-ASCII") == "RAWV", "not a RAWV container")
       val w = bb.getInt; val h = bb.getInt; val fps = bb.getInt; val nf = bb.getInt
       require(fps > 0 && w > 0 && h > 0 && nf >= 0, "corrupt RAWV header")
+      require(bytes.length >= 20 + nf.toLong * (w.toLong * h * 3),
+        "truncated RAWV payload")
+      (w, h, fps, nf)
+    }
+
+    /** RAWV header parse + first-frame pixel stats. */
+    def decodeRawv(bytes: Array[Byte], dim: Int): Decoded = {
+      val (w, h, fps, nf) = rawvHeader(bytes)
       val frameSz = w * h * 3
-      require(bytes.length >= 20 + nf.toLong * frameSz, "truncated RAWV payload")
       val durationMs = (nf.toLong * 1000L / fps).toInt
       var sum = 0.0; var sum2 = 0.0
       var i = 20
-      val end = 20 + frameSz
+      val end = if (nf > 0) 20 + frameSz else 20 // zero-frame: no raster to read
       while (i < end) {
         val v = (bytes(i) & 0xff).toDouble
         sum += v; sum2 += v * v
@@ -347,10 +358,7 @@ object Multimodal {
     media.filter(col("kind") === "video")
       .select("media_id", "bytes").as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val bb = ByteBuffer.wrap(bytes) // big-endian
-        val magic = new Array[Byte](4); bb.get(magic)
-        require(new String(magic, "US-ASCII") == "RAWV", "not a RAWV container")
-        val w = bb.getInt; val h = bb.getInt; val fps = bb.getInt; val nf = bb.getInt
+        val (w, h, fps, nf) = MediaCodec.rawvHeader(bytes)
         val frameSz = w * h * 3
         val stepFrames = math.max(1, everyMs.toLong * fps / 1000).toInt
         Iterator.range(0, nf, stepFrames).map { f =>

@@ -123,6 +123,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     operators.Caches.release()
     assert(operators.Caches.trackedCount == 0 &&
       g.storageLevel == StorageLevel.NONE)
+    // a throwing body must not leak its tracked caches: no handle ever
+    // reaches the caller, so scope() releases them on the way out
+    intercept[RuntimeException] {
+      operators.Caches.scope {
+        val df = operators.Caches.track(spark.range(5).toDF("y"))
+        df.count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a failed scoped composition must leave no cached plan behind")
   }
 
   test("simhash pairs include the planted near-dups at small hamming") {

@@ -102,6 +102,8 @@ class ScaleSpec extends AnyFunSuite {
     // the shuffle. Local thresholds are cluster-sized, so pin the
     // application-side threshold down to let the local fixture qualify.
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBloom =
+      spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
@@ -125,6 +127,12 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.unset(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      prevBloom match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      }
     }
   }
 

@@ -36,6 +36,19 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(d3.width == MediaCodec.videoWidth(2) &&
       d3.nFrames == MediaCodec.videoFrames(2) &&
       d3.durationMs == MediaCodec.videoFrames(2) * 1000 / MediaCodec.VideoFps)
+    // a structurally valid ZERO-frame container decodes (no raster read)
+    val zeroNf = java.nio.ByteBuffer.allocate(20)
+    zeroNf.put("RAWV".getBytes("US-ASCII"))
+    zeroNf.putInt(16); zeroNf.putInt(12); zeroNf.putInt(10); zeroNf.putInt(0)
+    val dz = MediaCodec.decodeRawv(zeroNf.array, 8)
+    assert(dz.width == 16 && dz.nFrames == 0 && dz.durationMs == 0)
+    // a header lying about nframes fails loudly, never zero-pads frames
+    val lying = java.nio.ByteBuffer.allocate(20)
+    lying.put("RAWV".getBytes("US-ASCII"))
+    lying.putInt(16); lying.putInt(12); lying.putInt(10); lying.putInt(3)
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodeRawv(lying.array, 8)
+    }
   }
 
   test("multimodal: decoded metadata matches the fixture formulas for every row") {
