@@ -283,7 +283,16 @@ object Multimodal {
   def realMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // Encoding is CPU-bound per row, and the id column is tiny — so a
+    // small input (one parquet split at test SF) must be spread across
+    // the full parallelism BEFORE the codec work, or the whole encode
+    // runs on one core (measured: 3.5s → ~1.5s at sf0.1/local[32]).
+    // Shuffling ids costs nothing; the bytes produced AFTER this point
+    // never shuffle (decode/feature-extract ride these partitions).
+    val ids = docs.select(col("doc_id")).as[Long]
+    val spread = math.max(ids.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism)
+    ids.repartition(spread).mapPartitions { it =>
       it.map { id =>
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"

@@ -75,6 +75,20 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       expected.exceptAll(got).count() == 0)
   }
 
+  test("multimodal: realMedia spreads the CPU-bound encode across full parallelism") {
+    val docs = graft.sources.Tables(spark, sf, "documents").coalesce(1)
+    // the encode must never run on the input's (possibly single) split:
+    // ids are shuffled out to at least defaultParallelism partitions
+    // BEFORE the codec work, and decode keeps those partitions (bytes
+    // never shuffle after they exist)
+    val media = Multimodal.realMedia(docs)
+    val parts = media.rdd.getNumPartitions
+    assert(parts >= spark.sparkContext.defaultParallelism,
+      s"encode parallelism $parts < ${spark.sparkContext.defaultParallelism}")
+    assert(Multimodal.decodeMedia(media).rdd.getNumPartitions == parts,
+      "decode must ride the encode partitions, not reshuffle bytes")
+  }
+
   test("multimodal: feature extraction preserves ids, dims and determinism") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val media = Multimodal.realMedia(docs).cache()
