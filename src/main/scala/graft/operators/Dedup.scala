@@ -20,6 +20,15 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Spread scan (Tables.spread) for the shingling feeders — tokenize +
+    * explode + md5-per-gram is the map-side hotspot of the near-dup
+    * family, and a single-row-group input would run it all on one core.
+    * Cheap passes (exact md5 dedup, simhash's one-expression signature,
+    * id-only scans) keep the plain scan: their exchange would cost more
+    * than the compute it spreads. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.spreadTable(s, dir, "documents", col("doc_id"))
+
   // q25 — exact dedup: md5 content hash → keeper (min doc_id) + copy
   // count. One shuffle on the hash; at 100 TB this is the cheapest dedup
   // pass and runs first.
@@ -32,7 +41,7 @@ object Dedup {
 
   /** Distinct 3-gram shingles per doc (docs with ≥3 tokens). */
   private def grams3(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles(col("t"), 3)).as("gram"))
@@ -92,7 +101,7 @@ object Dedup {
     // collection out of a groupBy/collect_list entirely. Cached because
     // three consumers read it; released via Caches.release()
     val docGrams = Caches.track(
-      docs(s, dir)
+      docsSpread(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), shingles(col("t"), 3).as("grams")))
@@ -228,7 +237,7 @@ object Dedup {
     // double wherever computed, so the per-pair cosine stays bit-equal
     // to the oracle while rescoring does one dot per pair, not three)
     val e = Similarity.hyperplaneSketch(
-      Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      Tables.spreadTable(s, dir, "embeddings", col("vec_id")).select(col("vec_id"), col("embedding")),
       "embedding", bits, dim)
       .withColumn("_norm", sqrt(dotNative(col("embedding"), col("embedding"))))
     // cached: the sketch/norm projection feeds BOTH sides of the bucket

@@ -16,6 +16,14 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Scan for operators whose per-row compute dominates (regex scrub,
+    * shingle fingerprints, repetition n-grams): floors map parallelism
+    * (Tables.spread) so a single-row-group input doesn't pin the whole
+    * pass to one core. The light projections keep the plain scan — for
+    * them the exchange costs more than the compute it spreads. */
+  private def docsHeavy(s: SparkSession, dir: String): DataFrame =
+    Tables.spreadTable(s, dir, "documents", col("doc_id"))
+
   // q21 — per-document stats: char/token/distinct counts + uniqueness
   // ratio (exact-integer division → bit-identical doubles in the oracle).
   def docStats(s: SparkSession, dir: String): DataFrame =
@@ -79,7 +87,7 @@ object TextOps {
   // text's hash (so the oracle verifies the actual rewritten bytes, not
   // just the counts). Pure per-row regex work — shuffle-free, codegen'd.
   def piiScrub(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+    docsHeavy(s, dir).select(
       col("doc_id"),
       piiCount(col("text"), PiiEmail).as("n_emails"),
       piiCount(col("text"), PiiUrl).as("n_urls"),
@@ -92,7 +100,7 @@ object TextOps {
   // flag template/repeated content — a standard pre-training quality
   // gate alongside q24.
   def repetitionScore(s: SparkSession, dir: String): DataFrame =
-    repetitionScoreFor(docs(s, dir))
+    repetitionScoreFor(docsHeavy(s, dir))
 
   /** Core of q48, usable on any (doc_id, text) frame (specs plant their
     * own repetitive/diverse docs through this same code path). */
@@ -142,7 +150,7 @@ object TextOps {
   // bucketed by the first hex nibble. Per-row, shuffle-free; the bucket
   // column is what a 100-TB pipeline would hash-partition on.
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    docsHeavy(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 8)
       .select(col("doc_id"),

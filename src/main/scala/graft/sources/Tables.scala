@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{functions, types, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, types, Column, DataFrame, SparkSession}
 
 /** Parquet-backed table registry for the driver testdata layout
   * (`<dir>/<name>.parquet`, see TESTDATA.md).
@@ -37,4 +37,47 @@ object Tables {
     * mirroring `createOrReplaceTempView` at spark_processing.py:41-42). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Parallelism floor for CPU-heavy per-row pipelines (shingling, md5
+    * minhashes, hyperplane sketches, per-row text stats): when the scan
+    * yields fewer partitions than the cluster has cores, hash-spread the
+    * rows BEFORE the expensive map-side work — a parquet row group is
+    * indivisible, so a small table written as one row group pins the
+    * whole map stage to ONE task and no file-split conf can fix it. At
+    * production scale a 100-TB table scans as ~800k splits and this is
+    * a no-op; the exchange only ever materializes on inputs small
+    * enough that shuffling them is free relative to the compute they
+    * feed (measured: q61's codec pass 3.5s → 0.95s at sf0.1). */
+  def spread(df: DataFrame, keys: Column*): DataFrame =
+    spreadIf(df, df.rdd.getNumPartitions, keys)
+
+  // deciding `spread` needs the scan's partition count, and computing it
+  // (`df.rdd.getNumPartitions`) runs the full planning pipeline + file
+  // listing — ~0.3s per CALL on the driver, dwarfing the exchange it
+  // guards. A parquet table's split count is static for the life of the
+  // process, so memoize it per resolved path.
+  private val partsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** [[spread]] for a named table scan: identical semantics, but the
+    * partition-count probe is memoized per `<dir>/<name>` so repeated
+    * query construction (benchmark reps, iterative operators) pays the
+    * planning cost once per process instead of once per call. */
+  def spreadTable(spark: SparkSession, dir: String, name: String,
+                  keys: Column*): DataFrame = {
+    val df = apply(spark, dir, name)
+    val n = partsMemo.getOrElseUpdate(s"$dir/$name", df.rdd.getNumPartitions)
+    spreadIf(df, n, keys)
+  }
+
+  private def spreadIf(df: DataFrame, parts: Int, keys: Seq[Column]): DataFrame = {
+    val min = df.sparkSession.sparkContext.defaultParallelism
+    if (parts >= min) df
+    // hash-spread on the row's key when the caller names one: round-robin
+    // repartition sorts whole UnsafeRows first (sortBeforeRepartition,
+    // for retry determinism) — over document text that sort costs more
+    // than the exchange itself
+    else if (keys.nonEmpty) df.repartition(min, keys: _*)
+    else df.repartition(min)
+  }
 }

@@ -39,6 +39,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("Tables.spread floors scan parallelism without touching wide scans") {
+    // a parquet row group is indivisible: a one-row-group table scans as
+    // ONE task and every per-row transform above it (shingling, minhash,
+    // sketches, codecs) runs single-core. spread() repartitions exactly
+    // then — and must be a no-op once the scan already has >= cores
+    // partitions (the 100-TB shape, where the exchange would be a
+    // full-data shuffle for nothing).
+    val single = spark.range(1000).toDF("id").coalesce(1)
+    assert(graft.sources.Tables.spread(single).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    val wide = spark.range(1000).toDF("id")
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("id"))
+    val spreadWide = graft.sources.Tables.spread(wide)
+    assert(spreadWide.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism * 2)
+    assert(!plan(spreadWide).contains("RoundRobinPartitioning"),
+      "spread on an already-parallel input must not add an exchange")
+  }
+
   test("date-partitioned write enables partition pruning at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ord = graft.sources.Tables(spark, sf, "orders")
@@ -179,6 +198,43 @@ class ScaleSpec extends AnyFunSuite {
     val liScans = p.split("lineitem\\.parquet", -1).length - 1
     assert(liScans == 1,
       s"expected ONE lineitem scan feeding the stacked describe, found $liScans")
+  }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the third skew regime from SCALE.md (beyond broadcast and manual
+    // salting): AQE's OptimizeSkewedJoin splits the hot partition into
+    // parallel sub-reads. Thresholds are cluster-sized, so pin them down
+    // to let the local fixture's hot key qualify as skewed.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~100k fact rows on ONE key vs a uniform build side: the hot
+      // shuffle partition dwarfs the 8KB advisory size
+      val fact = spark.range(100000).select(
+        when(col("id") % 100 < 99, 7L).otherwise(col("id") % 50).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(50).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = fact.join(dim, Seq("k"))
+      // force execution through THIS Dataset's queryExecution — .count()
+      // would build a fresh one and leave this plan isFinalPlan=false
+      assert(joined.collect().length == 100000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"expected a skew-split join in the adaptive plan:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("salted join is row-identical to the plain join on skewed data") {
