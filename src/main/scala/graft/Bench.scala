@@ -47,7 +47,12 @@ object Bench {
         .reduce(_ ^ _)
       ()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args = query-name filter for profiling a subset under the
+    // exact bench protocol (the driver passes none → full run unchanged).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // One UNTIMED warmup rep per query: rep 1 otherwise pays Janino
       // codegen for the query's expressions (q59's broadcast-join tree
       // costs ~2.5s to compile), contaminating the median with compile

@@ -20,10 +20,11 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Spread scan (Tables.spread) for the shingling feeders — tokenize +
-    * explode + md5-per-gram is the map-side hotspot of the near-dup
-    * family, and a single-row-group input would run it all on one core.
-    * Cheap passes (exact md5 dedup, simhash's one-expression signature,
+  /** Spread scan (Tables.spread) for the per-row-compute hotspots —
+    * tokenize + explode + md5-per-gram shingling, and q28's simhash
+    * signature (an md5 PER TOKEN: one expression, but the dominant
+    * per-row cost) — where a single-row-group input would pin the whole
+    * map stage to one core. Cheap passes (exact whole-text md5 dedup,
     * id-only scans) keep the plain scan: their exchange would cost more
     * than the compute it spreads. */
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
@@ -445,9 +446,9 @@ object Dedup {
                    maxHamming: Int = 6): DataFrame = {
     graft.plans.SimHashMd5.register(s)
     // cached: the md5-per-token signature is the dominant per-row cost
-    // and feeds BOTH sides of the band self-join; released via
-    // Caches.release()
-    val sh = Caches.track(docs(s, dir)
+    // (hence the spread scan) and feeds BOTH sides of the band
+    // self-join; released via Caches.release()
+    val sh = Caches.track(docsSpread(s, dir)
       .select(col("doc_id"),
         call_function("simhash_md5_60", tokens(col("text"))).as("simhash")))
     // 4 bands of 15 bits

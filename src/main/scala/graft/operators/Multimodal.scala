@@ -287,12 +287,12 @@ object Multimodal {
     // small input (one parquet split at test SF) must be spread across
     // the full parallelism BEFORE the codec work, or the whole encode
     // runs on one core (measured: 3.5s → ~1.5s at sf0.1/local[32]).
-    // Shuffling ids costs nothing; the bytes produced AFTER this point
-    // never shuffle (decode/feature-extract ride these partitions).
-    val ids = docs.select(col("doc_id")).as[Long]
-    val spread = math.max(ids.rdd.getNumPartitions,
-      spark.sparkContext.defaultParallelism)
-    ids.repartition(spread).mapPartitions { it =>
+    // Tables.spread is a no-op when the scan is already wide; the bytes
+    // produced AFTER this point never shuffle (decode/feature-extract
+    // ride these partitions).
+    val ids = graft.sources.Tables.spread(
+      docs.select(col("doc_id")), col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
       it.map { id =>
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"

@@ -47,17 +47,38 @@ object Tables {
     * production scale a 100-TB table scans as ~800k splits and this is
     * a no-op; the exchange only ever materializes on inputs small
     * enough that shuffling them is free relative to the compute they
-    * feed (measured: q61's codec pass 3.5s → 0.95s at sf0.1). */
-  def spread(df: DataFrame, keys: Column*): DataFrame =
-    spreadIf(df, df.rdd.getNumPartitions, keys)
+    * feed (measured: q61's codec pass 3.5s → 0.95s at sf0.1, via this
+    * floor inside [[graft.operators.Multimodal.realMedia]]). */
+  def spread(df: DataFrame, keys: Column*): DataFrame = {
+    // The partition probe is only safe on scan-shaped plans: under AQE,
+    // Dataset.rdd on a plan containing an exchange MATERIALIZES the
+    // upstream stages (real jobs over the data) just to read a count,
+    // which the caller's own action then recomputes. A post-shuffle
+    // frame is already >= shuffle.partitions wide, so the floor is moot
+    // there anyway — skip both the probe and the exchange.
+    val hasExchange = df.queryExecution.sparkPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      .isDefined
+    if (hasExchange) df
+    else spreadIf(df, df.rdd.getNumPartitions, keys)
+  }
 
   // deciding `spread` needs the scan's partition count, and computing it
   // (`df.rdd.getNumPartitions`) runs the full planning pipeline + file
   // listing — ~0.3s per CALL on the driver, dwarfing the exchange it
   // guards. A parquet table's split count is static for the life of the
-  // process, so memoize it per resolved path.
+  // process, so memoize it per resolved path. CONTRACT: assumes the
+  // table files are immutable while the process lives (true for the
+  // driver's testdata layout and any sane warehouse); a pipeline that
+  // rewrites a table in-process must call [[resetSplitMemo]] or the
+  // stale count silently mis-decides the floor. The count is also taken
+  // under the FIRST caller's session confs (maxPartitionBytes etc.) —
+  // acceptable because it only gates an optimization, never semantics.
   private val partsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Drop memoized split counts (for in-process table rewrites). */
+  def resetSplitMemo(): Unit = partsMemo.clear()
 
   /** [[spread]] for a named table scan: identical semantics, but the
     * partition-count probe is memoized per `<dir>/<name>` so repeated

@@ -52,10 +52,13 @@ class ScaleSpec extends AnyFunSuite {
     val wide = spark.range(1000).toDF("id")
       .repartition(spark.sparkContext.defaultParallelism * 2, col("id"))
     val spreadWide = graft.sources.Tables.spread(wide)
+    // a plan that already contains an exchange is returned UNTOUCHED
+    // (same reference): probing its partition count under AQE would
+    // materialize the upstream stages just to read a number
+    assert(spreadWide eq wide,
+      "spread on an exchange-bearing plan must be an identity no-op")
     assert(spreadWide.rdd.getNumPartitions ==
       spark.sparkContext.defaultParallelism * 2)
-    assert(!plan(spreadWide).contains("RoundRobinPartitioning"),
-      "spread on an already-parallel input must not add an exchange")
   }
 
   test("date-partitioned write enables partition pruning at the scan") {
