@@ -49,6 +49,12 @@ object Bench {
     }
     // Optional args = query-name filter for profiling a subset under the
     // exact bench protocol (the driver passes none → full run unchanged).
+    // Unknown names fail loudly: a typo must not print a plausible
+    // zero-query result with exit code 0.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — " +
+        s"valid names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }

@@ -20,15 +20,12 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Spread scan (Tables.spread) for the per-row-compute hotspots —
-    * tokenize + explode + md5-per-gram shingling, and q28's simhash
-    * signature (an md5 PER TOKEN: one expression, but the dominant
-    * per-row cost) — where a single-row-group input would pin the whole
-    * map stage to one core. Cheap passes (exact whole-text md5 dedup,
-    * id-only scans) keep the plain scan: their exchange would cost more
-    * than the compute it spreads. */
+  /** Spread scan for the per-row-compute hotspots (shingling, q28's
+    * md5-per-token simhash signature) — one shared helper with the text
+    * family, see [[TextOps.docsHeavy]] for the floor-vs-plain-scan
+    * decision rule. */
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
-    Tables.spreadTable(s, dir, "documents", col("doc_id"))
+    TextOps.docsHeavy(s, dir)
 
   // q25 — exact dedup: md5 content hash → keeper (min doc_id) + copy
   // count. One shuffle on the hash; at 100 TB this is the cheapest dedup

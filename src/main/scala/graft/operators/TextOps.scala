@@ -16,12 +16,15 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Scan for operators whose per-row compute dominates (regex scrub,
-    * shingle fingerprints, repetition n-grams): floors map parallelism
-    * (Tables.spread) so a single-row-group input doesn't pin the whole
-    * pass to one core. The light projections keep the plain scan — for
-    * them the exchange costs more than the compute it spreads. */
-  private def docsHeavy(s: SparkSession, dir: String): DataFrame =
+  /** Documents scan for operators whose per-row compute dominates
+    * (regex scrub, shingle fingerprints, repetition n-grams, tokenize +
+    * explode + md5-per-gram shingling, simhash's md5-per-token
+    * signature): floors map parallelism (Tables.spread) so a
+    * single-row-group input doesn't pin the whole pass to one core.
+    * Light projections (exact whole-text md5 dedup, id-only scans) keep
+    * the plain scan — for them the exchange costs more than the compute
+    * it spreads. Shared with [[Dedup]]'s near-dup family. */
+  private[operators] def docsHeavy(s: SparkSession, dir: String): DataFrame =
     Tables.spreadTable(s, dir, "documents", col("doc_id"))
 
   // q21 — per-document stats: char/token/distinct counts + uniqueness

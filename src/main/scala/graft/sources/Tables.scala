@@ -47,49 +47,75 @@ object Tables {
     * production scale a 100-TB table scans as ~800k splits and this is
     * a no-op; the exchange only ever materializes on inputs small
     * enough that shuffling them is free relative to the compute they
-    * feed (measured: q61's codec pass 3.5s → 0.95s at sf0.1, via this
-    * floor inside [[graft.operators.Multimodal.realMedia]]). */
+    * feed (measured medians at sf0.1/local[32]: q61's codec pass
+    * 3.5s → ~1.2s via this floor inside
+    * [[graft.operators.Multimodal.realMedia]], q43's shingle feeders
+    * 6.0s → 0.8s). */
   def spread(df: DataFrame, keys: Column*): DataFrame = {
-    // The partition probe is only safe on scan-shaped plans: under AQE,
-    // Dataset.rdd on a plan containing an exchange MATERIALIZES the
-    // upstream stages (real jobs over the data) just to read a count,
-    // which the caller's own action then recomputes. A post-shuffle
-    // frame is already >= shuffle.partitions wide, so the floor is moot
-    // there anyway — skip both the probe and the exchange.
-    val hasExchange = df.queryExecution.sparkPlan
-      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-      .isDefined
-    if (hasExchange) df
-    else spreadIf(df, df.rdd.getNumPartitions, keys)
+    // The partition probe (`df.rdd.getNumPartitions`) is only safe on
+    // scan-shaped plans: under AQE, Dataset.rdd on a plan containing a
+    // shuffle MATERIALIZES every upstream stage (real jobs over the
+    // data) just to read a count, which the caller's own action then
+    // recomputes. And the PHYSICAL plan can't reveal those shuffles —
+    // implicit exchanges are inserted by EnsureRequirements during
+    // executedPlan preparation, invisible in `sparkPlan`. So gate on
+    // the LOGICAL shape: the floor applies to scan/project/filter
+    // pipelines only (the hotspot feeders it exists for); any wider
+    // plan — join, aggregate, window, explicit repartition — is
+    // returned untouched, un-probed. Callers spread the SCAN feeding
+    // the compute, never a composite.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, Project, Repartition}
+    val plan = df.queryExecution.optimizedPlan
+    val scanShaped = plan.find {
+      case _: Project | _: LFilter | _: LeafNode => false
+      case r: Repartition if !r.shuffle          => false // coalesce: narrow, probe-safe
+      case _                                     => true
+    }.isEmpty
+    if (!scanShaped) df
+    else {
+      // memoize the probe by the file relation's root paths: a parquet
+      // scan's split count is projection-independent (splits are file
+      // byte ranges; column pruning doesn't change them), so every
+      // projection of one table shares a count and repeated query
+      // construction (bench reps, iterative operators) pays the ~0.3s
+      // planning + file-listing cost once per process, not per call
+      val rootKey = plan.collectLeaves() match {
+        case Seq(lr: org.apache.spark.sql.execution.datasources.LogicalRelation) =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              Some(fs.location.rootPaths.mkString(","))
+            case _ => None
+          }
+        case _ => None
+      }
+      val parts = rootKey match {
+        case Some(k) => partsMemo.getOrElseUpdate(k, df.rdd.getNumPartitions)
+        case None    => df.rdd.getNumPartitions
+      }
+      spreadIf(df, parts, keys)
+    }
   }
 
-  // deciding `spread` needs the scan's partition count, and computing it
-  // (`df.rdd.getNumPartitions`) runs the full planning pipeline + file
-  // listing — ~0.3s per CALL on the driver, dwarfing the exchange it
-  // guards. A parquet table's split count is static for the life of the
-  // process, so memoize it per resolved path. CONTRACT: assumes the
-  // table files are immutable while the process lives (true for the
-  // driver's testdata layout and any sane warehouse); a pipeline that
-  // rewrites a table in-process must call [[resetSplitMemo]] or the
-  // stale count silently mis-decides the floor. The count is also taken
-  // under the FIRST caller's session confs (maxPartitionBytes etc.) —
-  // acceptable because it only gates an optimization, never semantics.
+  // CONTRACT for the split-count memo: assumes the table files are
+  // immutable while the process lives (true for the driver's testdata
+  // layout and any sane warehouse); a pipeline that rewrites a table
+  // in-process must call [[resetSplitMemo]] or the stale count silently
+  // mis-decides the floor. The count is taken under the FIRST caller's
+  // session confs (maxPartitionBytes etc.) and without any partition-
+  // pruning a caller's filter might add — acceptable because it only
+  // gates an optimization, never semantics.
   private val partsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Int]
 
   /** Drop memoized split counts (for in-process table rewrites). */
   def resetSplitMemo(): Unit = partsMemo.clear()
 
-  /** [[spread]] for a named table scan: identical semantics, but the
-    * partition-count probe is memoized per `<dir>/<name>` so repeated
-    * query construction (benchmark reps, iterative operators) pays the
-    * planning cost once per process instead of once per call. */
+  /** [[spread]] for a named table scan — the common "floor the whole
+    * table's scan" entry point. Same memoized probe (keyed by the scan's
+    * root path via [[spread]]). */
   def spreadTable(spark: SparkSession, dir: String, name: String,
-                  keys: Column*): DataFrame = {
-    val df = apply(spark, dir, name)
-    val n = partsMemo.getOrElseUpdate(s"$dir/$name", df.rdd.getNumPartitions)
-    spreadIf(df, n, keys)
-  }
+                  keys: Column*): DataFrame =
+    spread(apply(spark, dir, name), keys: _*)
 
   private def spreadIf(df: DataFrame, parts: Int, keys: Seq[Column]): DataFrame = {
     val min = df.sparkSession.sparkContext.defaultParallelism

@@ -52,13 +52,26 @@ class ScaleSpec extends AnyFunSuite {
     val wide = spark.range(1000).toDF("id")
       .repartition(spark.sparkContext.defaultParallelism * 2, col("id"))
     val spreadWide = graft.sources.Tables.spread(wide)
-    // a plan that already contains an exchange is returned UNTOUCHED
-    // (same reference): probing its partition count under AQE would
-    // materialize the upstream stages just to read a number
+    // a non-scan-shaped plan is returned UNTOUCHED (same reference):
+    // under AQE, probing a shuffle-bearing plan's partition count would
+    // materialize its upstream stages just to read a number — and the
+    // physical sparkPlan can't even reveal implicit shuffles (they're
+    // inserted later by EnsureRequirements), so the guard reads the
+    // LOGICAL shape
     assert(spreadWide eq wide,
-      "spread on an exchange-bearing plan must be an identity no-op")
+      "spread on an explicit-repartition plan must be an identity no-op")
     assert(spreadWide.rdd.getNumPartitions ==
       spark.sparkContext.defaultParallelism * 2)
+    // implicit shuffles (join/aggregate — no Exchange in sparkPlan, the
+    // shape the old physical-plan guard missed) are no-ops too
+    val a = spark.range(100).toDF("id")
+    val b = spark.range(100).toDF("id")
+    val joined = a.join(b, "id")
+    assert(graft.sources.Tables.spread(joined) eq joined,
+      "spread on a join-shaped plan must be an identity no-op")
+    val agged = a.groupBy(col("id")).count()
+    assert(graft.sources.Tables.spread(agged) eq agged,
+      "spread on an aggregate-shaped plan must be an identity no-op")
   }
 
   test("date-partitioned write enables partition pruning at the scan") {
