@@ -64,8 +64,14 @@ object Bench {
       // costs ~2.5s to compile), contaminating the median with compile
       // time that a long-lived cluster pays once. Caches are torn down
       // after the warmup, so the timed reps still measure cold-data cost.
+      // NonFatal only: a warmup OOM/VM error must kill the run, not let
+      // timed reps proceed in a corrupted JVM; non-fatal failures are
+      // logged (the timed rep will report the -1.0)
       val (_, warm) = graft.operators.Caches.scope {
-        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        try force(fn(spark, sfDir)) catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name warmup FAILED: ${e.getMessage}")
+        }
       }
       warm.release()
       spark.catalog.clearCache()
@@ -74,7 +80,7 @@ object Bench {
         // per-query scope: releases exactly this rep's operator caches
         val (ok, qscope) = graft.operators.Caches.scope {
           try { force(fn(spark, sfDir)); true } catch {
-            case e: Throwable =>
+            case scala.util.control.NonFatal(e) =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
         }

@@ -312,11 +312,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           localSolveMaxEdges: Long = 1L << 20): DataFrame = {
     val Seq(a, b) = pairs.columns.take(2).toSeq.map(col)
-    val edges = Caches.track(
-      pairs.select(a.as("src"), b.as("dst"))
-        .unionByName(pairs.select(b.as("src"), a.as("dst"))))
-    // ONE action materializes the edge cache AND decides the path
-    val nEdges = edges.count() / 2
+    // cache the DIRECTED pair list and derive the symmetric edge list
+    // from the cache: caching the union instead would evaluate the
+    // (expensive — q26's whole candidate+rescore pipeline) pair plan
+    // once per union branch when the cache materializes
+    val directed = Caches.track(pairs.select(a.as("src"), b.as("dst")))
+    // ONE action materializes the pair cache AND decides the path
+    val nEdges = directed.count()
+    val edges = directed.unionByName(
+      directed.select(col("dst").as("src"), col("src").as("dst")))
     if (nEdges <= localSolveMaxEdges) return localComponents(edges)
     // iterate ONLY over the pair subgraph — docs in no pair can never
     // change label, so propagating over the full corpus would shuffle

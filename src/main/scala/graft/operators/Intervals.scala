@@ -41,12 +41,22 @@ object Intervals {
     require(bucketW > 0, s"bucket width must be positive, got $bucketW")
     // exact integer floor-division, same as RangeJoinRule.cell: a
     // double-based floor(col/W) rounds t and lo independently above
-    // 2^52 and silently drops pairs at extreme long domains
-    def cell(c: String): Column =
-      expr(s"(`$c` - pmod(`$c`, ${bucketW}L)) div ${bucketW}L")
-    val gridded = intervals.withColumn("_bucket",
-      explode(sequence(cell(loCol), cell(hiCol))))
-    val slotted = points.withColumn("_bucket", cell(tCol))
+    // 2^52 and silently drops pairs at extreme long domains. The `div`
+    // operator only exists in SQL text, so the expr() runs over a
+    // CONTROLLED alias (`_graft_cell_in`) — interpolating the caller's
+    // column name into SQL would break on backticks and silently
+    // re-interpret dotted nested-field names as top-level ones.
+    val cellExpr =
+      expr(s"(_graft_cell_in - pmod(_graft_cell_in, ${bucketW}L)) div ${bucketW}L")
+    def withCell(df: DataFrame, c: String, out: String): DataFrame =
+      df.withColumn("_graft_cell_in", df(c))
+        .withColumn(out, cellExpr)
+        .drop("_graft_cell_in")
+    val gridded = withCell(withCell(intervals, loCol, "_lo_cell"),
+        hiCol, "_hi_cell")
+      .withColumn("_bucket", explode(sequence(col("_lo_cell"), col("_hi_cell"))))
+      .drop("_lo_cell", "_hi_cell")
+    val slotted = withCell(points, tCol, "_bucket")
     slotted.join(gridded, keys :+ "_bucket")
       .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
       .drop("_bucket")

@@ -186,7 +186,13 @@ object Multimodal {
       require(fourcc() == "WAVE", "not a WAVE file")
       var rate = 0; var blockAlign = 0; var channels = 0
       var dataOff = -1; var dataSize = 0
-      while (bb.remaining() >= 8 && dataOff < 0) {
+      // walk until BOTH chunks are found: RIFF permits data before fmt,
+      // so stopping at the first data chunk would reject legal files.
+      // Skips clamp to the buffer end — a truncated chunk must reach
+      // the named require below, not throw from ByteBuffer.position.
+      def skip(body: Int): Unit =
+        bb.position(math.min(bb.limit(), bb.position() + body + (body & 1)))
+      while (bb.remaining() >= 8 && (dataOff < 0 || rate == 0)) {
         val id = fourcc(); val sz = bb.getInt
         id match {
           case "fmt " =>
@@ -196,14 +202,20 @@ object Multimodal {
             rate = bb.getInt
             bb.getInt   // byte rate
             blockAlign = bb.getShort.toInt
-            bb.position(p + sz + (sz & 1)) // chunks pad to even
+            bb.position(math.min(bb.limit(), p + sz + (sz & 1))) // pad to even
           case "data" =>
             dataOff = bb.position(); dataSize = sz
+            skip(sz) // keep walking for fmt
           case _ =>
-            bb.position(bb.position() + sz + (sz & 1))
+            skip(sz)
         }
       }
       require(rate > 0 && blockAlign > 0 && dataOff >= 0, "missing fmt/data chunk")
+      // a header claiming more payload than the file carries must fail
+      // with a named error, not an anonymous IndexOutOfBounds mid-read
+      require(dataOff.toLong + dataSize <= bytes.length,
+        s"WAV data chunk overruns payload: off=$dataOff size=$dataSize " +
+          s"file=${bytes.length}")
       val nSamples = dataSize / blockAlign
       val durationMs = (nSamples.toLong * 1000L / rate).toInt
       var sum = 0.0; var sum2 = 0.0; var zc = 0; var prev = 0; var maxAbs = 0
@@ -309,13 +321,31 @@ object Multimodal {
 
   /** Decode a media table: one decoder pass per partition, bytes never
     * shuffled, metadata + fixed-width features out. */
+  /** [[MediaCodec.decode]] with per-row context on failure: a decode
+    * error inside a Spark task otherwise surfaces as an anonymous
+    * SparkException with no hint WHICH payload was bad — or that the
+    * caller composed a decode path with [[mediaFromDocuments]], the
+    * metadata-only fixture half whose text bytes are not decodable
+    * (real payloads come from [[realMedia]]). */
+  private def decodeCtx(id: Long, kind: String, bytes: Array[Byte],
+                        dim: Int): MediaCodec.Decoded =
+    try MediaCodec.decode(kind, bytes, dim)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"media_id=$id kind=$kind: undecodable payload " +
+            s"(${e.getMessage}); decode paths need realMedia-encoded " +
+            "bytes — mediaFromDocuments is the metadata-only fixture half",
+          e)
+    }
+
   def decodeMedia(media: DataFrame, dim: Int = 8): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, bytes) =>
-          val d = MediaCodec.decode(kind, bytes, dim)
+          val d = decodeCtx(id, kind, bytes, dim)
           DecodedMedia(id, kind, d.width, d.height, d.durationMs, d.nFrames,
             bytes.length.toLong, d.features)
         }
@@ -351,7 +381,7 @@ object Multimodal {
     media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, bytes) =>
-          val d = MediaCodec.decode(kind, bytes, dim)
+          val d = decodeCtx(id, kind, bytes, dim)
           val crc = new java.util.zip.CRC32(); crc.update(bytes)
           MediaFeatures(id, kind, bytes.length.toLong, crc.getValue, d.features)
         }
@@ -360,14 +390,24 @@ object Multimodal {
 
   /** REAL frame sampling: parse the RAWV header, slice actual frame
     * payloads every `everyMs` milliseconds. Emits (media_id, frame_idx,
-    * offset_ms, frame_bytes) with frame_bytes the exact w*h*3 raster. */
+    * offset_ms, frame_bytes) with frame_bytes the exact w*h*3 raster.
+    * (Default `everyMs` dropped 10000 → 1000 with the real-codec
+    * fixtures, whose clips are seconds, not minutes.) */
   def sampleFrames(media: DataFrame, everyMs: Int = 1000): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "video")
       .select("media_id", "bytes").as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val (w, h, fps, nf) = MediaCodec.rawvHeader(bytes)
+        val (w, h, fps, nf) =
+          try MediaCodec.rawvHeader(bytes)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              throw new IllegalArgumentException(
+                s"media_id=$id: undecodable video payload " +
+                  s"(${e.getMessage}); frame sampling needs " +
+                  "realMedia-encoded RAWV bytes", e)
+          }
         val frameSz = w * h * 3
         val stepFrames = math.max(1, everyMs.toLong * fps / 1000).toInt
         Iterator.range(0, nf, stepFrames).map { f =>

@@ -78,8 +78,12 @@ object Tables {
       // byte ranges; column pruning doesn't change them), so every
       // projection of one table shares a count and repeated query
       // construction (bench reps, iterative operators) pays the ~0.3s
-      // planning + file-listing cost once per process, not per call
-      val rootKey = plan.collectLeaves() match {
+      // planning + file-listing cost once per process, not per call.
+      // A coalesce-bearing plan must NOT share that entry (its count is
+      // the coalesce target, not the split count — a memo hit in either
+      // direction mis-decides the floor), so it probes unmemoized.
+      val hasCoalesce = plan.exists(_.isInstanceOf[Repartition])
+      val rootKey = if (hasCoalesce) None else plan.collectLeaves() match {
         case Seq(lr: org.apache.spark.sql.execution.datasources.LogicalRelation) =>
           lr.relation match {
             case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>

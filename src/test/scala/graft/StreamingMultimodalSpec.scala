@@ -30,6 +30,20 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val padded = wav.slice(0, 12) ++ listChunk ++ wav.drop(12)
     val d2 = MediaCodec.decodeWav(padded, 8)
     assert(d2.durationMs == d1.durationMs && d2.features.toSeq == d1.features.toSeq)
+    // data BEFORE fmt is legal RIFF (some encoders emit it): the walk
+    // must keep scanning after data instead of stopping with rate=0
+    val fmtChunk = wav.slice(12, 12 + 8 + 16)      // "fmt " + size + body
+    val dataChunk = wav.drop(12 + 8 + 16)          // "data" + size + samples
+    val reordered = wav.slice(0, 12) ++ dataChunk ++ fmtChunk
+    val d4 = MediaCodec.decodeWav(reordered, 8)
+    assert(d4.durationMs == d1.durationMs && d4.features.toSeq == d1.features.toSeq)
+    // a data chunk claiming more payload than the file carries fails
+    // with a NAMED error, not an anonymous IndexOutOfBounds
+    val truncated = wav.slice(0, wav.length - 10)
+    val e = intercept[IllegalArgumentException] {
+      MediaCodec.decodeWav(truncated, 8)
+    }
+    assert(e.getMessage.contains("overruns"))
     // RAWV: header fields round-trip
     val rawv = MediaCodec.rawvFor(2)
     val d3 = MediaCodec.decodeRawv(rawv, 8)
@@ -131,6 +145,23 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got.toSeq == raw.slice(20, 20 + frameSz).toSeq)
     assert(frames.filter(length(col("frame_bytes")) =!= frameSz).filter(col("media_id") === id0).count() == 0)
     media.unpersist(); frames.unpersist()
+  }
+
+  test("multimodal: decode failures name the row and the fixture-half trap") {
+    // composing a decode path with mediaFromDocuments (the metadata-only
+    // fixture half — its bytes are raw text, not media) must fail with a
+    // message naming the media_id and the trap, not an anonymous codec
+    // error buried in a task failure
+    import spark.implicits._
+    val fake = Seq((7L, "audio", "not a riff payload".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val e = intercept[Exception] {
+      Multimodal.decodeMedia(fake).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(messages.contains("media_id=7") &&
+      messages.contains("mediaFromDocuments"))
   }
 
   test("multimodal: resize keeps aspect ratio bound") {
