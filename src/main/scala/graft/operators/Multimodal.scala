@@ -298,7 +298,7 @@ object Multimodal {
     // Encoding is CPU-bound per row, and the id column is tiny — so a
     // small input (one parquet split at test SF) must be spread across
     // the full parallelism BEFORE the codec work, or the whole encode
-    // runs on one core (measured: q61 median 3.5s → ~1.2s at
+    // runs on one core (measured: q61 median 3.5s → 0.62s at
     // sf0.1/local[32]). Tables.spread is a no-op when the scan is
     // already wide; the bytes produced AFTER this point never shuffle
     // (decode/feature-extract ride these partitions).

@@ -48,7 +48,7 @@ object Tables {
     * a no-op; the exchange only ever materializes on inputs small
     * enough that shuffling them is free relative to the compute they
     * feed (measured medians at sf0.1/local[32]: q61's codec pass
-    * 3.5s → ~1.2s via this floor inside
+    * 3.5s → 0.62s via this floor inside
     * [[graft.operators.Multimodal.realMedia]], q43's shingle feeders
     * 6.0s → 0.8s). */
   def spread(df: DataFrame, keys: Column*): DataFrame = {
@@ -113,6 +113,12 @@ object Tables {
 
   /** Drop memoized split counts (for in-process table rewrites). */
   def resetSplitMemo(): Unit = partsMemo.clear()
+
+  /** Number of memoized split counts (spec surface: pins that the
+    * root-path key extraction engages on real parquet scans — if the
+    * relation match silently stopped matching, every spread call would
+    * quietly pay the full probe again). */
+  private[graft] def splitMemoSize: Int = partsMemo.size
 
   /** [[spread]] for a named table scan — the common "floor the whole
     * table's scan" entry point. Same memoized probe (keyed by the scan's

@@ -74,6 +74,25 @@ class ScaleSpec extends AnyFunSuite {
       "spread on an aggregate-shaped plan must be an identity no-op")
   }
 
+  test("Tables.spread memoizes the split-count probe per parquet root path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    spark.range(100).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    graft.sources.Tables.resetSplitMemo()
+    val scan = spark.read.parquet(s"$dir/t.parquet")
+    graft.sources.Tables.spread(scan.select(col("id")))
+    assert(graft.sources.Tables.splitMemoSize == 1,
+      "a parquet scan's probe must be memoized by its root path")
+    // a second projection of the same table reuses the entry
+    graft.sources.Tables.spread(scan.filter(col("id") > 10))
+    assert(graft.sources.Tables.splitMemoSize == 1)
+    // a coalesce-bearing plan must neither read nor write the memo:
+    // its count is the coalesce target, not the table's split count
+    graft.sources.Tables.spread(scan.coalesce(1))
+    assert(graft.sources.Tables.splitMemoSize == 1)
+    graft.sources.Tables.resetSplitMemo()
+  }
+
   test("date-partitioned write enables partition pruning at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ord = graft.sources.Tables(spark, sf, "orders")
