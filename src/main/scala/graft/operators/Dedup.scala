@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -158,17 +158,39 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash signatures: portable md5-based base hash + affine family,
-    * min-reduced per doc in a single groupBy with k min() aggregates. */
-  def minhashSignatures(s: SparkSession, dir: String, k: Int = 12): DataFrame = {
+  /** Per-row minhash signature over a token array: ONE interpreted pass
+    * (`aggregate` + `zip_with`) computes all k minima — the md5 per gram
+    * is evaluated once regardless of k, and because it's a row-local
+    * expression the token stream NEVER shuffles (the explode + groupBy
+    * formulation this replaced added a whole shuffle stage whose only
+    * payload was the signature table). Also the form the streaming twin
+    * needs: a streaming query can't chain a groupBy signature aggregate
+    * in front of its stateful banding operator. */
+  private[graft] def minhashSigCol(toks: Column, k: Int): Column = {
     require(k <= minhashAB.size)
-    val g = grams3(s, dir)
-      .withColumn("_h", conv(substring(md5(col("gram")), 1, 7), 16, 10).cast("long"))
-    val aggs = (0 until k).map { i =>
-      val (a, b) = minhashAB(i)
-      min((col("_h") * lit(a) + lit(b)) % lit(MinhashM)).as(s"mh_$i")
-    }
-    g.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val consts = array(minhashAB.take(k).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    aggregate(
+      transform(shingles(toks, 3),
+        g => conv(substring(md5(g), 1, 7), 16, 10).cast("long")),
+      array_repeat(lit(MinhashM), k), // M > any (h*a+b) % M
+      (acc, h) => zip_with(acc, consts,
+        (m, c) => least(m, (h * c.getField("a") + c.getField("b")) % lit(MinhashM))))
+  }
+
+  /** MinHash signatures: portable md5-based base hash + affine family,
+    * one row-local array aggregate per doc ([[minhashSigCol]]). The
+    * mh_i extraction sits in a SEPARATE projection: CollapseProject
+    * won't inline a non-cheap expression referenced k times, so the
+    * signature evaluates once per row (spec-pinned from the plan). */
+  def minhashSignatures(s: SparkSession, dir: String, k: Int = 12): DataFrame = {
+    val sigArr = docsSpread(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), minhashSigCol(col("t"), k).as("sig"))
+    sigArr.select(col("doc_id") +:
+      (0 until k).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
   }
 
   // q27 — MinHash + LSH banding near-dup candidates: b bands of r rows;

@@ -30,6 +30,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"minhash missed ${(exact -- lsh).size} of ${exact.size} exact pairs")
   }
 
+  test("per-row minhash signature: single evaluation, equals the groupBy formulation") {
+    import org.apache.spark.sql.functions._
+    val k = 12
+    // a cached signature frame from an earlier test would cache-substitute
+    // into this plan as an InMemoryRelation whose string embeds the cached
+    // physical plan (aggregate printed in BOTH its Initial and Final plan)
+    // — the count below must see the raw plan, not the cache hit
+    operators.Caches.release()
+    spark.catalog.clearCache()
+    val sig = operators.Dedup.minhashSignatures(spark, sf, k)
+    // the row-local array aggregate must survive as ONE expression: if
+    // CollapseProject ever inlined it into the k mh_i extractions the
+    // signature would evaluate k times per row (k× md5 per gram)
+    val planStr = sig.queryExecution.optimizedPlan.toString
+    val evals = "aggregate\\(".r.findAllIn(planStr).size
+    assert(evals == 1,
+      s"signature aggregate must appear once in the plan, found $evals")
+    // value parity with the explode + groupBy formulation it replaced
+    // (same md5 base hash + affine family, min over the same gram set)
+    import graft.functions.TextFunctions._
+    val g = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("t"), 3)).as("gram"))
+      .withColumn("_h", conv(substring(md5(col("gram")), 1, 7), 16, 10).cast("long"))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = operators.Dedup.minhashAB(i)
+      min((col("_h") * lit(a) + lit(b)) % lit(operators.Dedup.MinhashM)).as(s"mh_$i")
+    }
+    val old = g.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    assert(sig.exceptAll(old).isEmpty && old.exceptAll(sig).isEmpty,
+      "per-row signatures must equal the groupBy formulation row-for-row")
+  }
+
   test("capped n-gram dedup keeps every planted pair with fewer candidates") {
     val exact = operators.Dedup.ngramJaccardPairs(spark, sf)
       .select("doc_a", "doc_b", "jaccard").collect()

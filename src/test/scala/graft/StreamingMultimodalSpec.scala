@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
-import graft.streaming.Sessionize
+import graft.streaming.{NearDup, Sessionize}
 
 class StreamingMultimodalSpec extends AnyFunSuite {
   import TestSpark._
@@ -261,6 +261,70 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(report.maxStateRows > 0 && report.maxStateRows <= nHashes,
       s"dedup state ${report.maxStateRows} must be bounded by distinct " +
         s"hashes ($nHashes), not streamed rows ($nTotal)")
+  }
+
+  test("streaming minhash near-dup: chunked replay ≡ batch q27 pairs, bounded state") {
+    // the batch MinHash+LSH pass is ground truth: the streaming bucket
+    // state must discover exactly the banded candidate set, with the
+    // identical signature-agreement score
+    val batch = operators.Dedup.minhashLshPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    graft.operators.Caches.release()
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    // 6 time-ordered chunks with pinned mtimes (the soak replay pattern)
+    val dir = java.nio.file.Files.createTempDirectory("graft_snd").toString
+    val byTime = org.apache.spark.sql.expressions.Window.orderBy("ingest_ts", "doc_id")
+    val chunked = docs.withColumn("_chunk", ntile(6).over(byTime))
+    val seenFiles = scala.collection.mutable.Set.empty[String]
+    val mtimeBase = System.currentTimeMillis() - 120000L
+    (1 to 6).foreach { i =>
+      chunked.filter(col("_chunk") === i).drop("_chunk")
+        .coalesce(1).write.mode("append").parquet(dir)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try files.iterator().forEachRemaining { p =>
+        val f = p.getFileName.toString
+        if (f.endsWith(".parquet") && seenFiles.add(f))
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 2000L))
+      } finally files.close()
+    }
+    val stream = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ingest_ts",
+            org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val report = Sessionize.runWithProgress(spark,
+      NearDup.streamingMinhashPairs(stream, watermark = "1 hour").toDF(),
+      "snd_test")
+    assert(report.microBatches >= 6,
+      s"expected one micro-batch per chunk, saw ${report.microBatches}")
+    // a pair sharing several bands is emitted once per band → distinct
+    val got = report.result.distinct()
+    val batchRows = batch.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotRows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchRows.nonEmpty, "testdata should contain banded candidates")
+    assert(gotRows == batchRows,
+      s"streaming pairs disagree with batch: missing=${(batchRows -- gotRows).take(3)} " +
+        s"extra=${(gotRows -- batchRows).take(3)}")
+    // bounded state: rows = live (band, key) buckets, never streamed docs × bands
+    val nBuckets = operators.Dedup.minhashSignatures(spark, sf)
+      .select((0 until 4).map(bd => concat_ws("_",
+        (0 until 3).map(j => col(s"mh_${bd * 3 + j}")): _*).as(s"k$bd")): _*)
+      .selectExpr("stack(4, 0, k0, 1, k1, 2, k2, 3, k3) as (band, key)")
+      .distinct().count()
+    assert(report.maxStateRows > 0 && report.maxStateRows <= nBuckets,
+      s"bucket state ${report.maxStateRows} must be bounded by live " +
+        s"buckets ($nBuckets)")
   }
 
   test("streaming: batch and streaming sessionization agree on closed sessions") {
