@@ -193,23 +193,32 @@ object Dedup {
       (0 until k).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
   }
 
+  /** LSH band keys as an array of (band, key) structs, shared by the
+    * batch self-join and the streaming twin so both derive byte-identical
+    * bucket keys from one definition (band count, order, separator). The
+    * caller supplies how to reach the i-th minhash — `mh_i` columns on
+    * the batch side, `element_at(sig, i+1)` on the streaming side. */
+  private[graft] def bandKeyStructs(mh: Int => Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    array((0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        concat_ws("_", (0 until r).map(j => mh(bd * r + j)): _*).as("key"))
+    }: _*)
+  }
+
   // q27 — MinHash + LSH banding near-dup candidates: b bands of r rows;
   // docs agreeing on ALL r minhashes in any band land in the same bucket
   // (bucket-keyed self-join — the O(n²)-free scale path). Estimated
   // similarity = fraction of the k minhashes that agree.
   def minhashLshPairs(s: SparkSession, dir: String,
                       k: Int = 12, bands: Int = 4): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // cached: signatures feed both band-join sides AND the final
     // agreement rescoring; released via Caches.release()
     val sig = Caches.track(minhashSignatures(s, dir, k))
-    val bandCols = (0 until bands).map { bd =>
-      val rows = (0 until r).map(j => col(s"mh_${bd * r + j}"))
-      struct(lit(bd).as("band"), concat_ws("_", rows: _*).as("key")).as(s"b$bd")
-    }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"), explode(array((0 until bands).map(bd => col(s"b$bd")): _*)).as("b"))
+    val banded = sig
+      .select(col("doc_id"),
+        explode(bandKeyStructs(i => col(s"mh_$i"), k, bands)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))

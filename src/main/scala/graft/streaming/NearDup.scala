@@ -51,13 +51,19 @@ object NearDup {
     * score pairs against later arrivals). */
   case class Member(id: Long, sig: Seq[Long])
 
+  /** Bucket state: members plus the NEWEST event time ever stored.
+    * The eviction deadline must be newest-member + horizon; deriving it
+    * from only the current batch's max would let a late-but-valid
+    * arrival (older than the stored newest, still above the watermark)
+    * pull the deadline BACKWARD and evict the bucket early — dropping
+    * pairs the batch pass finds. */
+  case class Bucket(newestTs: Long, members: List[Member])
+
   /** Input must carry `doc_id`, `text`, and an `ingest_ts` event-time
     * column (watermarked here). Emits candidate pairs in append mode. */
   def streamingMinhashPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
                             watermark: String = "1 hour",
                             maxBucket: Int = 1024): Dataset[CandPair] = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // eviction horizon = the watermark delay, parsed from the same
     // "<n> <unit>" form withWatermark takes (kept deliberately simple —
     // an unrecognized unit fails loudly rather than defaulting)
@@ -84,28 +90,28 @@ object NearDup {
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), col("ingest_ts"),
         Dedup.minhashSigCol(col("t"), k).as("sig"))
-    // band keys: same (band, concat of r minhashes) the batch pass joins on
+    // band keys: the SAME (band, concat of r minhashes) the batch pass
+    // joins on — one shared definition ([[Dedup.bandKeyStructs]]), so
+    // batch/streaming bucket keys cannot drift apart
     val banded = sigd.select(col("doc_id"), col("ingest_ts"), col("sig"),
-        explode(array((0 until bands).map { bd =>
-          struct(lit(bd).as("band"),
-            concat_ws("_", (0 until r).map(j =>
-              element_at(col("sig"), bd * r + j + 1)): _*).as("key"))
-        }: _*)).as("b"))
+        explode(Dedup.bandKeyStructs(
+          i => element_at(col("sig"), i + 1), k, bands)).as("b"))
       .select(col("b.band").as("band"), col("b.key").as("key"),
         col("doc_id"), col("sig"), col("ingest_ts"))
       .as[(Int, String, Long, Seq[Long], java.sql.Timestamp)]
     banded
       .groupByKey(x => (x._1, x._2))
-      .flatMapGroupsWithState[List[Member], CandPair](
+      .flatMapGroupsWithState[Bucket, CandPair](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (_, rows, state: GroupState[List[Member]]) =>
+        case (_, rows, state: GroupState[Bucket]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var members = state.getOption.getOrElse(Nil)
-            var maxTs = Long.MinValue
+            val prev = state.getOption.getOrElse(Bucket(Long.MinValue, Nil))
+            var members = prev.members
+            var newest = prev.newestTs
             val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
             rows.foreach { case (_, _, id, sig, ts) =>
-              maxTs = math.max(maxTs, ts.getTime)
+              newest = math.max(newest, ts.getTime)
               if (!members.exists(_.id == id)) {
                 members.foreach { m =>
                   val eq = sig.iterator.zip(m.sig.iterator)
@@ -116,9 +122,10 @@ object NearDup {
                 if (members.size < maxBucket) members = Member(id, sig) :: members
               }
             }
-            state.update(members)
+            state.update(Bucket(newest, members))
             // evict once the watermark passes the newest member + horizon
-            state.setTimeoutTimestamp(maxTs + horizonMs)
+            // (newest is monotone across batches — see [[Bucket]])
+            state.setTimeoutTimestamp(newest + horizonMs)
             out.iterator
           }
       }

@@ -269,7 +269,6 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     // identical signature-agreement score
     val batch = operators.Dedup.minhashLshPairs(spark, sf)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-    graft.operators.Caches.release()
     val docs = graft.sources.Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
       .withColumn("ingest_ts",
@@ -325,6 +324,108 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(report.maxStateRows > 0 && report.maxStateRows <= nBuckets,
       s"bucket state ${report.maxStateRows} must be bounded by live " +
         s"buckets ($nBuckets)")
+    // released LAST: the tracked signature cache feeds the batch
+    // ground-truth collect and the bucket count above — releasing it
+    // before those actions would recompute the pipeline per consumer
+    graft.operators.Caches.release()
+  }
+
+  /** One (doc_id, text, minutes-after-base) chunk per file, mtimes pinned
+    * so maxFilesPerTrigger=1 replays them as one micro-batch each, in
+    * order. */
+  private def writeNearDupChunks(
+      chunks: Seq[Seq[(Long, String, Long)]]): String = {
+    import spark.implicits._
+    val base = 1700000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_sndc").toString
+    val seen = scala.collection.mutable.Set.empty[String]
+    val mtimeBase = System.currentTimeMillis() - 600000L
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "_min")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(base) + col("_min") * 60L).as("ingest_ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try files.iterator().forEachRemaining { p =>
+        val f = p.getFileName.toString
+        if (f.endsWith(".parquet") && seen.add(f))
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 2000L))
+      } finally files.close()
+    }
+    dir
+  }
+
+  private def nearDupStream(dir: String) = {
+    import org.apache.spark.sql.types._
+    spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("ingest_ts", TimestampType))))
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+  }
+
+  test("streaming near-dup: event-time eviction fires, late arrivals don't shrink retention") {
+    // identical texts share every band bucket; distinct texts share none.
+    // Timeline (minutes, horizon = 10 min watermark):
+    //   c1 A(1,X,20)  c2 L(2,X,12)   L is LATE-but-valid (wm=10): emits
+    //     (1,2) and must EXTEND nothing — deadline stays newest(20)+10=30.
+    //     Deriving the deadline from the batch max alone (12+10=22) is
+    //     the premature-eviction bug this test pins.
+    //   c3 M(3,Y,35)  advances the watermark to 25 after the batch
+    //   c4 O(5,Z,26)  bucket X is idle at wm=25: a 22-deadline would
+    //     time out HERE; the correct 30-deadline survives
+    //   c5 N(4,X,36)  must still find A and L → pairs (1,4),(2,4)
+    //   c6 P(6,W,70)  advances the watermark to 60 after the batch
+    //   c7 Q(7,W,71)  at wm=60 buckets X(46) Y(45) Z(36) are idle and
+    //     expired → evicted; only W's 4 band buckets remain
+    val X = "alpha beta gamma delta"
+    val Y = "epsilon zeta eta theta"
+    val Z = "iota kappa lambda mu"
+    val W = "nu xi omicron pi"
+    val dir = writeNearDupChunks(Seq(
+      Seq((1L, X, 20L)), Seq((2L, X, 12L)), Seq((3L, Y, 35L)),
+      Seq((5L, Z, 26L)), Seq((4L, X, 36L)), Seq((6L, W, 70L)),
+      Seq((7L, W, 71L))))
+    val report = Sessionize.runWithProgress(spark,
+      NearDup.streamingMinhashPairs(
+        nearDupStream(dir), watermark = "10 minutes").toDF(),
+      "snd_evict")
+    val gotRows = report.result.distinct().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Set((1L, 2L, 1.0), (1L, 4L, 1.0), (2L, 4L, 1.0),
+      (6L, 7L, 1.0))
+    assert(gotRows == expected,
+      s"missing=${expected -- gotRows} extra=${gotRows -- expected} — a " +
+        "missing (1,4)/(2,4) means a late arrival shrank the bucket deadline")
+    // eviction proof: X, Y, Z buckets are gone; only W's 4 band rows live
+    assert(report.finalStateRows == 4L,
+      s"expected only W's 4 band buckets after eviction, " +
+        s"state=${report.finalStateRows}")
+  }
+
+  test("streaming near-dup: bucket cap stops accumulation, retained prefix still pairs") {
+    // three identical docs, maxBucket=1: only the first-processed doc is
+    // stored, so the other two each pair with IT and never with each
+    // other — the documented recall trade of the cap, order-robust
+    val X = "rho sigma tau upsilon"
+    val dir = writeNearDupChunks(Seq(
+      Seq((1L, X, 0L), (2L, X, 1L), (3L, X, 2L))))
+    val report = Sessionize.runWithProgress(spark,
+      NearDup.streamingMinhashPairs(
+        nearDupStream(dir), watermark = "1 hour", maxBucket = 1).toDF(),
+      "snd_cap")
+    val pairs = report.result.distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 2, s"cap=1 must yield exactly 2 pairs, got $pairs")
+    val common = pairs.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).collect { case (id, occ) if occ.size == 2 => id }
+    assert(common.size == 1,
+      s"both pairs must share the single stored doc, got $pairs")
+    assert(pairs.flatMap { case (a, b) => Set(a, b) } == Set(1L, 2L, 3L),
+      s"every doc pairs against the stored one, got $pairs")
+    // state holds exactly the one stored member per band bucket
+    assert(report.finalStateRows == 4L,
+      s"cap=1 over one text = 4 band buckets, state=${report.finalStateRows}")
   }
 
   test("streaming: batch and streaming sessionization agree on closed sessions") {
