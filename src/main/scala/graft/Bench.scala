@@ -1,9 +1,81 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Per-query timing record: every rep's wall time, in run order.
+    * A failed rep is recorded as -1.0 (never a plausible elapsed time) so a
+    * regression can't masquerade as a speedup.
+    */
+  final case class QueryTimes(name: String, reps: Vector[Double]) {
+    val failed: Boolean = reps.contains(-1.0)
+    val median: Double =
+      if (failed) -1.0 else reps.sorted.apply((reps.size - 1) / 2)
+    val min: Double = if (failed) -1.0 else reps.min
+    val max: Double = if (failed) -1.0 else reps.max
+    /** Rep spread = max/min. On a quiet box warm reps of the same query in
+      * the same JVM agree within tens of percent; a spread ≥2× means some
+      * rep was starved by external load (the r5 driver run reported q42 at
+      * 11.4 s when its warm cost is 0.7 s — a 16× rep spread would have
+      * flagged it). Guarded by an absolute floor so sub-second queries whose
+      * natural jitter is a few hundred ms can't false-positive.
+      */
+    val suspect: Boolean =
+      !failed && reps.size >= 2 && min > 0.0 &&
+        (max / min) >= SuspectRatio && (max - min) >= SuspectAbsGapSec
+  }
+
+  /** A rep ≥2× slower than its sibling reps, and slower by ≥0.5 s, is load
+    * contention, not the engine: nothing in a cache-cleared re-run of the
+    * same plan in the same JVM doubles its own cost.
+    */
+  val SuspectRatio = 2.0
+  val SuspectAbsGapSec = 0.5
+
+  /** First three fields of /proc/loadavg ("1min 5min 15min"), or "" where
+    * unavailable. Captured before and after the run: a 1-min load far above
+    * the core count at either edge means the box was dirty and the numbers
+    * in this artifact should be discarded, not graded.
+    */
+  def loadavg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+").take(3).mkString(" ")
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
+  /** Render the one-line JSON artifact. Pure so the shape is spec-pinned:
+    * the driver contract is "queries" maps query -> ONE number (the median);
+    * everything else ("queries_min", per-rep arrays, load snapshots, the
+    * suspect list) exists so a contention-dirtied run is self-identifying
+    * instead of silently mis-grading the engine.
+    */
+  def renderJson(
+      results: Seq[QueryTimes],
+      reps: Int,
+      sfDir: String,
+      loadBefore: String,
+      loadAfter: String): String = {
+    def num(d: Double): String = d.toString
+    val qs = results.map(q => s"\"${q.name}\":${num(q.median)}")
+      .mkString("{", ",", "}")
+    val qsMin = results.map(q => s"\"${q.name}\":${num(q.min)}")
+      .mkString("{", ",", "}")
+    val qsReps = results
+      .map(q => s"\"${q.name}\":" + q.reps.map(num).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val suspects = results.filter(_.suspect).map(q => s"\"${q.name}\"")
+      .mkString("[", ",", "]")
+    val total = results.collect { case q if q.median >= 0 => q.median }.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"median"""" +
+      s""","reps":$reps,"load_before":"$loadBefore","load_after":"$loadAfter"""" +
+      s""","suspect":$suspects,"queries":$qs,"queries_min":$qsMin""" +
+      s""","queries_reps":$qsReps,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadBefore = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,14 +88,13 @@ object Bench {
     // isn't charged for session bootstrap
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // a failed query reports -1.0 (never a plausible elapsed time) so a
-    // regression can't masquerade as a speedup; caches are cleared
-    // between queries so one query's persist can't skew the next.
-    // Each query runs `reps` times in THIS one JVM; the headline number
-    // per query is the MEDIAN (machine-load noise swings single timings
-    // ±40%, and a best-of hides stable regressions behind one lucky
+    // caches are cleared between queries so one query's persist can't skew
+    // the next. Each query runs `reps` times in THIS one JVM; the headline
+    // number per query is the MEDIAN (machine-load noise swings single
+    // timings ±40%, and a best-of hides stable regressions behind one lucky
     // rep), with the min carried alongside for the warm-path floor.
-    // Cross-round comparisons should use the medians only.
+    // Cross-round comparisons should use the medians only — after checking
+    // the "suspect" list and load fields say the run was clean.
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     // Force FULL evaluation of every output column: a bare .count() lets
@@ -75,7 +146,7 @@ object Bench {
       }
       warm.release()
       spark.catalog.clearCache()
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).toVector.map { _ =>
         val t0 = System.nanoTime()
         // per-query scope: releases exactly this rep's operator caches
         val (ok, qscope) = graft.operators.Caches.scope {
@@ -89,19 +160,9 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) elapsed else -1.0
       }
-      val (med, best) =
-        if (times.contains(-1.0)) (-1.0, -1.0)
-        else (times.sorted.apply((times.size - 1) / 2), times.min)
-      name -> ((med, best))
+      QueryTimes(name, times)
     }
-    // driver contract: "queries" maps query -> ONE number; that number is
-    // the median. The per-query min rides in "queries_min".
-    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, best)) => s"\"" + k + "\":" + best }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, (med, _)) if med >= 0 => med }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","reps":$reps,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    println(renderJson(results, reps, sfDir, loadBefore, loadavg()))
     spark.stop()
   }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Pins the shape of the one-line bench artifact (BENCH_r{N}.json). The
+  * round-5 driver run mis-reported a ~32 s engine as ~60 s because a
+  * contiguous block of queries was starved by external box load and the
+  * artifact carried nothing that revealed it. These tests pin the fields
+  * that make a dirty run self-identifying: per-rep arrays, loadavg
+  * snapshots, and the suspect list — so the shape can't silently drift
+  * back to medians-only. No SparkSession needed: renderJson is pure.
+  */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private val clean = Bench.QueryTimes("q01", Vector(0.50, 0.52, 0.48))
+  // 16x rep spread, the r5 q42 pattern: one rep starved by external load
+  private val dirty = Bench.QueryTimes("q42", Vector(0.70, 11.4, 0.72))
+  private val failed = Bench.QueryTimes("q99", Vector(0.3, -1.0, 0.3))
+
+  private def parsed(qs: Seq[Bench.QueryTimes]): JValue =
+    JsonMethods.parse(
+      Bench.renderJson(qs, reps = 3, sfDir = "/sf", loadBefore = "0.1 0.2 0.3",
+        loadAfter = "1.0 0.5 0.3"))
+
+  test("artifact is valid one-line JSON with the driver-contract fields") {
+    val line = Bench.renderJson(Seq(clean, dirty), 3, "/sf", "a", "b")
+    assert(!line.contains("\n"))
+    val j = parsed(Seq(clean, dirty))
+    assert((j \ "metric") === JString("total"))
+    assert((j \ "unit") === JString("sec"))
+    assert((j \ "stat") === JString("median"))
+    assert((j \ "reps") === JInt(3))
+    assert((j \ "sf") === JString("/sf"))
+    // "queries" still maps query -> ONE number (the median): the driver
+    // contract predates the contention fields and must keep parsing.
+    val JDouble(q01) = (j \ "queries" \ "q01"): @unchecked
+    assert(q01 === 0.50)
+    val JDouble(total) = (j \ "value"): @unchecked
+    assert(math.abs(total - (0.50 + 0.72)) < 1e-9)
+  }
+
+  test("per-rep arrays are emitted verbatim and in run order") {
+    val j = parsed(Seq(clean, dirty))
+    val JArray(reps) = (j \ "queries_reps" \ "q42"): @unchecked
+    assert(reps.map { case JDouble(d) => d case x => fail(x.toString) } ===
+      List(0.70, 11.4, 0.72))
+  }
+
+  test("loadavg snapshots ride in the artifact") {
+    val j = parsed(Seq(clean))
+    assert((j \ "load_before") === JString("0.1 0.2 0.3"))
+    assert((j \ "load_after") === JString("1.0 0.5 0.3"))
+  }
+
+  test("a >=2x rep spread with >=0.5s absolute gap is flagged suspect") {
+    val j = parsed(Seq(clean, dirty))
+    val JArray(sus) = (j \ "suspect"): @unchecked
+    assert(sus === List(JString("q42")))
+  }
+
+  test("sub-second jitter below the absolute gap floor is NOT suspect") {
+    // 3x ratio but only 0.2s gap: natural jitter on a tiny query
+    val jitter = Bench.QueryTimes("q07", Vector(0.10, 0.30, 0.12))
+    assert(!jitter.suspect)
+    // and a large absolute gap below 2x ratio is also clean (steady load
+    // shifts all reps together; only asymmetry between reps is evidence)
+    val steady = Bench.QueryTimes("q26", Vector(3.0, 4.0, 3.5))
+    assert(!steady.suspect)
+  }
+
+  test("a failed rep poisons the query (-1.0 median/min) and is never suspect") {
+    assert(failed.median === -1.0 && failed.min === -1.0 && !failed.suspect)
+    val j = parsed(Seq(failed))
+    val JDouble(med) = (j \ "queries" \ "q99"): @unchecked
+    assert(med === -1.0)
+    // failed queries don't contribute to the total
+    val JDouble(total) = (j \ "value"): @unchecked
+    assert(total === 0.0)
+  }
+
+  test("loadavg() reads this box's /proc/loadavg as three fields") {
+    val s = Bench.loadavg()
+    assert(s.isEmpty || s.split(" ").length === 3)
+  }
+}
