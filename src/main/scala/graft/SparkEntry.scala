@@ -81,6 +81,7 @@ object SparkEntry {
     "q59_unigram_lm"        -> TextOps.unigramLmScore _,
     "q60_embedding_quant"   -> ((s: SparkSession, d: String) => Similarity.quantizationAudit(s, d)),
     "q61_media_decode"      -> Multimodal.mediaDecode _,
+    "q62_composed_pipeline" -> ((s: SparkSession, d: String) => Compose.qualityDedupPack(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -164,9 +165,14 @@ object SparkEntry {
   }
 
   /** The capped n-gram jaccard pair list as a CTE chain ending in
-    * `pairs` — shared by the q26 oracle and q51's connected components
-    * (the cluster oracle must recompute the SAME edge set). */
-  private val ngramPairsCtes: String = """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    * `pairs` — shared by the q26 oracle, q51's connected components
+    * (the cluster oracle must recompute the SAME edge set), and q62's
+    * composed pipeline (where the source is a survivor CTE, not the raw
+    * table — `src` parameterizes it). */
+  private def ngramPairsCtesFrom(src: String): String =
+    ngramPairsCtesTemplate.replace("__SRC__", src)
+  private def ngramPairsCtes: String = ngramPairsCtesFrom("documents")
+  private val ngramPairsCtesTemplate: String = """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM __SRC__
                  WHERE len(string_split(text, ' ')) >= 3),
       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
                generate_series(1, len(tk) - 2),
@@ -1022,5 +1028,48 @@ object SparkEntry {
              CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 0
                                   ELSE doc_id % 30 + 2 END AS INT) AS n_frames
       FROM documents ORDER BY media_id""",
+
+    // q62: the composed pipeline — quality gate (q24's filter) → exact
+    // dedup keepers (q25's min-doc_id rule) → near-dup cluster keepers
+    // (q51's recursive components over the SAME capped pair CTEs, sourced
+    // from the survivor CTE instead of the raw table) → sequence packing
+    // (q52's window form). Each stage is the standalone oracle's logic
+    // composed as CTEs, so the composed gate can only pass if every stage
+    // boundary hands over exactly what its standalone twin produces.
+    "q62_composed_pipeline" -> s"""
+      WITH RECURSIVE
+      qstats AS (
+        SELECT doc_id, text,
+               length(text)                                AS char_len,
+               len(string_split(text, ' '))                AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+        FROM documents),
+      qd AS (
+        SELECT doc_id, text FROM qstats
+        WHERE n_tokens BETWEEN 5 AND 500
+          AND CAST(n_uniq_tokens AS DOUBLE) / n_tokens > 0.2
+          AND CAST(char_len - (n_tokens - 1) AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0),
+      ek AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+      d2 AS (SELECT qd.doc_id, qd.text FROM qd JOIN ek USING (doc_id)),
+      ${ngramPairsCtesFrom("d2")},
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM d2
+        UNION
+        SELECT e.s, re.r FROM edges e JOIN reach re ON re.doc_id = e.t),
+      lab AS (SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id),
+      d3 AS (SELECT d2.doc_id, d2.text FROM d2
+             JOIN lab ON lab.doc_id = d2.doc_id AND lab.keeper_id = d2.doc_id),
+      p AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ok,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM d3),
+      c AS (SELECT doc_id, nt,
+                   sum(nt) OVER (ORDER BY ok, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM p)
+      SELECT CAST((cum - nt) // 2048 AS BIGINT) AS seq_id,
+             count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS seq_tokens
+      FROM c GROUP BY 1 ORDER BY seq_id""",
   )
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Composed training-data pipeline (q62): the stages users actually run
+  * IN SEQUENCE as one job — quality gate (q24's filter) → exact dedup
+  * (q25's keeper rule) → near-dup cluster dedup (q51's keeper labels) →
+  * sequence packing (q52's audit) — each stage consuming the previous
+  * stage's survivors instead of the raw table. Mirrors the reference's
+  * end-to-end chain shape (clv_integration.py:53-65: load → transform →
+  * aggregate → sink as one program) applied to the corpus-hygiene domain.
+  *
+  * Every stage is the SAME code path as its standalone query (the `For`
+  * variants of [[TextOps.qualityScoreFor]], [[Dedup.dedupClustersFor]],
+  * [[Packing.packSequencesFor]]), so the composition can't drift from the
+  * individually-oracled operators.
+  *
+  * Scale shape: stage 1 is a per-row filter fused into the scan; stage 2
+  * is one shuffle on the content hash; stage 3 is the capped candidate
+  * pipeline + O(log d) components over the SURVIVOR subset (already
+  * smaller than the corpus); stage 4 is the two-pass distributed prefix
+  * scan. The survivor frame is cached once and feeds stages 3 and 4 —
+  * at 100 TB that cache is the working set a real pipeline would
+  * checkpoint between stages anyway.
+  */
+object Compose {
+
+  /** One row per packed sequence over the fully-deduped, quality-gated
+    * corpus: (seq_id, n_docs, seq_tokens). */
+  def qualityDedupPack(s: SparkSession, dir: String,
+                       budget: Long = 2048,
+                       threshold: Double = 0.5,
+                       maxDocFreq: Long = 100): DataFrame =
+    Packing.packSequencesFor(survivors(s, dir, threshold, maxDocFreq), budget)
+
+  /** The surviving (doc_id, text) corpus after stages 1-3 — what a real
+    * pipeline writes as its cleaned shard set; q62 packs it. Exposed so
+    * callers (and specs) can audit the corpus itself, not just the
+    * packing summary. */
+  def survivors(s: SparkSession, dir: String,
+                threshold: Double = 0.5,
+                maxDocFreq: Long = 100): DataFrame = {
+    // spread scan: stage 3's shingling is the per-row hotspot downstream
+    val docs = Tables.spreadTable(s, dir, "documents", col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    // stage 1 — quality gate: keep only quality_ok docs (q24 semantics)
+    val quality = TextOps.qualityScoreFor(docs)
+      .filter(col("quality_ok") === 1)
+      .select(col("doc_id"))
+    // stage 2 — exact dedup: keep the min-doc_id copy per content hash
+    // (q25's keeper rule). Keepers are doc_ids — a semi join, no payload.
+    val qdocs = docs.join(quality, Seq("doc_id"), "left_semi")
+    val keepers = qdocs
+      .groupBy(md5(col("text")).as("_h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // cached: the exact-dedup survivors feed the near-dup candidate
+    // pipeline (3 consumers inside), the keeper filter, and packing;
+    // released via Caches.release()
+    val d2 = Caches.track(qdocs.join(keepers, Seq("doc_id"), "left_semi"))
+    // stage 3 — near-dup cluster dedup: q51's labels over the SURVIVOR
+    // corpus; keep only cluster keepers (singletons keep themselves)
+    val nearKeepers = Dedup.dedupClustersFor(d2, threshold, maxDocFreq)
+      .filter(col("doc_id") === col("keeper_id"))
+      .select(col("doc_id"))
+    d2.join(nearKeepers, Seq("doc_id"), "left_semi")
+  }
+}

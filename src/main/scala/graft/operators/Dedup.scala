@@ -93,13 +93,23 @@ object Dedup {
     * missed only if it shares nothing but ultra-common shingles. */
   def ngramJaccardPairsCapped(s: SparkSession, dir: String,
                               threshold: Double = 0.5,
-                              maxDocFreq: Long = 100): DataFrame = {
+                              maxDocFreq: Long = 100): DataFrame =
+    ngramJaccardPairsCappedFor(docsSpread(s, dir), threshold, maxDocFreq)
+
+  /** [[ngramJaccardPairsCapped]] over ANY (doc_id, text) frame — the form
+    * a composed pipeline needs, where the near-dup corpus is the OUTPUT
+    * of upstream quality/exact-dedup stages rather than a raw table scan
+    * (parallelism then comes from the upstream shuffles, so the spread
+    * floor is the caller's concern, not this operator's). */
+  def ngramJaccardPairsCappedFor(documents: DataFrame,
+                                 threshold: Double = 0.5,
+                                 maxDocFreq: Long = 100): DataFrame = {
     // per-doc gram ARRAYS are a per-row projection (no shuffle at all) —
     // they feed the explode, both rescore joins, and keep the gram-set
     // collection out of a groupBy/collect_list entirely. Cached because
     // three consumers read it; released via Caches.release()
     val docGrams = Caches.track(
-      docsSpread(s, dir)
+      documents
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), shingles(col("t"), 3).as("grams")))
@@ -445,9 +455,27 @@ object Dedup {
     * connected components ([[connectedComponents]] for the algorithm and
     * its scale story). */
   def dedupClusters(s: SparkSession, dir: String, threshold: Double = 0.5,
-                    maxDocFreq: Long = 100, maxIter: Int = 50): DataFrame = {
-    val pairs = ngramJaccardPairsCapped(s, dir, threshold, maxDocFreq)
-      .select(col("doc_a"), col("doc_b"))
+                    maxDocFreq: Long = 100, maxIter: Int = 50): DataFrame =
+    clusterLabels(
+      ngramJaccardPairsCapped(s, dir, threshold, maxDocFreq)
+        .select(col("doc_a"), col("doc_b")),
+      docs(s, dir), maxIter)
+
+  /** [[dedupClusters]] over ANY (doc_id, text) frame — edges and the
+    * singleton-completion corpus both come from the passed frame, so a
+    * composed pipeline gets cluster labels for exactly its surviving
+    * documents (not the raw table). */
+  def dedupClustersFor(documents: DataFrame, threshold: Double = 0.5,
+                       maxDocFreq: Long = 100, maxIter: Int = 50): DataFrame =
+    clusterLabels(
+      ngramJaccardPairsCappedFor(documents, threshold, maxDocFreq)
+        .select(col("doc_a"), col("doc_b")),
+      documents, maxIter)
+
+  /** Shared tail of the cluster operators: component labeling of the pair
+    * subgraph + singleton completion against `corpus`. */
+  private def clusterLabels(pairs: DataFrame, corpus: DataFrame,
+                            maxIter: Int): DataFrame = {
     val converged = Caches.track(connectedComponents(pairs, maxIter))
     // cluster sizes need only the SUBGRAPH labeling (every subgraph doc
     // is in ≥1 pair; docs outside it are singletons of size 1 by
@@ -457,7 +485,7 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
     val labeled = converged.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("keeper_id"), col("cluster_size"))
-    docs(s, dir).select(col("doc_id"))
+    corpus.select(col("doc_id"))
       .join(labeled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"),

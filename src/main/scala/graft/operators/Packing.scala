@@ -87,8 +87,14 @@ object Packing {
     * straddling documents count toward their start sequence, so
     * `seq_tokens` can exceed the budget by at most one document. */
   def packSequences(s: SparkSession, dir: String,
-                    budget: Long = 2048): DataFrame = {
-    val d = Tables(s, dir, "documents")
+                    budget: Long = 2048): DataFrame =
+    packSequencesFor(Tables(s, dir, "documents"), budget)
+
+  /** [[packSequences]] over ANY (doc_id, text) frame — the composed
+    * pipeline packs its dedup survivors, not the raw table. */
+  def packSequencesFor(documents: DataFrame,
+                       budget: Long = 2048): DataFrame = {
+    val d = documents
       .select(col("doc_id"),
         md5(col("doc_id").cast("string")).as("_ok"),
         graft.functions.TextFunctions.tokenCount(col("text")).as("_nt"))

@@ -69,7 +69,12 @@ object TextOps {
   // standard pre-training corpus filter. Flag emitted as int for stable
   // cross-engine schema.
   def qualityScore(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+    qualityScoreFor(docs(s, dir))
+
+  /** Core of q24, usable on any (doc_id, text) frame — the composed
+    * pipeline's stage-1 gate runs through this same code path. */
+  def qualityScoreFor(documents: DataFrame): DataFrame =
+    documents.select(
       col("doc_id"),
       length(col("text")).cast("long").as("char_len"),
       tokenCount(col("text")).as("n_tokens"),

@@ -100,6 +100,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("composed pipeline (q62): stage invariants hold on the surviving corpus") {
+    import org.apache.spark.sql.functions._
+    val sdf = operators.Compose.survivors(spark, sf).cache()
+    try {
+      val n = sdf.count()
+      assert(n > 0, "pipeline must keep some documents")
+      // 1. every survivor passes the quality gate — predicate re-derived
+      // here from raw expressions, not the operator, so a gate that
+      // silently loosened in TextOps would fail this check
+      val tk = size(split(col("text"), " "))
+      val uniqRatio = size(array_distinct(split(col("text"), " "))).cast("double") / tk
+      val meanTokLen = (length(col("text")) - (tk - lit(1))).cast("double") / tk
+      val passesGate =
+        tk.between(5, 500) && uniqRatio > 0.2 && meanTokLen.between(2.0, 12.0)
+      assert(sdf.filter(!passesGate).count() == 0,
+        "a survivor violates the quality gate")
+      // 2. exact-dedup property: no two survivors share content bytes
+      assert(sdf.groupBy(md5(col("text"))).count()
+        .filter(col("count") > 1).count() == 0,
+        "two survivors share identical text")
+      // 3. near-dup property: cluster keepers span distinct components, so
+      // re-running the pair finder over the survivors finds nothing. (The
+      // cap is df>100 docs/shingle; at this corpus size no shingle is hot,
+      // so the reduced-corpus candidate set can't exceed the original's.)
+      assert(operators.Dedup.ngramJaccardPairsCappedFor(sdf).count() == 0,
+        "two survivors are still near-duplicates")
+      // 4. the packing audit conserves documents and tokens exactly
+      val packed = operators.Compose.qualityDedupPack(spark, sf)
+      val agg = packed.agg(sum("n_docs"), sum("seq_tokens")).head
+      val toks = sdf.agg(sum(tk.cast("long"))).head.getLong(0)
+      assert(agg.getLong(0) == n, "packed n_docs != survivor count")
+      assert(agg.getLong(1) == toks, "packed seq_tokens != survivor tokens")
+    } finally {
+      sdf.unpersist()
+      operators.Caches.release()
+    }
+  }
+
   test("operator caches are tracked and released (library caching contract)") {
     spark.catalog.clearCache()
     operators.Caches.release()
