@@ -82,6 +82,8 @@ object SparkEntry {
     "q60_embedding_quant"   -> ((s: SparkSession, d: String) => Similarity.quantizationAudit(s, d)),
     "q61_media_decode"      -> Multimodal.mediaDecode _,
     "q62_composed_pipeline" -> ((s: SparkSession, d: String) => Compose.qualityDedupPack(s, d)),
+    "q63_frame_sample"      -> Multimodal.frameSampleAudit _,
+    "q64_audio_features"    -> Multimodal.audioFeatureAudit _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -162,6 +164,34 @@ object SparkEntry {
                    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
       SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
       FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** splitmix64 (Multimodal.MediaCodec.mix) emulated in DuckDB HUGEINT
+    * arithmetic for the q63/q64 oracles: values live in [0, 2^64) as
+    * HUGEINT; `xor` is native, unsigned right-shift is floor-division by
+    * 2^k, and the wrapping 64×64 multiply is split 32/32 so no product
+    * exceeds HUGEINT range. Verified bit-exact against the JVM mix. */
+  private def sqlMulMod64(a: String, c: BigInt): String = {
+    val cl = c & 0xffffffffL
+    val ch = c >> 32
+    s"((($a) % 4294967296) * $cl + (((($a) % 4294967296) * $ch + " +
+      s"(($a) // 4294967296) * $cl) % 4294967296) * 4294967296) % 18446744073709551616"
+  }
+
+  /** CTE chain computing `mix(seedExpr)` stepwise into column `z` —
+    * stepwise (not one inlined expression) because each mulmod references
+    * its argument three times; nesting all three rounds would blow the
+    * expression up ~200×. Caller supplies the source CTE providing
+    * `seedExpr` plus any carried columns. */
+  private def sqlMixCtes(prefix: String, src: String, carried: String,
+                         seedExpr: String): String = {
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    s"""${prefix}s AS (SELECT $carried, CAST($seedExpr AS HUGEINT) AS z FROM $src),
+      ${prefix}a AS (SELECT $carried, (z + 11400714819323198485) % 18446744073709551616 AS z FROM ${prefix}s),
+      ${prefix}b AS (SELECT $carried, ${sqlMulMod64("xor(z, z // 1073741824)", c2)} AS z FROM ${prefix}a),
+      ${prefix}c AS (SELECT $carried, ${sqlMulMod64("xor(z, z // 134217728)", c3)} AS z FROM ${prefix}b),
+      ${prefix}z AS (SELECT $carried, xor(z, z // 2147483648) AS z FROM ${prefix}c)"""
   }
 
   /** The capped n-gram jaccard pair list as a CTE chain ending in
@@ -1071,5 +1101,50 @@ object SparkEntry {
              count(*) AS n_docs,
              CAST(sum(nt) AS BIGINT) AS seq_tokens
       FROM c GROUP BY 1 ORDER BY seq_id""",
+
+    // q63: the oracle regenerates every sampled frame's bytes from the
+    // RAWV fixture formulas (splitmix64 in HUGEINT, bit-exact — see
+    // sqlMixCtes) and recomputes the polynomial checksum, so a wrong
+    // frame stride, slice offset, or header field goes red here.
+    "q63_frame_sample" -> s"""
+      WITH v AS (SELECT doc_id AS media_id,
+                   (doc_id % 4) * 8 + 16 AS w, (doc_id % 4) * 6 + 12 AS h,
+                   (doc_id % 30) + 2 AS nf
+                 FROM documents WHERE doc_id % 3 = 2),
+      fr AS (SELECT media_id, w * h * 3 AS fs,
+               unnest(generate_series(0, nf - 1, 10)) AS f FROM v),
+      bj AS (SELECT media_id, f, fs, unnest(generate_series(0, fs - 1)) AS j FROM fr),
+      ${sqlMixCtes("m", "bj", "media_id, f, fs, j", "media_id * 31 + f * 131071 + j")},
+      bl AS (SELECT media_id, f, fs, list(CAST(z % 256 AS BIGINT) ORDER BY j) AS bytes
+             FROM mz GROUP BY 1, 2, 3)
+      SELECT media_id, CAST(f AS INT) AS frame_idx, CAST(f * 100 AS INT) AS offset_ms,
+             CAST(fs AS BIGINT) AS n_bytes,
+             list_reduce(bytes, (a, b) -> (a * 257 + b) % 1000000007) AS checksum
+      FROM bl ORDER BY media_id, frame_idx""",
+
+    // q64: the oracle regenerates the PCM samples (signed remainder
+    // mirrors Java %) and recomputes RMS/mean/zero-crossing/peak; the
+    // integer-derived sums are exact in double on both engines, so
+    // CAST AS FLOAT reproduces the Spark floats bit-for-bit.
+    "q64_audio_features" -> s"""
+      WITH au AS (SELECT doc_id AS media_id, (doc_id % 60) * 80 + 800 AS ns
+                  FROM documents WHERE doc_id % 3 = 1),
+      si AS (SELECT media_id, ns, unnest(generate_series(0, ns - 1)) AS i FROM au),
+      ${sqlMixCtes("w", "si", "media_id, ns, i", "media_id * 7919 + i")},
+      smp AS (SELECT media_id, ns, i,
+                CAST((CASE WHEN z >= 9223372036854775808 THEN z - 18446744073709551616 ELSE z END) % 32768 AS BIGINT) AS s
+              FROM wz),
+      lagd AS (SELECT media_id, ns, s,
+                 lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev FROM smp),
+      st AS (SELECT media_id, ns,
+               sum(s * s) AS sum2, sum(s) AS sum1, max(abs(s)) AS maxabs,
+               sum(CASE WHEN prev IS NOT NULL AND ((s >= 0) != (prev >= 0)) THEN 1 ELSE 0 END) AS zc
+             FROM lagd GROUP BY 1, 2)
+      SELECT media_id, CAST(44 + ns * 2 AS BIGINT) AS n_bytes,
+             CAST(sqrt(CAST(sum2 AS DOUBLE) / ns) / 32768.0 AS FLOAT) AS rms,
+             CAST(CAST(sum1 AS DOUBLE) / ns / 32768.0 AS FLOAT) AS mean_amp,
+             CAST(CAST(zc AS DOUBLE) / ns AS FLOAT) AS zc_rate,
+             CAST(CAST(maxabs AS DOUBLE) / 32768.0 AS FLOAT) AS peak
+      FROM st ORDER BY media_id""",
   )
 }

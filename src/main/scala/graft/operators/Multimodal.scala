@@ -418,6 +418,60 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Portable polynomial content checksum: fold (acc·257 + byte) mod
+    * 1e9+7 over the payload in order. Chosen over CRC32 because the
+    * DuckDB oracle must RECOMPUTE it from the fixture formulas inside
+    * SQL (list_reduce over the regenerated byte list) — CRC32's
+    * bit-reflected table walk has no DuckDB builtin. Order-sensitive,
+    * so a frame slice that is right-sized but wrongly-offset still
+    * changes the sum. */
+  def polyChecksum(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 257L + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  /** q63 — frame-sampling audit: [[sampleFrames]] over the real RAWV
+    * payloads, each sampled frame reduced to (frame_idx, offset_ms,
+    * n_bytes, [[polyChecksum]]). The DuckDB oracle regenerates the
+    * expected frame bytes from the fixture formulas (splitmix64 emulated
+    * in HUGEINT arithmetic) and recomputes the same checksum — so a
+    * mis-parsed header, wrong frame stride, or off-by-one slice offset
+    * all go red at the driver gate, not just in local specs. */
+  def frameSampleAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = realMedia(graft.sources.Tables(s, dir, "documents"))
+      .filter(col("kind") === "video")
+    sampleFrames(media).as[Frame]
+      .map(f => (f.media_id, f.frame_idx, f.offset_ms,
+        f.frame_bytes.length.toLong, polyChecksum(f.frame_bytes)))
+      .toDF("media_id", "frame_idx", "offset_ms", "n_bytes", "checksum")
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** q64 — audio feature audit: [[extractFeatures]] over the real WAV
+    * payloads, emitting the PCM statistics (RMS, mean amplitude,
+    * zero-crossing rate, peak). All four are float-cast values of
+    * EXACT-integer-derived doubles (sums of ints < 2^53 are exact in
+    * IEEE double regardless of order), so the oracle reproduces them
+    * bit-for-bit by regenerating the samples and applying the same
+    * divisions + CAST AS FLOAT. */
+  def audioFeatureAudit(s: SparkSession, dir: String): DataFrame = {
+    val media = realMedia(graft.sources.Tables(s, dir, "documents"))
+      .filter(col("kind") === "audio")
+    extractFeatures(media).toDF()
+      .select(col("media_id"), col("n_bytes"),
+        element_at(col("features"), 1).as("rms"),
+        element_at(col("features"), 2).as("mean_amp"),
+        element_at(col("features"), 3).as("zc_rate"),
+        element_at(col("features"), 4).as("peak"))
+      .orderBy(col("media_id"))
+  }
+
   /** Resize metadata transform (pure column math — a real resize would
     * live in the mapPartitions decoder; the metadata contract is what
     * downstream joins key on). */
