@@ -36,9 +36,13 @@ import graft.operators.Dedup
   *     stay exact; pairs among the overflow are sacrificed, recorded
   *     here, exactly like the batch cap's documented recall trade.
   *
-  * Same-batch arrivals: rows reaching the state function in one
-  * micro-batch are processed in arrival order within the iterator, so
-  * pairs among them are still emitted exactly once (a<b normalized).
+  * Same-batch arrivals: pair emission is ORDER-INDEPENDENT — each
+  * arrival pairs against every already-retained bucket-mate with a<b
+  * normalization, so the emitted pair set is the same whatever order
+  * Spark hands the group's rows over (intra-group iterator order is not
+  * guaranteed). Under the cap, WHICH same-batch arrival a full bucket
+  * retains is therefore arbitrary among them — only membership is
+  * order-sensitive, never the correctness of emitted pairs.
   * A candidate pair sharing several bands is emitted once PER band —
   * downstream consumers (and the duality spec) take the distinct set,
   * mirroring the batch `.distinct()` before rescore.
@@ -56,14 +60,36 @@ object NearDup {
     * from only the current batch's max would let a late-but-valid
     * arrival (older than the stored newest, still above the watermark)
     * pull the deadline BACKWARD and evict the bucket early — dropping
-    * pairs the batch pass finds. */
-  case class Bucket(newestTs: Long, members: List[Member])
+    * pairs the batch pass finds. `overflowed` latches once the bucket
+    * first declines a member, so the overflowed-BUCKET metric counts
+    * each bucket once, not once per declined arrival. */
+  case class Bucket(newestTs: Long, members: List[Member],
+                    overflowed: Boolean = false)
+
+  /** Observability for the bucket cap's recall trade: `droppedMembers`
+    * counts arrivals a full bucket declined to retain (each such doc
+    * still pairs against the retained prefix, but pairs AMONG the
+    * overflow are sacrificed); `overflowedBuckets` counts buckets that
+    * ever declined at least one member. Spark accumulators: exact on a
+    * clean run, may over-count under task retries — a monitoring
+    * signal, not a ledger. */
+  final case class OverflowMetrics(
+      droppedMembers: org.apache.spark.util.LongAccumulator,
+      overflowedBuckets: org.apache.spark.util.LongAccumulator)
+
+  /** Register the overflow metrics on this session's SparkContext (they
+    * appear in the UI under these names). */
+  def overflowMetrics(spark: org.apache.spark.sql.SparkSession): OverflowMetrics =
+    OverflowMetrics(
+      spark.sparkContext.longAccumulator("neardup.droppedMembers"),
+      spark.sparkContext.longAccumulator("neardup.overflowedBuckets"))
 
   /** Input must carry `doc_id`, `text`, and an `ingest_ts` event-time
     * column (watermarked here). Emits candidate pairs in append mode. */
   def streamingMinhashPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
                             watermark: String = "1 hour",
-                            maxBucket: Int = 1024): Dataset[CandPair] = {
+                            maxBucket: Int = 1024,
+                            overflow: Option[OverflowMetrics] = None): Dataset[CandPair] = {
     // eviction horizon = the watermark delay, parsed from the same
     // "<n> <unit>" form withWatermark takes (kept deliberately simple —
     // an unrecognized unit fails loudly rather than defaulting)
@@ -109,6 +135,7 @@ object NearDup {
             val prev = state.getOption.getOrElse(Bucket(Long.MinValue, Nil))
             var members = prev.members
             var newest = prev.newestTs
+            var overflowed = prev.overflowed
             val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
             rows.foreach { case (_, _, id, sig, ts) =>
               newest = math.max(newest, ts.getTime)
@@ -120,9 +147,17 @@ object NearDup {
                   out += CandPair(a, b, eq.toDouble / k)
                 }
                 if (members.size < maxBucket) members = Member(id, sig) :: members
+                else {
+                  // declined by the cap: surface the recall trade
+                  overflow.foreach { o =>
+                    o.droppedMembers.add(1L)
+                    if (!overflowed) o.overflowedBuckets.add(1L)
+                  }
+                  overflowed = true
+                }
               }
             }
-            state.update(Bucket(newest, members))
+            state.update(Bucket(newest, members, overflowed))
             // evict once the watermark passes the newest member + horizon
             // (newest is monotone across batches — see [[Bucket]])
             state.setTimeoutTimestamp(newest + horizonMs)

@@ -410,10 +410,20 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val X = "rho sigma tau upsilon"
     val dir = writeNearDupChunks(Seq(
       Seq((1L, X, 0L), (2L, X, 1L), (3L, X, 2L))))
+    val metrics = NearDup.overflowMetrics(spark)
     val report = Sessionize.runWithProgress(spark,
       NearDup.streamingMinhashPairs(
-        nearDupStream(dir), watermark = "1 hour", maxBucket = 1).toDF(),
+        nearDupStream(dir), watermark = "1 hour", maxBucket = 1,
+        overflow = Some(metrics)).toDF(),
       "snd_cap")
+    // observability of the recall trade: per band bucket (4 bands, one
+    // shared text) two arrivals were declined → 8 dropped members, and
+    // each bucket counts as overflowed exactly ONCE (the latch), not
+    // once per decline
+    assert(metrics.droppedMembers.value == 8L,
+      s"expected 2 declined docs x 4 band buckets, got ${metrics.droppedMembers.value}")
+    assert(metrics.overflowedBuckets.value == 4L,
+      s"expected each of the 4 buckets to latch once, got ${metrics.overflowedBuckets.value}")
     val pairs = report.result.distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.size == 2, s"cap=1 must yield exactly 2 pairs, got $pairs")
