@@ -25,8 +25,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      // per-query scope: registry refs must not accumulate, and a
-      // hypothetical concurrent composition's caches must survive
+      // per-query scope releases this query's registry refs precisely;
+      // the harness runs one composition at a time, so the clearCache
+      // below is a belt-and-braces sweep (it would unpersist a
+      // concurrent composition's caches — fine here, nothing concurrent)
       val (_, scope) = graft.operators.Caches.scope {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -39,6 +39,13 @@ object Intervals {
                 tCol: String, loCol: String, hiCol: String,
                 bucketW: Long): DataFrame = {
     require(bucketW > 0, s"bucket width must be positive, got $bucketW")
+    // the grid staging columns are reserved: a caller column with one of
+    // these names would be silently overwritten and dropped — fail loudly
+    val reserved = Seq("_graft_cell_in", "_lo_cell", "_hi_cell", "_bucket")
+    for (df <- Seq(points, intervals); c <- df.columns if reserved.contains(c))
+      throw new IllegalArgumentException(
+        s"rangeJoin input column '$c' collides with a reserved grid " +
+          s"staging name (${reserved.mkString(", ")}); rename it first")
     // exact integer floor-division, same as RangeJoinRule.cell: a
     // double-based floor(col/W) rounds t and lo independently above
     // 2^52 and silently drops pairs at extreme long domains. The `div`

@@ -142,6 +142,8 @@ object Sessionize {
       .withColumn("text_hash", md5(col("text")))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
+      .drop("text_hash") // internal helper; output schema = input schema,
+                         // matching the batch exactDedup contract
   }
 
   /** Drive a streaming query synchronously from a bounded source into an

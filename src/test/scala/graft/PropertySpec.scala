@@ -146,4 +146,49 @@ class PropertySpec extends AnyFunSuite {
         s"iteration $i (w=$w): grid join diverges from brute force")
     }
   }
+
+  test("rangeJoin rejects caller columns colliding with grid staging names") {
+    val pts = Seq((1L, 1L, 5L)).toDF("pid", "k", "t")
+    val ivs = Seq((1L, 1L, 0L, 10L)).toDF("iid", "k", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      operators.Intervals.rangeJoin(pts.withColumn("_bucket", lit(1)),
+        ivs, Seq("k"), "t", "lo", "hi", 7L)
+    }
+    assert(e.getMessage.contains("_bucket"))
+    val e2 = intercept[IllegalArgumentException] {
+      operators.Intervals.rangeJoin(pts,
+        ivs.withColumn("_lo_cell", lit(1)), Seq("k"), "t", "lo", "hi", 7L)
+    }
+    assert(e2.getMessage.contains("_lo_cell"))
+  }
+
+  test("bucket-grid range join stays exact above 2^52 and at long extremes") {
+    // pins the exact integral cell math ((x - pmod(x,w)) div w, shared
+    // with RangeJoinRule.cell): a double-based floor(x/w) quantizes to
+    // 256-long steps at 2^60 and silently drops/dups pairs there
+    val w = 7L
+    def run(base: Long): Unit = {
+      val offs = Seq(0L, 1L, 3L, 6L, 7L, 13L, 255L, 256L, 257L, 511L, 1000L)
+      val pts = offs.zipWithIndex.map { case (o, i) => (i.toLong, 1L, base + o) }
+      val ivs = Seq((0L, 1L, base + 2L, base + 9L), (1L, 1L, base, base + 256L),
+        (2L, 1L, base + 250L, base + 260L), (3L, 1L, base + 500L, base + 500L))
+      val got = operators.Intervals.rangeJoin(
+          pts.toDF("pid", "k", "t"), ivs.toDF("iid", "k", "lo", "hi"),
+          Seq("k"), "t", "lo", "hi", w)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exp = (for { (pid, _, t) <- pts; (iid, _, lo, hi) <- ivs
+                       if t >= lo && t < hi } yield (pid, iid)).toSet
+      assert(got == exp, s"base=$base: grid $got vs brute $exp")
+    }
+    run(1L << 60)                    // above 2^52: doubles cannot count by 1
+    run(Long.MaxValue - 2000L)       // top of the documented domain
+    run(Long.MinValue + w + 1000L)   // bottom: [Long.MinValue + W, MaxValue]
+    // fixture relevance: the double formulation really does disagree here
+    val b = 1L << 60
+    assert((0L to 20L).exists { o =>
+      val x = b + o
+      math.floor(x.toDouble / w).toLong != (x - math.floorMod(x, w)) / w
+    }, "fixture no longer exercises the 2^52 double hazard")
+  }
 }

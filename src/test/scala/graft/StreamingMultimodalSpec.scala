@@ -248,8 +248,14 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val nHashes = batch.count()
     assert(report.microBatches >= 8,
       s"expected one micro-batch per chunk, saw ${report.microBatches}")
+    // output schema = input schema: the internal text_hash helper must
+    // NOT leak (batch exactDedup contract)
+    assert(report.result.columns.sameElements(orig.columns),
+      s"schema drift: ${report.result.columns.mkString(",")} vs ${orig.columns.mkString(",")}")
     // output ≡ batch: same hashes, same keepers (first arrival = min id)
-    val got = report.result.select(col("text_hash"), col("doc_id"))
+    val got = report.result
+      .withColumn("text_hash", md5(col("text")))
+      .select(col("text_hash"), col("doc_id"))
     assert(got.count() == nHashes,
       s"one survivor per content hash: ${got.count()} vs $nHashes")
     val mismatched = got.join(batch, Seq("text_hash"), "full")
