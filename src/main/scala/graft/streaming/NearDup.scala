@@ -90,24 +90,8 @@ object NearDup {
                             watermark: String = "1 hour",
                             maxBucket: Int = 1024,
                             overflow: Option[OverflowMetrics] = None): Dataset[CandPair] = {
-    // eviction horizon = the watermark delay, parsed from the same
-    // "<n> <unit>" form withWatermark takes (kept deliberately simple —
-    // an unrecognized unit fails loudly rather than defaulting)
-    val horizonMs = watermark.trim.toLowerCase.split("\\s+") match {
-      case Array(n, u) =>
-        val v = n.toLong
-        u.stripSuffix("s") match {
-          case "millisecond"        => v
-          case "second"             => v * 1000L
-          case "minute"             => v * 60000L
-          case "hour"               => v * 3600000L
-          case "day"                => v * 86400000L
-          case other => throw new IllegalArgumentException(
-            s"unsupported watermark unit: $other")
-        }
-      case _ => throw new IllegalArgumentException(
-        s"watermark must be '<n> <unit>', got: $watermark")
-    }
+    // eviction horizon = the watermark delay
+    val horizonMs = Watermarks.delayMs(watermark)
     val spark = docs.sparkSession
     import spark.implicits._
     val sigd = docs

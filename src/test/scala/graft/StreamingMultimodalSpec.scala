@@ -578,4 +578,187 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(u1.head.getAs[Long]("n_events") == 2) // the 0s+60s burst
     assert(u1.head.getAs[Long]("duration_seconds") == 60)
   }
+
+  // ---- streaming as-of twin (q55) ----
+
+  /** Write tagged (kind=0 event / kind=1 order) chunks one file each,
+    * mtimes pinned so maxFilesPerTrigger=1 replays them in order, and
+    * return the two sides of the as-of join derived from the ONE file
+    * source (so both share a single event-time frontier). */
+  private def asOfStreams(chunks: Seq[org.apache.spark.sql.DataFrame])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    val seen = scala.collection.mutable.Set.empty[String]
+    val mtimeBase = System.currentTimeMillis() - 600000L
+    chunks.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(dir)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try files.iterator().forEachRemaining { p =>
+        val f = p.getFileName.toString
+        if (f.endsWith(".parquet") && seen.add(f))
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 2000L))
+      } finally files.close()
+    }
+    val s = spark.readStream.schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("kind", IntegerType), StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType))))
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    (s.filter(col("kind") === 0)
+       .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+     s.filter(col("kind") === 1)
+       .select(col("o_orderkey"), col("user_id").as("o_custkey"),
+         col("ts").as("o_orderdate"), col("o_totalprice")))
+  }
+
+  test("streaming as-of: out-of-order arrival, inclusive boundary, tie, eviction contract") {
+    val base = 1700000000L
+    type Tagged = (Long, Long, Int, Long, String, Long, Double)
+    def ev(u: Long, id: Long, typ: String, min: Long): Tagged =
+      (u, min, 0, id, typ, 0L, 0.0)
+    def ord(u: Long, key: Long, min: Long, price: Double): Tagged =
+      (u, min, 1, 0L, null, key, price)
+    def chunk(rows: Tagged*) = rows.toSeq
+      .map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7))
+      .toDF("user_id", "_min", "kind", "event_id", "event_type",
+        "o_orderkey", "o_totalprice")
+      .select(col("user_id"),
+        timestamp_seconds(lit(base) + col("_min") * 60L).as("ts"),
+        col("kind"), col("event_id"), col("event_type"),
+        col("o_orderkey"), col("o_totalprice"))
+    // minutes timeline, 1-hour horizon:
+    //   c1  u1 view@60, u1 order@30 (no prior), u3 order@100 BEFORE its
+    //       event, u2 two events tied @100 + order@100, u4 view@10
+    //   c2  u3 buy@95 — late-but-valid (wm=40): the out-of-order match
+    //       the ordered state must still answer; u1 click@120 + orders
+    //       @120 (inclusive) and @90
+    //   c3  wm pusher → 240 after the batch
+    //   c3b second pusher: DURING this batch wm=240, so u4's idle carry
+    //       (deadline 10+60=70) evicts via timeout — timeouts fire
+    //       within batches, so eviction needs a batch where u4 is idle
+    //       AND the watermark has already passed its deadline
+    //   c4  u4 order@500 AFTER eviction → null (the cross-window trade)
+    //   c5  flush → wm 640 finalizes the rest
+    val chunks = Seq(
+      chunk(ev(1, 10, "view", 60), ord(1, 103, 30, 30.0),
+        ord(3, 301, 100, 50.0), ev(2, 20, "view", 100),
+        ev(2, 21, "click", 100), ord(2, 201, 100, 40.0),
+        ev(4, 40, "view", 10)),
+      chunk(ev(3, 30, "buy", 95), ev(1, 11, "click", 120),
+        ord(1, 101, 120, 10.0), ord(1, 102, 90, 20.0)),
+      chunk(ev(5, 50, "view", 300)),
+      chunk(ev(5, 51, "view", 310)),
+      chunk(ord(4, 401, 500, 60.0)),
+      chunk(ev(9, 90, "view", 700)))
+    val (evS, ordS) = asOfStreams(chunks)
+    val report = Sessionize.runWithProgress(spark,
+      graft.streaming.AsOf.streamingAsOf(evS, ordS, "1 hour").toDF(),
+      "asof_edge")
+    val got = report.result.collect().map { r =>
+      r.getLong(0) -> (Option(r.getTimestamp(4))
+        .map(t => (t.getTime / 1000 - base) / 60), Option(r.getString(5)))
+    }.toMap
+    assert(got.size == 6, s"every order answers exactly once: $got")
+    assert(got(101L) == (Some(120L), Some("click")), s"inclusive: ${got(101L)}")
+    assert(got(102L) == (Some(60L), Some("view")), got(102L).toString)
+    assert(got(103L) == (None, None), s"no prior event: ${got(103L)}")
+    assert(got(201L) == (Some(100L), Some("click")),
+      s"equal-ts tie must pick the larger event_id: ${got(201L)}")
+    assert(got(301L) == (Some(95L), Some("buy")),
+      s"event arriving AFTER its order must still match: ${got(301L)}")
+    assert(got(401L) == (None, None),
+      s"carry evicted at wm>70 → later order sees nothing: ${got(401L)}")
+    // the batch pass, with unbounded lookback, DOES match order 401 —
+    // the same documented cross-window divergence as the dedup twin
+    val all = chunks.reduce(_ unionByName _)
+    val batch = operators.Relational.asofLastEventFrom(
+        all.filter(col("kind") === 0)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        all.filter(col("kind") === 1)
+          .select(col("o_orderkey"), col("user_id").as("o_custkey"),
+            col("ts").as("o_orderdate"), col("o_totalprice")))
+      .filter(col("o_orderkey") === 401L).collect()
+    assert(batch.length == 1 && batch.head.getString(5) == "view",
+      "fixture drift: batch should find u4's pre-eviction event")
+    // bounded state: one row per live user, never per streamed row
+    assert(report.maxStateRows > 0 && report.maxStateRows <= 6,
+      s"state ${report.maxStateRows} must be bounded by live users (6)")
+  }
+
+  test("streaming as-of: chunked replay ≡ batch q55 form on remapped sf0.001") {
+    // real tables, but orders remapped INTO the events' time span and
+    // user domain: the raw tables put every order years before the first
+    // event, so every match would be null and equality would test
+    // nothing. Horizon (45 days) exceeds the 30-day span → no mid-replay
+    // eviction → the twin must agree with batch EXACTLY.
+    val events = graft.sources.Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val users = events.select("user_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val Array(t0, t1) = events
+      .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val orders = graft.sources.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        element_at(typedLit(users.toSeq),
+          (pmod(col("o_custkey"), lit(users.length)) + 1).cast("int"))
+          .as("o_custkey"),
+        timestamp_seconds(lit(t0) +
+          pmod(col("o_orderkey") * 2221L, lit(t1 - t0))).as("o_orderdate"),
+        col("o_totalprice"))
+    val tagged = events.select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id"), col("event_type"),
+        lit(0L).as("o_orderkey"), lit(0.0).as("o_totalprice"))
+      .unionByName(orders.select(col("o_custkey").as("user_id"),
+        col("o_orderdate").as("ts"), lit(1).as("kind"),
+        lit(0L).as("event_id"), lit(null).cast("string").as("event_type"),
+        col("o_orderkey"), col("o_totalprice")))
+    val byTime = org.apache.spark.sql.expressions.Window
+      .orderBy("ts", "kind", "event_id", "o_orderkey")
+    val chunked = tagged.withColumn("_chunk", ntile(8).over(byTime))
+    val delaySec = 45L * 86400L
+    val flush = Seq((999999L, t1 + delaySec + 7200L, 0, 999999L,
+        "view", 0L, 0.0))
+      .toDF("user_id", "_sec", "kind", "event_id", "event_type",
+        "o_orderkey", "o_totalprice")
+      .select(col("user_id"), timestamp_seconds(col("_sec")).as("ts"),
+        col("kind"), col("event_id"), col("event_type"),
+        col("o_orderkey"), col("o_totalprice"))
+    val (evS, ordS) = asOfStreams(
+      (1 to 8).map(i => chunked.filter(col("_chunk") === i).drop("_chunk")) :+ flush)
+    val report = Sessionize.runWithProgress(spark,
+      graft.streaming.AsOf.streamingAsOf(evS, ordS, "45 days").toDF(),
+      "asof_replay")
+    assert(report.microBatches >= 9,
+      s"expected one micro-batch per chunk, saw ${report.microBatches}")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        Option(r.getString(4)), Option(r.getString(5)))
+    }.toSet
+    val gotRows = canon(report.result.select(col("o_orderkey"),
+      col("o_custkey"),
+      date_format(col("order_ts"), "yyyy-MM-dd HH:mm:ss"),
+      round(col("o_totalprice"), 2),
+      date_format(col("last_event_ts"), "yyyy-MM-dd HH:mm:ss"),
+      col("last_event_type")))
+    val batchRows = canon(
+      operators.Relational.asofLastEventFrom(events, orders)
+        .select(col("o_orderkey"), col("o_custkey"), col("order_ts"),
+          col("o_totalprice"), col("last_event_ts"), col("last_event_type")))
+    assert(batchRows.size == 1500 && gotRows.size == 1500,
+      s"every order answers once: batch ${batchRows.size}, streaming ${gotRows.size}")
+    assert(batchRows.count(_._6.nonEmpty) > 1000,
+      "remap fixture drift: most orders should find a prior event")
+    assert(gotRows == batchRows,
+      s"streaming as-of diverges from batch: missing=${(batchRows -- gotRows).take(2)} " +
+        s"extra=${(gotRows -- batchRows).take(2)}")
+    // bounded state: rows scale with live users, never with the 2500
+    // streamed rows
+    assert(report.maxStateRows > 0 && report.maxStateRows <= users.length + 1,
+      s"state ${report.maxStateRows} must be bounded by users (${users.length})")
+  }
 }
