@@ -5,8 +5,14 @@ object Bench {
   /** Per-query timing record: every rep's wall time, in run order.
     * A failed rep is recorded as -1.0 (never a plausible elapsed time) so a
     * regression can't masquerade as a speedup.
+    * `gcMs` pairs each rep with the JVM GC time (millis, summed over all
+    * collector beans) that elapsed DURING that rep: a slow rep with
+    * proportionally large gcMs is a GC pause, one with near-zero gcMs is
+    * external load — the two causes the suspect list alone can't
+    * distinguish (round-6: q43's lone 12 s rep under zero box load).
     */
-  final case class QueryTimes(name: String, reps: Vector[Double]) {
+  final case class QueryTimes(name: String, reps: Vector[Double],
+                              gcMs: Vector[Long] = Vector.empty) {
     val failed: Boolean = reps.contains(-1.0)
     val median: Double =
       if (failed) -1.0 else reps.sorted.apply((reps.size - 1) / 2)
@@ -43,6 +49,15 @@ object Bench {
       finally src.close()
     } catch { case scala.util.control.NonFatal(_) => "" }
 
+  /** Cumulative GC time (millis) across all collector beans since JVM
+    * start; per-rep deltas of this are the gcMs attribution. A bean that
+    * doesn't report (-1) contributes 0. */
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   /** Render the one-line JSON artifact. Pure so the shape is spec-pinned:
     * the driver contract is "queries" maps query -> ONE number (the median);
     * everything else ("queries_min", per-rep arrays, load snapshots, the
@@ -63,13 +78,16 @@ object Bench {
     val qsReps = results
       .map(q => s"\"${q.name}\":" + q.reps.map(num).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
+    val qsGc = results
+      .map(q => s"\"${q.name}\":" + q.gcMs.map(_.toString).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
     val suspects = results.filter(_.suspect).map(q => s"\"${q.name}\"")
       .mkString("[", ",", "]")
     val total = results.collect { case q if q.median >= 0 => q.median }.sum
     s"""{"metric":"total","value":$total,"unit":"sec","stat":"median"""" +
       s""","reps":$reps,"load_before":"$loadBefore","load_after":"$loadAfter"""" +
       s""","suspect":$suspects,"queries":$qs,"queries_min":$qsMin""" +
-      s""","queries_reps":$qsReps,"sf":"$sfDir"}"""
+      s""","queries_reps":$qsReps,"queries_gc_ms":$qsGc,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -146,7 +164,8 @@ object Bench {
       }
       warm.release()
       spark.catalog.clearCache()
-      val times = (1 to reps).toVector.map { _ =>
+      val timed = (1 to reps).toVector.map { _ =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         // per-query scope: releases exactly this rep's operator caches
         val (ok, qscope) = graft.operators.Caches.scope {
@@ -156,11 +175,12 @@ object Bench {
           }
         }
         val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
+        val gcDelta = gcMillis() - gc0 // same window as the wall time
         qscope.release()
         spark.catalog.clearCache()
-        if (ok) elapsed else -1.0
+        (if (ok) elapsed else -1.0, gcDelta)
       }
-      QueryTimes(name, times)
+      QueryTimes(name, timed.map(_._1), timed.map(_._2))
     }
     println(renderJson(results, reps, sfDir, loadBefore, loadavg()))
     spark.stop()

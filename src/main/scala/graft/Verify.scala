@@ -4,6 +4,42 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run ONE query and dump its result as `<outDir>/<name>/` parquet.
+    *
+    * On failure, the output dir is left holding a `_FAILED` marker (the
+    * exception inside) and NO parquet: the driver's read then errors
+    * loudly on this query BY NAME, so a broken query is a RED row in
+    * the correctness artifact — not a silently-absent one (round-6's
+    * q42 hid exactly that way). Package-visible so the marker path is
+    * spec-testable without a deliberately broken SparkEntry query. */
+  private[graft] def runOne(spark: SparkSession, sfDir: String, outDir: String,
+                            name: String,
+                            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    // per-query scope releases this query's registry refs precisely;
+    // the harness runs one composition at a time, so the clearCache
+    // below is a belt-and-braces sweep (it would unpersist a
+    // concurrent composition's caches — fine here, nothing concurrent)
+    val (_, scope) = graft.operators.Caches.scope {
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = Paths.get(s"$outDir/$name")
+        try {
+          org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("_FAILED"),
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: $m")
+        }
+      }
+    }
+    scope.release()
+    spark.catalog.clearCache() // per-query caches must not accumulate
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2 || args.length > 3) {
       System.err.println("usage: graft.Verify <sfDir> <outDir> [q1,q2,…]")
@@ -24,21 +60,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      // per-query scope releases this query's registry refs precisely;
-      // the harness runs one composition at a time, so the clearCache
-      // below is a belt-and-braces sweep (it would unpersist a
-      // concurrent composition's caches — fine here, nothing concurrent)
-      val (_, scope) = graft.operators.Caches.scope {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-      }
-      scope.release()
-      spark.catalog.clearCache() // per-query caches must not accumulate
-    }
+      .foreach { case (name, fn) => runOne(spark, sfDir, outDir, name, fn) }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

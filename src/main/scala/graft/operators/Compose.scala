@@ -29,12 +29,16 @@ import graft.sources.Tables
 object Compose {
 
   /** One row per packed sequence over the fully-deduped, quality-gated
-    * corpus: (seq_id, n_docs, seq_tokens). */
+    * corpus: (seq_id, n_docs, seq_tokens). Token counts come from the
+    * survivor frame's cached token arrays — stage 4 never re-splits. */
   def qualityDedupPack(s: SparkSession, dir: String,
                        budget: Long = 2048,
                        threshold: Double = 0.5,
                        maxDocFreq: Long = 100): DataFrame =
-    Packing.packSequencesFor(survivors(s, dir, threshold, maxDocFreq), budget)
+    Packing.packSequencesCounts(
+      survivorsTok(s, dir, threshold, maxDocFreq)
+        .select(col("doc_id"), size(col("_t")).cast("long").as("_nt")),
+      budget)
 
   /** The surviving (doc_id, text) corpus after stages 1-3 — what a real
     * pipeline writes as its cleaned shard set; q62 packs it. Exposed so
@@ -42,7 +46,20 @@ object Compose {
     * packing summary. */
   def survivors(s: SparkSession, dir: String,
                 threshold: Double = 0.5,
-                maxDocFreq: Long = 100): DataFrame = {
+                maxDocFreq: Long = 100): DataFrame =
+    survivorsTok(s, dir, threshold, maxDocFreq)
+      .select(col("doc_id"), col("text"))
+
+  /** Survivor corpus WITH its token arrays (`_t`): split runs ONCE, at
+    * cache materialization, and both downstream tokenizing stages (3:
+    * shingling, 4: token counts) read the arrays instead of re-running
+    * `string_split` over the same texts (the advisor-measured ~1-2 s of
+    * q62's clean median). The arrays roughly double the cached bytes —
+    * the right trade while two stages consume them; the cache is
+    * released with the query's scope either way. */
+  private def survivorsTok(s: SparkSession, dir: String,
+                           threshold: Double = 0.5,
+                           maxDocFreq: Long = 100): DataFrame = {
     // spread scan: stage 3's shingling is the per-row hotspot downstream
     val docs = Tables.spreadTable(s, dir, "documents", col("doc_id"))
       .select(col("doc_id"), col("text"))
@@ -60,10 +77,13 @@ object Compose {
     // cached: the exact-dedup survivors feed the near-dup candidate
     // pipeline (3 consumers inside), the keeper filter, and packing;
     // released via Caches.release()
-    val d2 = Caches.track(qdocs.join(keepers, Seq("doc_id"), "left_semi"))
+    val d2 = Caches.track(qdocs.join(keepers, Seq("doc_id"), "left_semi")
+      .withColumn("_t", graft.functions.TextFunctions.tokens(col("text"))))
     // stage 3 — near-dup cluster dedup: q51's labels over the SURVIVOR
-    // corpus; keep only cluster keepers (singletons keep themselves)
-    val nearKeepers = Dedup.dedupClustersFor(d2, threshold, maxDocFreq)
+    // corpus (pre-tokenized entry — no re-split); keep only cluster
+    // keepers (singletons keep themselves)
+    val nearKeepers = Dedup.dedupClustersTok(
+        d2.select(col("doc_id"), col("_t").as("t")), threshold, maxDocFreq)
       .filter(col("doc_id") === col("keeper_id"))
       .select(col("doc_id"))
     d2.join(nearKeepers, Seq("doc_id"), "left_semi")

@@ -103,14 +103,25 @@ object Dedup {
     * floor is the caller's concern, not this operator's). */
   def ngramJaccardPairsCappedFor(documents: DataFrame,
                                  threshold: Double = 0.5,
+                                 maxDocFreq: Long = 100): DataFrame =
+    ngramJaccardPairsCappedTok(
+      documents.select(col("doc_id"), tokens(col("text")).as("t")),
+      threshold, maxDocFreq)
+
+  /** [[ngramJaccardPairsCappedFor]] over a PRE-TOKENIZED (doc_id, t)
+    * frame: a composed pipeline whose cached survivor frame already
+    * carries token arrays (q62) enters here and skips re-splitting the
+    * same texts — the split is the dominant per-row cost upstream of
+    * shingling. */
+  def ngramJaccardPairsCappedTok(docToks: DataFrame,
+                                 threshold: Double = 0.5,
                                  maxDocFreq: Long = 100): DataFrame = {
     // per-doc gram ARRAYS are a per-row projection (no shuffle at all) —
     // they feed the explode, both rescore joins, and keep the gram-set
     // collection out of a groupBy/collect_list entirely. Cached because
     // three consumers read it; released via Caches.release()
     val docGrams = Caches.track(
-      documents
-        .select(col("doc_id"), tokens(col("text")).as("t"))
+      docToks
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), shingles(col("t"), 3).as("grams")))
     val g = docGrams.select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -471,6 +482,16 @@ object Dedup {
       ngramJaccardPairsCappedFor(documents, threshold, maxDocFreq)
         .select(col("doc_a"), col("doc_b")),
       documents, maxIter)
+
+  /** [[dedupClustersFor]] over a PRE-TOKENIZED (doc_id, t) frame — the
+    * singleton-completion corpus only needs doc_ids, so the token frame
+    * serves both roles and the texts are never re-split. */
+  def dedupClustersTok(docToks: DataFrame, threshold: Double = 0.5,
+                       maxDocFreq: Long = 100, maxIter: Int = 50): DataFrame =
+    clusterLabels(
+      ngramJaccardPairsCappedTok(docToks, threshold, maxDocFreq)
+        .select(col("doc_a"), col("doc_b")),
+      docToks, maxIter)
 
   /** Shared tail of the cluster operators: component labeling of the pair
     * subgraph + singleton completion against `corpus`. */

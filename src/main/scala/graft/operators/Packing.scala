@@ -93,11 +93,22 @@ object Packing {
   /** [[packSequences]] over ANY (doc_id, text) frame — the composed
     * pipeline packs its dedup survivors, not the raw table. */
   def packSequencesFor(documents: DataFrame,
-                       budget: Long = 2048): DataFrame = {
-    val d = documents
+                       budget: Long = 2048): DataFrame =
+    packSequencesCounts(
+      documents.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("_nt")),
+      budget)
+
+  /** [[packSequencesFor]] when the caller already has token counts —
+    * expects (doc_id, _nt). The composed pipeline's cached survivor
+    * frame carries token arrays, so its counts are a `size()` away and
+    * the texts are never re-split here. */
+  def packSequencesCounts(docCounts: DataFrame,
+                          budget: Long = 2048): DataFrame = {
+    val d = docCounts
       .select(col("doc_id"),
         md5(col("doc_id").cast("string")).as("_ok"),
-        graft.functions.TextFunctions.tokenCount(col("text")).as("_nt"))
+        col("_nt"))
     runningTotal(d, Seq(col("_ok"), col("doc_id")), col("_nt"))
       .withColumn("seq_id", expr(s"(_cum - _nt) div ${budget}L"))
       .groupBy(col("seq_id"))

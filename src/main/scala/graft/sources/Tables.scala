@@ -20,17 +20,27 @@ object Tables {
   /** Scan one table. Lazy: nothing reads until an action runs, so
     * Catalyst can push filters/projections into the parquet reader.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; we read nanos as long (legacy flag) and
-    * rebuild a microsecond TimestampType column with exact integer
-    * division (`div`, not double math — ns-since-epoch exceeds 2^53). */
+    * `events.ts` has drifted across testdata generations: parquet
+    * TIMESTAMP(NANOS) (rejected by Spark's vectorized reader — read as
+    * long via the legacy flag, rebuilt with exact integer division
+    * since ns-since-epoch exceeds 2^53) and plain `timestamp[us]` with
+    * no timezone (surfaces as TIMESTAMP_NTZ, which `unix_millis` and
+    * streaming watermarks reject). Both normalize to TimestampType
+    * here — the engine-facing contract is `ts: timestamp`. Every
+    * harness pins the session TZ to UTC, so the NTZ→instant cast is
+    * value-preserving and hash-stable. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == types.LongType)
-      df.withColumn("ts", functions.timestamp_micros(functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case types.LongType =>
+        df.withColumn("ts", functions.timestamp_micros(functions.expr("ts div 1000")))
+      case types.TimestampNTZType =>
+        df.withColumn("ts", functions.col("ts").cast(types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view (the engine's SQL entry point,

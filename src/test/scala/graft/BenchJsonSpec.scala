@@ -80,6 +80,27 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(total === 0.0)
   }
 
+  test("per-rep GC millis ride alongside the rep times (pause vs load)") {
+    // a 12s rep with ~11s of GC is a pause, not box contention — the
+    // artifact must let the judge tell them apart without a re-run
+    val gcHeavy = Bench.QueryTimes("q43", Vector(0.9, 12.1, 1.0),
+      Vector(40L, 11200L, 45L))
+    val j = parsed(Seq(gcHeavy))
+    val JArray(gc) = (j \ "queries_gc_ms" \ "q43"): @unchecked
+    assert(gc.map { case JInt(n) => n.toLong case x => fail(x.toString) } ===
+      List(40L, 11200L, 45L))
+    // queries w/o recorded GC (pure-render tests) emit an empty array,
+    // and the line stays one-line valid JSON either way
+    val j2 = parsed(Seq(clean))
+    assert((j2 \ "queries_gc_ms" \ "q01") === JArray(Nil))
+  }
+
+  test("gcMillis() is non-negative and monotone under allocation") {
+    val a = Bench.gcMillis()
+    assert(a >= 0L)
+    assert(Bench.gcMillis() >= a)
+  }
+
   test("loadavg() reads this box's /proc/loadavg as three fields") {
     val s = Bench.loadavg()
     assert(s.isEmpty || s.split(" ").length === 3)
