@@ -53,32 +53,42 @@ object Compose {
   /** Survivor corpus WITH its token arrays (`_t`): split runs ONCE, at
     * cache materialization, and both downstream tokenizing stages (3:
     * shingling, 4: token counts) read the arrays instead of re-running
-    * `string_split` over the same texts (the advisor-measured ~1-2 s of
-    * q62's clean median). The arrays roughly double the cached bytes —
-    * the right trade while two stages consume them; the cache is
-    * released with the query's scope either way. */
+    * `string_split` over the same texts. The arrays roughly double the
+    * cached bytes — the right trade while two stages consume them; the
+    * cache is released with the query's scope either way.
+    *
+    * Stage-1+2 plan shape: the quality gate is a PURE per-row predicate
+    * ([[TextOps.qualityOk]] over stats derived from `_t`), so it fuses
+    * into the scan as a filter instead of scoring into a separate frame
+    * and semi-joining back; the exact-dedup keeper rule (min doc_id per
+    * content hash, q25 semantics) is a window filter on ONE md5-keyed
+    * shuffle instead of a groupBy + semi join. Net: the documents
+    * parquet is scanned ONCE and the text is tokenized once (the
+    * join-based formulation scanned it 4× — once per join branch). */
   private def survivorsTok(s: SparkSession, dir: String,
                            threshold: Double = 0.5,
                            maxDocFreq: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // spread scan: stage 3's shingling is the per-row hotspot downstream
-    val docs = Tables.spreadTable(s, dir, "documents", col("doc_id"))
-      .select(col("doc_id"), col("text"))
-    // stage 1 — quality gate: keep only quality_ok docs (q24 semantics)
-    val quality = TextOps.qualityScoreFor(docs)
-      .filter(col("quality_ok") === 1)
-      .select(col("doc_id"))
-    // stage 2 — exact dedup: keep the min-doc_id copy per content hash
-    // (q25's keeper rule). Keepers are doc_ids — a semi join, no payload.
-    val qdocs = docs.join(quality, Seq("doc_id"), "left_semi")
-    val keepers = qdocs
-      .groupBy(md5(col("text")).as("_h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    // cached: the exact-dedup survivors feed the near-dup candidate
-    // pipeline (3 consumers inside), the keeper filter, and packing;
-    // released via Caches.release()
-    val d2 = Caches.track(qdocs.join(keepers, Seq("doc_id"), "left_semi")
-      .withColumn("_t", graft.functions.TextFunctions.tokens(col("text"))))
+    val base = Tables.spreadTable(s, dir, "documents", col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.tokens(col("text")).as("_t"))
+    // stage 1 — quality gate (q24 semantics), fused into the scan. The
+    // stats are the SAME expressions qualityScoreFor derives, computed
+    // from the shared token array instead of re-splitting text.
+    val nTokens = size(col("_t")).cast("long")
+    val meanTokenLen =
+      (length(col("text")).cast("long") - (nTokens - lit(1L))).cast("double") / nTokens
+    val uniqRatio = size(array_distinct(col("_t"))).cast("double") / nTokens
+    val q = base.filter(TextOps.qualityOk(nTokens, uniqRatio, meanTokenLen))
+    // stage 2 — exact dedup (q25's keeper rule): min doc_id per content
+    // hash via a window over the hash shuffle — no second scan, no join
+    val d2 = Caches.track(
+      q.withColumn("_keep",
+          col("doc_id") === min(col("doc_id"))
+            .over(Window.partitionBy(md5(col("text")))))
+        .filter(col("_keep"))
+        .select(col("doc_id"), col("text"), col("_t")))
     // stage 3 — near-dup cluster dedup: q51's labels over the SURVIVOR
     // corpus (pre-tokenized entry — no re-split); keep only cluster
     // keepers (singletons keep themselves)

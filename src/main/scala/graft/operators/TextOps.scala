@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -71,8 +71,19 @@ object TextOps {
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     qualityScoreFor(docs(s, dir))
 
+  /** THE quality-gate predicate (q24's `quality_ok`) as a function of
+    * the three derived stats — ONE definition shared by the standalone
+    * query and the composed pipeline's fused filter, so the gate can't
+    * drift between them. */
+  private[graft] def qualityOk(nTokens: Column, uniqRatio: Column,
+                               meanTokenLen: Column): Column =
+    nTokens.between(5L, 500L) &&
+      uniqRatio > 0.2 &&
+      meanTokenLen.between(2.0, 12.0)
+
   /** Core of q24, usable on any (doc_id, text) frame — the composed
-    * pipeline's stage-1 gate runs through this same code path. */
+    * pipeline's stage-1 gate applies [[qualityOk]] over the same derived
+    * columns. */
   def qualityScoreFor(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
@@ -85,9 +96,7 @@ object TextOps {
       .withColumn("uniq_ratio",
         col("n_uniq_tokens").cast("double") / col("n_tokens"))
       .withColumn("quality_ok",
-        (col("n_tokens").between(5L, 500L) &&
-          col("uniq_ratio") > 0.2 &&
-          col("mean_token_len").between(2.0, 12.0)).cast("int"))
+        qualityOk(col("n_tokens"), col("uniq_ratio"), col("mean_token_len")).cast("int"))
       .orderBy(col("doc_id"))
 
   // q47 — PII scrubbing audit (corpus-hygiene pass): redact emails /
