@@ -84,6 +84,8 @@ object SparkEntry {
     "q62_composed_pipeline" -> ((s: SparkSession, d: String) => Compose.qualityDedupPack(s, d)),
     "q63_frame_sample"      -> Multimodal.frameSampleAudit _,
     "q64_audio_features"    -> Multimodal.audioFeatureAudit _,
+    "q65_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
+    "q66_centroid_audit"    -> Similarity.centroidAudit _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -106,6 +108,29 @@ object SparkEntry {
         .mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product($plane, v) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" |\n        ")
+
+  /** The t/g/sig CTE chain computing the 12 portable affine minhashes
+    * per document (q27's signature family — same constants as
+    * [[graft.operators.Dedup.minhashAB]]); shared by the q27 self-join
+    * and the q65 incremental batch→corpus oracle. */
+  private def minhashSigCtesSql: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram FROM t),
+      sig AS (SELECT doc_id,
+""" + (0 until 12).map { i =>
+      val (a, b) = operators.Dedup.minhashAB(i)
+      s"        min((CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) * $a + $b) % ${operators.Dedup.MinhashM}) AS mh_$i"
+    }.mkString(",\n") + """
+        FROM g GROUP BY 1)"""
+
+  /** Sum of per-minhash agreement indicators between sig aliases `a`
+    * and `b` — the est_jaccard numerator. */
+  private def minhashAgreeSql(a: String, b: String): String =
+    (0 until 12).map(i =>
+      s"(CASE WHEN $a.mh_$i = $b.mh_$i THEN 1 ELSE 0 END)").mkString(" +\n             ")
 
   /** UNION ALL arms exploding a packed sketch into (band, key) rows. */
   private def bandArmsSql(bands: Int, bitsPerBand: Int): String = {
@@ -461,17 +486,7 @@ object SparkEntry {
       ORDER BY doc_a, doc_b""",
 
     "q27_minhash_lsh" -> ("""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-                 WHERE len(string_split(text, ' ')) >= 3),
-      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-               generate_series(1, len(tk) - 2),
-               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram FROM t),
-      sig AS (SELECT doc_id,
-""" + (0 until 12).map { i =>
-        val (a, b) = operators.Dedup.minhashAB(i)
-        s"        min((CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) * $a + $b) % ${operators.Dedup.MinhashM}) AS mh_$i"
-      }.mkString(",\n") + """
-        FROM g GROUP BY 1),
+      WITH """ + minhashSigCtesSql + """,
       banded AS (
         SELECT doc_id, 0 AS band, concat_ws('_', mh_0, mh_1, mh_2)   AS key FROM sig
         UNION ALL SELECT doc_id, 1, concat_ws('_', mh_3, mh_4, mh_5) FROM sig
@@ -1146,5 +1161,66 @@ object SparkEntry {
              CAST(CAST(zc AS DOUBLE) / ns AS FLOAT) AS zc_rate,
              CAST(CAST(maxabs AS DOUBLE) / 32768.0 AS FLOAT) AS peak
       FROM st ORDER BY media_id""",
+
+    // q65: the batch/corpus split is the q44 hash rule (md5 15-hex mod
+    // 5); sig CTEs are q27's family; the band join is DIRECTIONAL
+    // (batch x vs corpus y) so no corpus self-join ever forms.
+    "q65_incremental_dedup" -> ("""
+      WITH """ + minhashSigCtesSql + """,
+      d AS (SELECT doc_id, md5(text) AS h,
+              (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 = 4) AS is_new
+            FROM documents),
+      ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_id
+             FROM d b JOIN d c ON b.h = c.h AND NOT c.is_new
+             WHERE b.is_new GROUP BY 1),
+      banded AS (
+        SELECT doc_id, 0 AS band, concat_ws('_', mh_0, mh_1, mh_2)   AS key FROM sig
+        UNION ALL SELECT doc_id, 1, concat_ws('_', mh_3, mh_4, mh_5) FROM sig
+        UNION ALL SELECT doc_id, 2, concat_ws('_', mh_6, mh_7, mh_8) FROM sig
+        UNION ALL SELECT doc_id, 3, concat_ws('_', mh_9, mh_10, mh_11) FROM sig),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS cid
+               FROM banded x
+               JOIN d dx ON dx.doc_id = x.doc_id AND dx.is_new
+               JOIN banded y ON x.band = y.band AND x.key = y.key
+               JOIN d dy ON dy.doc_id = y.doc_id AND NOT dy.is_new),
+      near AS (SELECT c.doc_id, min(c.cid) AS near_id
+               FROM cand c
+               JOIN sig a ON a.doc_id = c.doc_id
+               JOIN sig b ON b.doc_id = c.cid
+               WHERE CAST(""" + minhashAgreeSql("a", "b") + """ AS DOUBLE) / 12.0 >= 0.5
+               GROUP BY 1)
+      SELECT bd.doc_id,
+             CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                  WHEN n.near_id IS NOT NULL THEN 'near'
+                  ELSE 'new' END AS status,
+             coalesce(e.exact_id, n.near_id) AS match_id
+      FROM d bd
+      LEFT JOIN ex e ON e.doc_id = bd.doc_id
+      LEFT JOIN near n ON n.doc_id = bd.doc_id
+      WHERE bd.is_new ORDER BY bd.doc_id"""),
+
+    // q66: centroid components are 6dp-rounded (avg is sum-order-noisy
+    // across engines); the cosine is then a LEFT-ASSOCIATIVE fold over
+    // the rounded centroid in array order on both engines, so min_cos
+    // compares bit-identical raw doubles and only mean_cos re-rounds.
+    "q66_centroid_audit" -> {
+      val dims = 1 to 64
+      val cenCols = dims.map(i =>
+        s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6) AS c$i").mkString(",\n        ")
+      val dot = dims.map(i => s"CAST(embedding[$i] AS DOUBLE) * c$i").mkString(" + ")
+      val normE = dims.map(i =>
+        s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
+      val normC = dims.map(i => s"c$i * c$i").mkString(" + ")
+      s"""
+      WITH cen AS (SELECT label,
+        $cenCols
+        FROM embeddings GROUP BY label),
+      per AS (SELECT e.label,
+                ($dot) / greatest(sqrt($normE) * sqrt($normC), 1e-30) AS cos
+              FROM embeddings e JOIN cen USING (label))
+      SELECT label, count(*) AS n_vecs,
+             round(avg(cos), 6) AS mean_cos, min(cos) AS min_cos
+      FROM per GROUP BY label ORDER BY label"""
+    },
   )
 }

@@ -552,4 +552,74 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q65 — INCREMENTAL batch dedup: dedup a NEW document batch against
+    * an EXISTING corpus — the shape production dedup actually runs
+    * day-over-day (a crawl delta lands; nobody re-dedups 100 TB from
+    * scratch). The batch/corpus split is the portable hash rule
+    * ([[Sampling.hashBucket]] mod 5 == 4 → ~20% "new"), so the oracle
+    * reproduces membership exactly.
+    *
+    * Each batch document is classified:
+    *  - `exact` — its md5(text) matches some corpus document;
+    *  - `near`  — it shares a MinHash LSH band (q27's signature family:
+    *    4 bands × 3 rows over 12 portable affine minhashes) with a
+    *    corpus document whose signature agreement ≥ `estThreshold`;
+    *  - `new`   — neither. `match_id` = the smallest matching corpus
+    *    doc_id (exact match wins), NULL for `new`.
+    *
+    * Scale shape: signatures and content hashes come from ONE cached
+    * scan; every join is keyed (content hash / band key) with the SMALL
+    * batch side — at production scale the corpus side is a precomputed
+    * signature index and AQE broadcasts the batch, so the corpus is
+    * never shuffled, let alone self-joined. Directional (batch→corpus)
+    * banding also means candidate volume is |batch|-proportional, not
+    * |corpus|²-proportional. */
+  def incrementalDedup(s: SparkSession, dir: String, k: Int = 12,
+                       bands: Int = 4, estThreshold: Double = 0.5): DataFrame = {
+    // spread: the per-row minhash signature is the map-side hotspot
+    val docs = docsSpread(s, dir)
+    // ONE scan: split flag + content hash + signature, cached — both
+    // sides of every join below read this cache. Two-step projection so
+    // the token split evaluates once (CollapseProject keeps the alias).
+    val base = Caches.track(
+      docs.select(col("doc_id"),
+          (Sampling.hashBucket(col("doc_id"), 5) === 4).as("_new"),
+          md5(col("text")).as("_h"),
+          tokens(col("text")).as("_t"))
+        .select(col("doc_id"), col("_new"), col("_h"),
+          when(size(col("_t")) >= 3, minhashSigCol(col("_t"), k)).as("sig")))
+    val batch = base.filter(col("_new"))
+    val corpus = base.filter(!col("_new"))
+    // exact tier: content-hash equi join, batch side small → broadcast
+    val exact = batch.select(col("doc_id"), col("_h"))
+      .join(corpus.select(col("_h"), col("doc_id").as("_cid")), Seq("_h"))
+      .groupBy(col("doc_id")).agg(min(col("_cid")).as("exact_id"))
+    // near tier: band-keyed batch→corpus join (never corpus×corpus)
+    def banded(df: DataFrame): DataFrame = df.filter(col("sig").isNotNull)
+      .select(col("doc_id"),
+        explode(bandKeyStructs(i => element_at(col("sig"), i + 1), k, bands)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = banded(batch).as("x")
+      .join(banded(corpus).as("y"), Seq("band", "key"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("_cid"))
+      .distinct()
+    val agree = size(filter(
+      zip_with(col("_sa"), col("_sb"), (x, y) => x === y), v => v))
+    val near = cand
+      .join(batch.select(col("doc_id"), col("sig").as("_sa")), Seq("doc_id"))
+      .join(corpus.select(col("doc_id").as("_cid"), col("sig").as("_sb")), Seq("_cid"))
+      .withColumn("_est", agree.cast("double") / lit(k.toDouble))
+      .filter(col("_est") >= estThreshold)
+      .groupBy(col("doc_id")).agg(min(col("_cid")).as("near_id"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -317,4 +317,45 @@ object Similarity {
               lit(1e-30)), 6)
           .as("cos_sim"))
       .orderBy(col("vec_id"))
+
+  /** q66 — per-label centroid + cohesion audit: the embedding-space
+    * diversity report a curation pipeline runs per domain/cluster —
+    * "how tight is each label's cluster, and which labels have stray
+    * members?" (mean/min cosine of members to their label centroid).
+    *
+    * Scale shape: the centroid is a DISTRIBUTED vector mean —
+    * posexplode to (label, pos, v) with map-side partial aggregation,
+    * so the shuffle carries only |labels|×dim partial sums, never
+    * vectors; the per-row cosine is a map-side fold against the
+    * broadcast |labels|-row centroid table. No vector ever shuffles.
+    *
+    * Determinism contract: centroid components round to 6dp (avg is
+    * sum-order-noisy across engines) and the per-row cosine is then
+    * left-folded in array order from those ROUNDED centroids — both
+    * engines produce the bit-identical double, so `min_cos` ships raw;
+    * only the per-label mean (again order-noisy) rounds. */
+  def centroidAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cen = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("_cen"))
+    val dot = expr(
+      "aggregate(zip_with(embedding, _cen, (x, y) -> cast(x as double) * y), 0d, (a, b) -> a + b)")
+    val normE = sqrt(expr(
+      "aggregate(embedding, 0d, (a, x) -> a + cast(x as double) * cast(x as double))"))
+    val normC = sqrt(expr(
+      "aggregate(_cen, 0d, (a, y) -> a + y * y)"))
+    e.join(broadcast(cen), Seq("label"))
+      .withColumn("_cos", dot / greatest(normE * normC, lit(1e-30)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("_cos")), 6).as("mean_cos"),
+        min(col("_cos")).as("min_cos"))
+      .orderBy(col("label"))
+  }
 }

@@ -472,6 +472,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     a.unpersist()
   }
 
+  test("incremental dedup: exact tier matches brute force, near tier is signature-justified") {
+    import org.apache.spark.sql.functions._
+    val inc = operators.Dedup.incrementalDedup(spark, sf)
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .withColumn("_new", operators.Sampling.hashBucket(col("doc_id"), 5) === 4)
+    val rows = inc.collect()
+    val batchIds = docs.filter(col("_new")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val corpusIds = docs.filter(!col("_new")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // one verdict per batch doc, none for corpus docs
+    assert(rows.map(_.getLong(0)).toSet == batchIds)
+    // match ids point INTO the corpus, never at another batch doc
+    val matched = rows.filter(!_.isNullAt(2))
+    assert(matched.forall(r => corpusIds.contains(r.getLong(2))))
+    assert(rows.forall(r => Set("exact", "near", "new")(r.getString(1))))
+    // exact tier ≡ brute-force text equality across the split boundary
+    val brute = docs.filter(col("_new")).as("b")
+      .join(docs.filter(!col("_new")).as("c"), col("b.text") === col("c.text"))
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(min(col("c.doc_id")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactTier = rows.filter(_.getString(1) == "exact")
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exactTier == brute,
+      s"exact tier drifted from brute force: got $exactTier want $brute")
+    // near tier: the matched pair's signatures must agree on >= 6 of 12
+    val sig = operators.Dedup.minhashSignatures(spark, sf)
+    val agree = (0 until 12).map(i =>
+      when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0)).reduce(_ + _)
+    val nearPairs = rows.filter(_.getString(1) == "near")
+      .map(r => (r.getLong(0), r.getLong(2)))
+    if (nearPairs.nonEmpty) {
+      val np = spark.createDataFrame(nearPairs.toSeq).toDF("x", "y")
+      val bad = np.join(sig.as("a"), col("x") === col("a.doc_id"))
+        .join(sig.as("b"), col("y") === col("b.doc_id"))
+        .filter(agree < 6).count()
+      assert(bad == 0, s"$bad near matches below the 6/12 agreement floor")
+    }
+    operators.Caches.release()
+  }
+
+  test("centroid audit: cosines bounded, counts partition the table, self-consistent") {
+    import org.apache.spark.sql.functions._
+    val a = operators.Similarity.centroidAudit(spark, sf).collect()
+    val total = graft.sources.Tables(spark, sf, "embeddings").count()
+    assert(a.map(_.getLong(1)).sum == total, "per-label counts must partition the table")
+    a.foreach { r =>
+      val (mean, mn) = (r.getDouble(2), r.getDouble(3))
+      assert(mn >= -1.0 - 1e-9 && mean <= 1.0 + 1e-9, s"cosine out of range: $r")
+      assert(mean >= mn, s"mean below min: $r")
+    }
+    // a label's own centroid must score higher against its members than
+    // a random other label's centroid does (cluster structure exists)
+    assert(a.map(_.getDouble(2)).min > 0.0,
+      "mean member-to-own-centroid cosine should be positive for every label")
+  }
+
   test("fingerprint is stable under duplicate text") {
     import org.apache.spark.sql.functions._
     // same text ⇒ same fingerprint: join docs on equal text, compare fps
