@@ -577,20 +577,38 @@ object Dedup {
     * |corpus|²-proportional. */
   def incrementalDedup(s: SparkSession, dir: String, k: Int = 12,
                        bands: Int = 4, estThreshold: Double = 0.5): DataFrame = {
-    // spread: the per-row minhash signature is the map-side hotspot
-    val docs = docsSpread(s, dir)
+    // spread: the per-row minhash signature is the map-side hotspot.
     // ONE scan: split flag + content hash + signature, cached — both
-    // sides of every join below read this cache. Two-step projection so
-    // the token split evaluates once (CollapseProject keeps the alias).
+    // sides of every join in the classifier read this cache.
     val base = Caches.track(
-      docs.select(col("doc_id"),
-          (Sampling.hashBucket(col("doc_id"), 5) === 4).as("_new"),
-          md5(col("text")).as("_h"),
-          tokens(col("text")).as("_t"))
-        .select(col("doc_id"), col("_new"), col("_h"),
-          when(size(col("_t")) >= 3, minhashSigCol(col("_t"), k)).as("sig")))
-    val batch = base.filter(col("_new"))
-    val corpus = base.filter(!col("_new"))
+      hashSigProjection(docsSpread(s, dir), k)
+        .withColumn("_new", Sampling.hashBucket(col("doc_id"), 5) === 4))
+    classifyNew(base.filter(col("_new")).drop("_new"),
+                base.filter(!col("_new")).drop("_new"),
+                k, bands, estThreshold)
+  }
+
+  /** (doc_id, _h, sig) projection over a (doc_id, text) frame: content
+    * hash + k-minhash signature (null for <3-token docs). Pure per-row,
+    * no shuffle; two-step projection so the token split evaluates once
+    * (CollapseProject keeps a non-cheap alias referenced twice). The
+    * corpus side of [[classifyNew]] is exactly this projection — a
+    * production deployment precomputes and caches it as the dedup
+    * INDEX, which is what the streaming twin does per micro-batch. */
+  private[graft] def hashSigProjection(docs: DataFrame, k: Int = 12): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("_h"),
+        tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("_h"),
+        when(size(col("_t")) >= 3, minhashSigCol(col("_t"), k)).as("sig"))
+
+  /** Classify each `batch` doc against `corpus` — both already
+    * [[hashSigProjection]]-shaped. Shared verbatim by q65 and the
+    * streaming twin, so batch and continuous ingest can't drift.
+    * Every join is keyed with the SMALL batch side (AQE broadcasts it);
+    * the corpus is never shuffled against itself. */
+  private[graft] def classifyNew(batch: DataFrame, corpus: DataFrame,
+                                 k: Int = 12, bands: Int = 4,
+                                 estThreshold: Double = 0.5): DataFrame = {
     // exact tier: content-hash equi join, batch side small → broadcast
     val exact = batch.select(col("doc_id"), col("_h"))
       .join(corpus.select(col("_h"), col("doc_id").as("_cid")), Seq("_h"))

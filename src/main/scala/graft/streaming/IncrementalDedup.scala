@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/** Streaming twin of q65 ([[graft.operators.Dedup.incrementalDedup]]):
+  * classify a CONTINUOUS stream of incoming documents against a static
+  * corpus index — the deployment shape of production dedup, where a
+  * crawl feed lands and each document gets an exact/near/new verdict
+  * against yesterday's corpus.
+  *
+  * Shape: this is stream-STATIC enrichment, not stream-stream joining —
+  * each document's verdict depends only on (document, index), never on
+  * other stream rows, so there is no watermark, no keyed state, and no
+  * late-data semantics to reason about. `foreachBatch` runs the SAME
+  * classifier the batch query uses ([[Dedup.classifyNew]], shared
+  * verbatim) on each micro-batch against the cached index. Chunking is
+  * therefore exact by construction: replaying the batch input in any
+  * number of micro-batches yields precisely the batch verdict set (the
+  * duality spec proves it end-to-end).
+  *
+  * Scale/state story:
+  *   - zero streaming state: the only persistent artifact is the index,
+  *     whose size is |corpus| rows of (hash, 12-long signature) — text
+  *     never enters it.
+  *   - per-micro-batch cost: the batch side of every join is the
+  *     micro-batch (AQE broadcasts it); the index is never shuffled
+  *     against itself, so trigger latency scales with feed rate, not
+  *     corpus size.
+  *   - index refresh (folding the day's `new` verdicts back in) is a
+  *     batch-side concern — rebuild [[index]] and restart the query,
+  *     the standard static-side-refresh pattern.
+  */
+object IncrementalDedup {
+
+  /** Build the static dedup index from a (doc_id, text) corpus frame:
+    * content hash + minhash signature per document. Caller should
+    * `.cache()` it (or persist to parquet) — every micro-batch reads it. */
+  def index(corpus: DataFrame, k: Int = 12): DataFrame =
+    Dedup.hashSigProjection(corpus, k)
+
+  /** Start classifying `newDocs` (a streaming (doc_id, text) frame)
+    * against `corpusIndex` ([[index]] output). Each micro-batch's
+    * verdicts — (doc_id, status ∈ exact|near|new, match_id) — are handed
+    * to `sink` with the batch id (write to a table, a topic, …). */
+  def start(newDocs: DataFrame, corpusIndex: DataFrame,
+            sink: (DataFrame, Long) => Unit,
+            k: Int = 12, bands: Int = 4,
+            estThreshold: Double = 0.5): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (microBatch: DataFrame, batchId: Long) =>
+        sink(Dedup.classifyNew(
+          Dedup.hashSigProjection(microBatch, k),
+          corpusIndex, k, bands, estThreshold), batchId)
+      }
+      .start()
+}

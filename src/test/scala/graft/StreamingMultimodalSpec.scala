@@ -193,6 +193,45 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(mismatches.count() == 0)
   }
 
+  test("streaming incremental dedup: chunked replay ≡ batch q65 verdicts") {
+    import graft.streaming.IncrementalDedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .withColumn("_new", operators.Sampling.hashBucket(col("doc_id"), 5) === 4)
+    // feed = the q65 batch side, split into 4 chunk files (file-source
+    // micro-batches); index = the q65 corpus side, cached like a
+    // production deployment would
+    docs.filter(col("_new")).select("doc_id", "text")
+      .withColumn("_chunk", pmod(col("doc_id"), lit(4)))
+      .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
+    val idx = IncrementalDedup.index(
+      docs.filter(!col("_new")).select("doc_id", "text")).cache()
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/feed")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Option[Long])]
+    val q = IncrementalDedup.start(stream, idx, (verdicts, _) =>
+      got.synchronized {
+        got ++= verdicts.collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      })
+    try q.processAllAvailable() finally q.stop()
+    val want = operators.Dedup.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    idx.unpersist()
+    operators.Caches.release()
+    assert(got.size == want.size,
+      s"stream emitted ${got.size} verdicts, batch has ${want.size}")
+    assert(got.toSet == want,
+      s"verdict drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
+  }
+
   test("streaming: dedup-within-watermark removes duplicated events") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
     val events = graft.sources.Tables(spark, sf, "events")
