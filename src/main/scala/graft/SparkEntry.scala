@@ -86,6 +86,7 @@ object SparkEntry {
     "q64_audio_features"    -> Multimodal.audioFeatureAudit _,
     "q65_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "q66_centroid_audit"    -> Similarity.centroidAudit _,
+    "q67_crossmodal_audit"  -> ((s: SparkSession, d: String) => Similarity.crossModalAudit(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1221,6 +1222,25 @@ object SparkEntry {
       SELECT label, count(*) AS n_vecs,
              round(avg(cos), 6) AS mean_cos, min(cos) AS min_cos
       FROM per GROUP BY label ORDER BY label"""
+    },
+
+    // q67: q26's pair CTEs verbatim + raw left-fold cosines from the
+    // embeddings table (bit-identical across engines, no rounding).
+    "q67_crossmodal_audit" -> {
+      val dims = 1 to 64
+      def dot(a: String, b: String) = dims.map(i =>
+        s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)").mkString(" + ")
+      def norm(a: String) = dims.map(i =>
+        s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)").mkString(" + ")
+      s"""
+      WITH $ngramPairsCtes
+      SELECT p.doc_a, p.doc_b, p.jaccard,
+             (${dot("a", "b")}) /
+               greatest(sqrt(${norm("a")}) * sqrt(${norm("b")}), 1e-30) AS emb_cos
+      FROM pairs p
+      JOIN embeddings a ON a.vec_id = p.doc_a
+      JOIN embeddings b ON b.vec_id = p.doc_b
+      ORDER BY p.doc_a, p.doc_b"""
     },
   )
 }

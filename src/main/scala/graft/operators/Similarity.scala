@@ -358,4 +358,38 @@ object Similarity {
         min(col("_cos")).as("min_cos"))
       .orderBy(col("label"))
   }
+
+  /** q67 — cross-modal consistency audit: every LEXICAL near-dup pair
+    * (q26's capped shingle pipeline, reused verbatim) scored again in
+    * EMBEDDING space. The curation diagnostic that catches the two
+    * failure modes of single-modality dedup: text near-dups with low
+    * embedding cosine (template pages with swapped content — lexical
+    * false positives) and the gap's inverse when run the other way
+    * round. Per-pair output keeps both raw scores so the threshold
+    * stays a downstream decision.
+    *
+    * Scale shape: the pair set is the banded q26 candidate output
+    * (corpus-sublinear), and the two embedding joins are id-keyed
+    * lookups against it — the embedding table is never self-joined and
+    * no vector shuffles except the |pairs| lookups. Cosines are raw
+    * left-folds in array order — bit-identical across engines (no
+    * rounding needed; same contract q66's min_cos proved). */
+  def crossModalAudit(s: SparkSession, dir: String,
+                      threshold: Double = 0.5,
+                      maxDocFreq: Long = 100): DataFrame = {
+    val pairs = graft.operators.Dedup
+      .ngramJaccardPairsCapped(s, dir, threshold, maxDocFreq)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val dot = expr(
+      "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), 0d, (a, b) -> a + b)")
+    def norm(c: String) = sqrt(expr(
+      s"aggregate($c, 0d, (a, x) -> a + cast(x as double) * cast(x as double))"))
+    pairs
+      .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
+      .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+      .withColumn("emb_cos", dot / greatest(norm("ea") * norm("eb"), lit(1e-30)))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("emb_cos"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -530,6 +530,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       "mean member-to-own-centroid cosine should be positive for every label")
   }
 
+  test("cross-modal audit: one row per lexical pair, bounded cosines, thresholded jaccard") {
+    import org.apache.spark.sql.functions._
+    val a = operators.Similarity.crossModalAudit(spark, sf)
+    val pairs = operators.Dedup.ngramJaccardPairsCapped(spark, sf).count()
+    assert(a.count() == pairs,
+      "every lexical near-dup pair must get an embedding verdict")
+    assert(a.filter(col("emb_cos") < -1.0 - 1e-9 || col("emb_cos") > 1.0 + 1e-9).count() == 0)
+    assert(a.filter(col("jaccard") < 0.5).count() == 0)
+    operators.Caches.release()
+  }
+
   test("fingerprint is stable under duplicate text") {
     import org.apache.spark.sql.functions._
     // same text ⇒ same fingerprint: join docs on equal text, compare fps
