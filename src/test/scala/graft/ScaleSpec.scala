@@ -247,6 +247,29 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("plan lint: q65/q67 candidate joins are banded/keyed, never all-pairs") {
+    // q65's batch→corpus tiers and q67's pair→embedding lookups must all
+    // be equi-joins — an all-pairs shape here is exactly the "full-corpus
+    // re-dedup" this family exists to avoid
+    Seq("q65_incremental_dedup", "q67_crossmodal_audit").foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an all-pairs join:\n${p.take(2000)}")
+    }
+  }
+
+  test("plan lint: q66 broadcasts the centroid table, never shuffles vectors into it") {
+    // the per-row cosine pass must read the |labels|-row centroid table
+    // via a broadcast hash join; a sort-merge join there would shuffle
+    // every embedding by label — the exact anti-pattern at 100 TB
+    val p = SparkEntry.queries("q66_centroid_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"q66's centroid join is not broadcast:\n${p.take(2000)}")
+  }
+
   test("plan lint: q49 scans the lineitem fact exactly once for its three FK audits") {
     val p = SparkEntry.queries("q49_fk_audit")(spark, sf)
       .queryExecution.executedPlan.toString
