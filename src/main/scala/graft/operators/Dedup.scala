@@ -124,15 +124,25 @@ object Dedup {
       docToks
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), shingles(col("t"), 3).as("grams")))
-    val g = docGrams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // candidate stages key on xxhash64(gram), not the gram STRING: the
+    // df-count groupBy and the pair self-join are the pipeline's two big
+    // shuffles, and an 8-byte key beats a ~25-byte text shingle in both
+    // shuffle bytes and join-key comparisons. Distinct grams per doc map
+    // to distinct hashes modulo 64-bit collisions (~n²/2⁶⁵ per doc —
+    // vanishing even at 100 TB corpus scale; a collision could only
+    // perturb CANDIDATE generation, and the exact rescore below still
+    // runs on full STRING gram sets, so scores are never affected).
+    val g = docGrams
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
     // hot shingles (df > cap) are FEW by construction — broadcast them
     // and prune with a left-anti join instead of shuffling every gram
     // row against the (huge) rare-gram set
-    val hot = g.groupBy(col("gram"))
+    val hot = g.groupBy(col("gh"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq)
-      .select(col("gram"))
-    val capped = Caches.track(g.join(broadcast(hot), Seq("gram"), "left_anti"))
+      .select(col("gh"))
+    val capped = Caches.track(g.join(broadcast(hot), Seq("gh"), "left_anti"))
     // Upper-bound prune (the similarity-join positional-filter idea):
     // instead of DISTINCT-ing candidate pairs and dragging both gram
     // ARRAYS through a join for every pair that shares even one random
@@ -142,8 +152,8 @@ object Dedup {
     // monotone in n_common — so j(ncc + min(hotA, hotB)) is a provable
     // upper bound and any pair below threshold on it can be dropped
     // WITHOUT rescoring. Only the few survivors touch the arrays.
-    val ncc = capped.select(col("doc_id").as("doc_a"), col("gram"))
-      .join(capped.select(col("doc_id").as("doc_b"), col("gram")), Seq("gram"))
+    val ncc = capped.select(col("doc_id").as("doc_a"), col("gh"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("ncc"))
