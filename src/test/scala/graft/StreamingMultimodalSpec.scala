@@ -232,6 +232,46 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"verdict drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
   }
 
+  test("streaming centroid drift: windowed sums ≡ batch, drift cosine sane") {
+    import graft.streaming.CentroidDrift
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // embeddings spread across 3 hours by vec_id; +1 flush row far past
+    // the watermark horizon so every real window closes and emits
+    val base = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        timestamp_seconds(lit(1700000000L) + pmod(col("vec_id") * 997L, lit(3L * 3600L)))
+          .as("ingest_ts"))
+    val flush = base.limit(1)
+      .withColumn("ingest_ts", timestamp_seconds(lit(1700000000L + 8L * 3600L)))
+      .withColumn("label", lit(9999))
+    base.unionByName(flush).write.mode("overwrite").parquet(s"$dir/vecs")
+    val stream = spark.readStream
+      .schema(base.schema).option("maxFilesPerTrigger", 1).parquet(s"$dir/vecs")
+    val got = graft.streaming.Sessionize.runOnce(spark,
+      CentroidDrift.windowedCentroidSums(stream), "drift_test")
+      .filter(col("label") =!= 9999)
+    val batch = base
+      .select(col("label"), col("ingest_ts"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("label"), col("pos"))
+      .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("label"), col("pos"),
+        col("s"), col("n"))
+    assert(got.count() == batch.count(),
+      s"stream emitted ${got.count()} sum rows, batch has ${batch.count()}")
+    val mismatch = got.as("g").join(batch.as("b"), Seq("win_start", "label", "pos"))
+      .filter(col("g.n") =!= col("b.n") || abs(col("g.s") - col("b.s")) > 1e-9)
+    assert(mismatch.count() == 0, "windowed sums must match batch exactly")
+    // drift post-processing: one cosine per (label, non-first window a
+    // label APPEARS in — epoch-aligned windows make the edge windows
+    // partial, so not every label reaches every window), all in [-1, 1]
+    val drift = CentroidDrift.driftBetweenWindows(CentroidDrift.assemble(got))
+    val expected = got.select("label", "win_start").distinct()
+      .groupBy("label").count().collect().map(_.getLong(1) - 1).sum
+    assert(drift.count() == expected)
+    assert(drift.filter(col("cos_to_prev") < -1.0 - 1e-9 ||
+      col("cos_to_prev") > 1.0 + 1e-9).count() == 0)
+  }
+
   test("streaming: dedup-within-watermark removes duplicated events") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
     val events = graft.sources.Tables(spark, sf, "events")
