@@ -598,6 +598,16 @@ object Dedup {
                 k, bands, estThreshold)
   }
 
+  /** [[incrementalDedup]] over ANY pair of (doc_id, text) frames — the
+    * library entry point: classify `newDocs` against `corpus` without
+    * the driver-table split rule. Callers with a precomputed index use
+    * [[graft.streaming.IncrementalDedup.index]] + the streaming twin. */
+  def incrementalDedupFor(newDocs: DataFrame, corpus: DataFrame,
+                          k: Int = 12, bands: Int = 4,
+                          estThreshold: Double = 0.5): DataFrame =
+    classifyNew(hashSigProjection(newDocs, k), hashSigProjection(corpus, k),
+      k, bands, estThreshold)
+
   /** (doc_id, _h, sig) projection over a (doc_id, text) frame: content
     * hash + k-minhash signature (null for <3-token docs). Pure per-row,
     * no shuffle; two-step projection so the token split evaluates once

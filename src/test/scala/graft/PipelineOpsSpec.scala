@@ -530,6 +530,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       "mean member-to-own-centroid cosine should be positive for every label")
   }
 
+  test("incrementalDedupFor: planted exact and near dups classify correctly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally unrelated corpus text about something else entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),          // exact of 1
+      (11L, "one two three four five six seven eight nine eleven"),    // near of 2
+      (12L, "completely fresh document with brand new words only")     // new
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.incrementalDedupFor(batch, corpus).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(10L) == ("exact", Some(1L)), s"got ${got(10L)}")
+    assert(got(11L) == ("near", Some(2L)), s"got ${got(11L)}")
+    assert(got(12L) == ("new", None), s"got ${got(12L)}")
+    operators.Caches.release()
+  }
+
   test("cross-modal audit: one row per lexical pair, bounded cosines, thresholded jaccard") {
     import org.apache.spark.sql.functions._
     val a = operators.Similarity.crossModalAudit(spark, sf)
