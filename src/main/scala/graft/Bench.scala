@@ -90,6 +90,38 @@ object Bench {
       s""","queries_reps":$qsReps,"queries_gc_ms":$qsGc,"sf":"$sfDir"}"""
   }
 
+  /** Compact variant of the artifact: medians only, ~2 KB for 67 queries.
+    * The driver keeps only a short stdout tail, and rounds 6-7 proved the
+    * full line (~15 KB with per-rep and GC arrays) overflows it — the
+    * driver recorded `"parsed": null` twice while the engine got 30%
+    * faster. This line is printed LAST so any tail window that survives
+    * contains a complete, parseable medians-only record; the full line
+    * still precedes it (and is also written to bench_full.json) for
+    * judge-side forensics.
+    */
+  def renderCompactJson(results: Seq[QueryTimes], reps: Int,
+                        sfDir: String): String = {
+    // 3dp (millisecond) medians: raw Double.toString can run 18 chars
+    // (0.5133333333333333) and 67 of those alone overflow the tail the
+    // compact line exists to fit. toPlainString avoids scientific
+    // notation, which json parsers accept but humans grepping a tail
+    // mis-read; stripTrailingZeros keeps "6.05" over "6.050".
+    def ms3(d: Double): String = {
+      val bd = java.math.BigDecimal.valueOf(d)
+        .setScale(3, java.math.RoundingMode.HALF_UP).stripTrailingZeros()
+      // keep one decimal so an integral median ("6", "-1") still parses as
+      // a float downstream (json4s reads bare ints as JInt)
+      (if (bd.scale < 1) bd.setScale(1) else bd).toPlainString
+    }
+    val qs = results.map(q => s"\"${q.name}\":${ms3(q.median)}")
+      .mkString("{", ",", "}")
+    val suspects = results.filter(_.suspect).map(q => s"\"${q.name}\"")
+      .mkString("[", ",", "]")
+    val total = results.collect { case q if q.median >= 0 => q.median }.sum
+    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"median"""" +
+      s""","reps":$reps,"suspect":$suspects,"queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -182,7 +214,21 @@ object Bench {
       }
       QueryTimes(name, timed.map(_._1), timed.map(_._2))
     }
-    println(renderJson(results, reps, sfDir, loadBefore, loadavg()))
+    val full = renderJson(results, reps, sfDir, loadBefore, loadavg())
+    // Full artifact to a file the driver (or judge) can read whole, then
+    // the full line, then — LAST, so it lands in any stdout tail — the
+    // compact medians-only line. File-write failure must not kill a
+    // completed run: stdout still carries both lines.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(full)
+    println(renderCompactJson(results, reps, sfDir))
     spark.stop()
   }
 }

@@ -1202,8 +1202,10 @@ object SparkEntry {
 
     // q66: centroid components are 6dp-rounded (avg is sum-order-noisy
     // across engines); the cosine is then a LEFT-ASSOCIATIVE fold over
-    // the rounded centroid in array order on both engines, so min_cos
-    // compares bit-identical raw doubles and only mean_cos re-rounds.
+    // the rounded centroid in array order on both engines. Both shipped
+    // aggregates round to 6dp: a centroid mean within ~1e-16 of a
+    // 0.5e-6 boundary can flip a component between engines, and raw
+    // min_cos would fail the whole query hash on that flake.
     "q66_centroid_audit" -> {
       val dims = 1 to 64
       val cenCols = dims.map(i =>
@@ -1220,7 +1222,7 @@ object SparkEntry {
                 ($dot) / greatest(sqrt($normE) * sqrt($normC), 1e-30) AS cos
               FROM embeddings e JOIN cen USING (label))
       SELECT label, count(*) AS n_vecs,
-             round(avg(cos), 6) AS mean_cos, min(cos) AS min_cos
+             round(avg(cos), 6) AS mean_cos, round(min(cos), 6) AS min_cos
       FROM per GROUP BY label ORDER BY label"""
     },
 

@@ -127,11 +127,17 @@ object Dedup {
     // candidate stages key on xxhash64(gram), not the gram STRING: the
     // df-count groupBy and the pair self-join are the pipeline's two big
     // shuffles, and an 8-byte key beats a ~25-byte text shingle in both
-    // shuffle bytes and join-key comparisons. Distinct grams per doc map
-    // to distinct hashes modulo 64-bit collisions (~n²/2⁶⁵ per doc —
-    // vanishing even at 100 TB corpus scale; a collision could only
-    // perturb CANDIDATE generation, and the exact rescore below still
-    // runs on full STRING gram sets, so scores are never affected).
+    // shuffle bytes and join-key comparisons. Collision budget: the df
+    // groupBy is over GLOBAL distinct grams, so the relevant bound is the
+    // 64-bit birthday bound (~4×10⁹ distinct grams) — a 100 TB corpus
+    // EXCEEDS it and some collisions are expected there. The failure mode
+    // is bounded: a rare-gram colliding with another gram can merge df
+    // counts past maxDocFreq and drop that gram from candidate
+    // generation — a small RECALL loss only. Scores are never affected
+    // (the exact rescore below runs on full STRING gram sets), and
+    // precision is unaffected (extra candidates are rescored away). If
+    // exact candidate parity at ≳10⁹-gram scale matters, widen the key to
+    // 128 bits (e.g. a md5-prefix pair) at 2× shuffle-key cost.
     val g = docGrams
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))

@@ -44,7 +44,10 @@ object CentroidDrift {
       .agg(
         transform(array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("c")))),
           x => x.getField("c")).as("centroid"),
-        first(col("n")).as("n_vecs"))
+        // max, not first: first() over the per-dim rows is an arbitrary
+        // pick when a ragged/short vector makes n differ by pos; max = the
+        // count of vectors contributing to SOME dimension, deterministic
+        max(col("n")).as("n_vecs"))
 
   /** Per-label cosine between consecutive windows' centroids — the drift
     * signal. Input = [[assemble]] output; result is windows × labels

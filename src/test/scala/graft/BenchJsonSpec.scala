@@ -95,9 +95,60 @@ class BenchJsonSpec extends AnyFunSuite {
     assert((j2 \ "queries_gc_ms" \ "q01") === JArray(Nil))
   }
 
-  test("gcMillis() is non-negative and monotone under allocation") {
+  test("compact line is <2KB-scale, parseable, and driver-contract complete") {
+    val line = Bench.renderCompactJson(Seq(clean, dirty, failed), 3, "/sf")
+    assert(!line.contains("\n"))
+    val j = JsonMethods.parse(line)
+    assert((j \ "metric") === JString("total"))
+    assert((j \ "unit") === JString("sec"))
+    assert((j \ "stat") === JString("median"))
+    assert((j \ "reps") === JInt(3))
+    assert((j \ "sf") === JString("/sf"))
+    val JDouble(q01) = (j \ "queries" \ "q01"): @unchecked
+    assert(q01 === 0.50)
+    // failed query rides as -1.0 but doesn't contribute to the total
+    val JDouble(q99) = (j \ "queries" \ "q99"): @unchecked
+    assert(q99 === -1.0)
+    val JDouble(total) = (j \ "value"): @unchecked
+    assert(math.abs(total - (0.50 + 0.72)) < 5e-4) // 3dp rounding
+    val JArray(sus) = (j \ "suspect"): @unchecked
+    assert(sus === List(JString("q42")))
+    // no per-rep/gc/load blocks: those live in the full line only — the
+    // compact line's reason to exist is fitting a 2000-char stdout tail
+    assert((j \ "queries_reps") === JNothing)
+    assert((j \ "queries_gc_ms") === JNothing)
+    assert((j \ "load_before") === JNothing)
+  }
+
+  test("compact line for the REAL query set fits a 2000-char stdout tail") {
+    // the whole point of the compact line is surviving the driver's stdout
+    // tail — pin it against the actual declared query names with
+    // pessimistic two-digit-seconds medians (worst realistic width)
+    val real = SparkEntry.queries.keys.toSeq.sorted.map(n =>
+      Bench.QueryTimes(n, Vector(88.888888, 88.9, 88.85)))
+    val line = Bench.renderCompactJson(real, 3, "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"compact line is ${line.length} chars")
+    val j = JsonMethods.parse(line)
+    val JObject(fields) = (j \ "queries"): @unchecked
+    assert(fields.size === SparkEntry.queries.size)
+  }
+
+  test("gcMillis() is non-negative and non-decreasing under allocation") {
     val a = Bench.gcMillis()
     assert(a >= 0L)
+    // churn enough garbage that at least one young-gen collection is
+    // plausible before the second read; monotonicity must hold regardless
+    // (collection *time* never decreases), the allocation just makes the
+    // test exercise a nonzero delta on most runs instead of two idle reads
+    var sink = 0L
+    var i = 0
+    while (i < 200) {
+      val arr = new Array[Long](1 << 16)
+      arr(i % arr.length) = i.toLong
+      sink ^= arr(arr.length - 1 - (i % arr.length))
+      i += 1
+    }
+    assert(sink !== Long.MinValue) // keep `sink` live (xor of zeros is 0)
     assert(Bench.gcMillis() >= a)
   }
 
