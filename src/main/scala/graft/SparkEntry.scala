@@ -87,6 +87,7 @@ object SparkEntry {
     "q65_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "q66_centroid_audit"    -> Similarity.centroidAudit _,
     "q67_crossmodal_audit"  -> ((s: SparkSession, d: String) => Similarity.crossModalAudit(s, d)),
+    "q68_incremental_dedup3" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup3(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1244,5 +1245,65 @@ object SparkEntry {
       JOIN embeddings b ON b.vec_id = p.doc_b
       ORDER BY p.doc_a, p.doc_b"""
     },
+
+    // q68: q65's exact + minhash tiers verbatim, plus the embedding
+    // tier — q43's literal hyperplane family banded DIRECTIONALLY
+    // (batch x vs corpus y) and 4dp-cosine rescored, losing precedence
+    // to both lexical tiers. The vec_id↔doc_id identity carries the
+    // split rule onto the embeddings side.
+    "q68_incremental_dedup3" -> ("""
+      WITH """ + minhashSigCtesSql + """,
+      d AS (SELECT doc_id, md5(text) AS h,
+              (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 = 4) AS is_new
+            FROM documents),
+      ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_id
+             FROM d b JOIN d c ON b.h = c.h AND NOT c.is_new
+             WHERE b.is_new GROUP BY 1),
+      banded AS (
+        SELECT doc_id, 0 AS band, concat_ws('_', mh_0, mh_1, mh_2)   AS key FROM sig
+        UNION ALL SELECT doc_id, 1, concat_ws('_', mh_3, mh_4, mh_5) FROM sig
+        UNION ALL SELECT doc_id, 2, concat_ws('_', mh_6, mh_7, mh_8) FROM sig
+        UNION ALL SELECT doc_id, 3, concat_ws('_', mh_9, mh_10, mh_11) FROM sig),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS cid
+               FROM banded x
+               JOIN d dx ON dx.doc_id = x.doc_id AND dx.is_new
+               JOIN banded y ON x.band = y.band AND x.key = y.key
+               JOIN d dy ON dy.doc_id = y.doc_id AND NOT dy.is_new),
+      near AS (SELECT c.doc_id, min(c.cid) AS near_id
+               FROM cand c
+               JOIN sig a ON a.doc_id = c.doc_id
+               JOIN sig b ON b.doc_id = c.cid
+               WHERE CAST(""" + minhashAgreeSql("a", "b") + s""" AS DOUBLE) / 12.0 >= 0.5
+               GROUP BY 1),
+      ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sk AS (SELECT vec_id,
+        ${hyperplaneSketchSql(32)}
+        AS sketch FROM ev),
+      ebanded AS (
+        ${bandArmsSql(8, 4)}),
+      ecand AS (SELECT DISTINCT x.vec_id AS doc_id, y.vec_id AS cid
+                FROM ebanded x
+                JOIN d dx ON dx.doc_id = x.vec_id AND dx.is_new
+                JOIN ebanded y ON x.band = y.band AND x.key = y.key
+                JOIN d dy ON dy.doc_id = y.vec_id AND NOT dy.is_new),
+      emb AS (SELECT c.doc_id, min(c.cid) AS emb_id
+              FROM ecand c
+              JOIN ev a ON a.vec_id = c.doc_id
+              JOIN ev b ON b.vec_id = c.cid
+              WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                    4) >= 0.40
+              GROUP BY 1)
+      SELECT bd.doc_id,
+             CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                  WHEN n.near_id IS NOT NULL THEN 'near'
+                  WHEN m.emb_id IS NOT NULL THEN 'near_embedding'
+                  ELSE 'new' END AS status,
+             coalesce(e.exact_id, n.near_id, m.emb_id) AS match_id
+      FROM d bd
+      LEFT JOIN ex e ON e.doc_id = bd.doc_id
+      LEFT JOIN near n ON n.doc_id = bd.doc_id
+      LEFT JOIN emb m ON m.doc_id = bd.doc_id
+      WHERE bd.is_new ORDER BY bd.doc_id"""),
   )
 }

@@ -634,12 +634,28 @@ object Dedup {
     * the corpus is never shuffled against itself. */
   private[graft] def classifyNew(batch: DataFrame, corpus: DataFrame,
                                  k: Int = 12, bands: Int = 4,
-                                 estThreshold: Double = 0.5): DataFrame = {
-    // exact tier: content-hash equi join, batch side small → broadcast
-    val exact = batch.select(col("doc_id"), col("_h"))
+                                 estThreshold: Double = 0.5): DataFrame =
+    batch.select(col("doc_id"))
+      .join(exactTier(batch, corpus), Seq("doc_id"), "left")
+      .join(nearTier(batch, corpus, k, bands, estThreshold), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+      .orderBy(col("doc_id"))
+
+  /** Exact tier: content-hash equi join, batch side small → broadcast.
+    * (doc_id, exact_id = min matching corpus doc_id). */
+  private def exactTier(batch: DataFrame, corpus: DataFrame): DataFrame =
+    batch.select(col("doc_id"), col("_h"))
       .join(corpus.select(col("_h"), col("doc_id").as("_cid")), Seq("_h"))
       .groupBy(col("doc_id")).agg(min(col("_cid")).as("exact_id"))
-    // near tier: band-keyed batch→corpus join (never corpus×corpus)
+
+  /** Near tier: band-keyed batch→corpus MinHash join (never
+    * corpus×corpus). (doc_id, near_id). */
+  private def nearTier(batch: DataFrame, corpus: DataFrame, k: Int,
+                       bands: Int, estThreshold: Double): DataFrame = {
     def banded(df: DataFrame): DataFrame = df.filter(col("sig").isNotNull)
       .select(col("doc_id"),
         explode(bandKeyStructs(i => element_at(col("sig"), i + 1), k, bands)).as("b"))
@@ -650,20 +666,133 @@ object Dedup {
       .distinct()
     val agree = size(filter(
       zip_with(col("_sa"), col("_sb"), (x, y) => x === y), v => v))
-    val near = cand
+    cand
       .join(batch.select(col("doc_id"), col("sig").as("_sa")), Seq("doc_id"))
       .join(corpus.select(col("doc_id").as("_cid"), col("sig").as("_sb")), Seq("_cid"))
       .withColumn("_est", agree.cast("double") / lit(k.toDouble))
       .filter(col("_est") >= estThreshold)
       .groupBy(col("doc_id")).agg(min(col("_cid")).as("near_id"))
+  }
+
+  /** Embedding tier: batch→corpus hyperplane-banded candidates scored
+    * by exact cosine (q43's sketch family made DIRECTIONAL — the corpus
+    * sketch index is never self-joined). Inputs are
+    * [[embSketchProjection]]-shaped; returns (doc_id, emb_id = min
+    * matching corpus doc_id with 4dp cosine ≥ `cosThreshold`). */
+  private def embeddingTier(batchEmb: DataFrame, corpusEmb: DataFrame,
+                            cosThreshold: Double, bits: Int,
+                            embBands: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dotNative
+    require(bits % embBands == 0, "embBands must divide bits")
+    val r = bits / embBands
+    val mask = (1L << r) - 1
+    def banded(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(array((0 until embBands).map(bd =>
+          struct(lit(bd).as("band"),
+            shiftright(col("sketch"), bd * r).bitwiseAND(mask).as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = banded(batchEmb).as("x")
+      .join(banded(corpusEmb).as("y"), Seq("band", "key"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("_cid"))
+      .distinct()
+    // one dot per pair: norms precomputed per vector in the projection
+    cand
+      .join(batchEmb.select(col("doc_id"), col("embedding").as("_va"),
+        col("_norm").as("_na")), Seq("doc_id"))
+      .join(corpusEmb.select(col("doc_id").as("_cid"),
+        col("embedding").as("_vb"), col("_norm").as("_nb")), Seq("_cid"))
+      .withColumn("_cos",
+        round(dotNative(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 4))
+      .filter(col("_cos") >= cosThreshold)
+      .groupBy(col("doc_id")).agg(min(col("_cid")).as("emb_id"))
+  }
+
+  /** (doc_id, embedding, sketch, _norm) projection over a
+    * (doc_id, embedding) frame — the embedding-side dedup INDEX
+    * ([[hashSigProjection]]'s vector twin). Pure per-row; a production
+    * deployment precomputes this once over the corpus. */
+  private[graft] def embSketchProjection(vecs: DataFrame, bits: Int = 32,
+                                         dim: Int = 64): DataFrame = {
+    graft.plans.FloatVectorExprs.register(vecs.sparkSession)
+    import graft.functions.VectorFunctions.dotNative
+    Similarity.hyperplaneSketch(vecs, "embedding", bits, dim)
+      .withColumn("_norm", sqrt(dotNative(col("embedding"), col("embedding"))))
+  }
+
+  /** Three-tier classifier: [[classifyNew]]'s exact + MinHash tiers
+    * plus the embedding tier. Tier precedence exact > near >
+    * near_embedding > new; `match_id` follows the same order. A batch
+    * doc without an embedding row simply can't match the embedding tier
+    * (left joins throughout). */
+  private[graft] def classifyNew3(batch: DataFrame, corpus: DataFrame,
+                                  batchEmb: DataFrame, corpusEmb: DataFrame,
+                                  k: Int = 12, bands: Int = 4,
+                                  estThreshold: Double = 0.5,
+                                  cosThreshold: Double = 0.40,
+                                  bits: Int = 32,
+                                  embBands: Int = 8): DataFrame =
     batch.select(col("doc_id"))
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
+      .join(exactTier(batch, corpus), Seq("doc_id"), "left")
+      .join(nearTier(batch, corpus, k, bands, estThreshold), Seq("doc_id"), "left")
+      .join(embeddingTier(batchEmb, corpusEmb, cosThreshold, bits, embBands),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("exact_id").isNotNull, "exact")
           .when(col("near_id").isNotNull, "near")
+          .when(col("emb_id").isNotNull, "near_embedding")
           .otherwise("new").as("status"),
-        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+        coalesce(col("exact_id"), col("near_id"), col("emb_id")).as("match_id"))
       .orderBy(col("doc_id"))
+
+  /** q68 — three-tier INCREMENTAL dedup: q65's exact + MinHash tiers
+    * plus an EMBEDDING tier. A batch document that is neither a content
+    * copy nor a lexical near-dup of the corpus can still be a SEMANTIC
+    * duplicate (same content re-worded, translated boilerplate, template
+    * pages with synonym swaps) — the modality q43 dedups within a corpus,
+    * here run batch→corpus: hyperplane-banded candidates (8 bands × 4
+    * sign bits, the q43 family), exact-cosine rescored at 4dp ≥ 0.40
+    * (the testdata's near-dup range; production re-tunes upward), status
+    * `near_embedding`, losing precedence to both lexical tiers.
+    *
+    * Scale shape, on top of q65's: the embedding index is one more
+    * per-row corpus projection (sketch + norm — vectors are scanned once
+    * and never shuffled), band joins stay batch-directional so candidate
+    * volume is |batch|-proportional, and the only vectors that move are
+    * the |candidates| id-keyed rescore lookups. The batch/corpus split
+    * and oracle determinism follow q65 (portable hash rule, literal
+    * plane family in the oracle). */
+  def incrementalDedup3(s: SparkSession, dir: String, k: Int = 12,
+                        bands: Int = 4, estThreshold: Double = 0.5,
+                        cosThreshold: Double = 0.40, bits: Int = 32,
+                        embBands: Int = 8, dim: Int = 64): DataFrame = {
+    val isNew = Sampling.hashBucket(col("doc_id"), 5) === 4
+    val base = Caches.track(
+      hashSigProjection(docsSpread(s, dir), k).withColumn("_new", isNew))
+    val embBase = Caches.track(
+      embSketchProjection(
+        Tables.spreadTable(s, dir, "embeddings", col("vec_id"))
+          .select(col("vec_id").as("doc_id"), col("embedding")), bits, dim)
+        .withColumn("_new", isNew))
+    classifyNew3(
+      base.filter(col("_new")).drop("_new"),
+      base.filter(!col("_new")).drop("_new"),
+      embBase.filter(col("_new")).drop("_new"),
+      embBase.filter(!col("_new")).drop("_new"),
+      k, bands, estThreshold, cosThreshold, bits, embBands)
   }
+
+  /** [[incrementalDedup3]] over caller frames — (doc_id, text) batch and
+    * corpus plus their (doc_id, embedding) sides. The library entry
+    * point for production three-tier ingest. */
+  def incrementalDedupFor3(newDocs: DataFrame, corpus: DataFrame,
+                           newEmb: DataFrame, corpusEmb: DataFrame,
+                           k: Int = 12, bands: Int = 4,
+                           estThreshold: Double = 0.5,
+                           cosThreshold: Double = 0.40, bits: Int = 32,
+                           embBands: Int = 8, dim: Int = 64): DataFrame =
+    classifyNew3(hashSigProjection(newDocs, k), hashSigProjection(corpus, k),
+      embSketchProjection(newEmb, bits, dim),
+      embSketchProjection(corpusEmb, bits, dim),
+      k, bands, estThreshold, cosThreshold, bits, embBands)
 }

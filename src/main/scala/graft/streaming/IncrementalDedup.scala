@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Dedup
@@ -29,9 +30,10 @@ import graft.operators.Dedup
   *     micro-batch (AQE broadcasts it); the index is never shuffled
   *     against itself, so trigger latency scales with feed rate, not
   *     corpus size.
-  *   - index refresh (folding the day's `new` verdicts back in) is a
-  *     batch-side concern — rebuild [[index]] and restart the query,
-  *     the standard static-side-refresh pattern.
+  *   - index refresh (folding the day's `new` verdicts back in) is the
+  *     incremental [[refreshed]] — |new|-proportional, no corpus
+  *     rebuild — applied at a query-restart boundary (the standard
+  *     static-side-refresh pattern).
   */
 object IncrementalDedup {
 
@@ -40,6 +42,29 @@ object IncrementalDedup {
     * `.cache()` it (or persist to parquet) — every micro-batch reads it. */
   def index(corpus: DataFrame, k: Int = 12): DataFrame =
     Dedup.hashSigProjection(corpus, k)
+
+  /** Fold a classified batch's `new` survivors into an existing index
+    * WITHOUT a full corpus rebuild — the day-over-day production loop
+    * (classify → refresh → tomorrow's batch). Only `new`-verdict docs
+    * enter: exact/near matches are duplicates whose corpus copy already
+    * indexes them. Exact by construction: the per-doc projection is
+    * pure per-row, so `index(C) ∪ proj(B_new) ≡ index(C ∪ B_new)` —
+    * the refresh duality spec proves classify-after-refresh equals the
+    * one-shot classification end-to-end.
+    *
+    * The union is lazy and costs |B_new| rows of projection; the
+    * deliberate act is the cache swap — persist the returned frame and
+    * unpersist the old index (or, on a real deployment, append the
+    * |B_new| index rows to the index's parquet/Delta table: the same
+    * union, durable). Restart the streaming query to pick up the new
+    * static side (static-side refresh is a restart-boundary operation
+    * in Structured Streaming). */
+  def refreshed(index: DataFrame, batchDocs: DataFrame, verdicts: DataFrame,
+                k: Int = 12): DataFrame =
+    index.unionByName(Dedup.hashSigProjection(
+      batchDocs.join(
+        verdicts.filter(col("status") === "new").select("doc_id"),
+        Seq("doc_id")), k))
 
   /** Start classifying `newDocs` (a streaming (doc_id, text) frame)
     * against `corpusIndex` ([[index]] output). Each micro-batch's

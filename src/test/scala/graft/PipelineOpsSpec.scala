@@ -552,6 +552,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     operators.Caches.release()
   }
 
+  test("incrementalDedupFor3: embedding tier catches semantic dups, loses precedence to lexical tiers") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(64)(f)
+    // corpus doc 3's direction; batch doc 13 is a lexically-unrelated
+    // near-copy of it in embedding space (scaled ⇒ cosine 1.0)
+    val e3 = vec(d => if (d < 8) (d + 1).toFloat else 0f)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),        // exact of 1
+      (11L, "one two three four five six seven eight nine eleven"),  // near of 2
+      (13L, "completely different words describing the same idea"),  // semantic dup of 3
+      (12L, "totally fresh document with brand new vocabulary only") // new
+    ).toDF("doc_id", "text")
+    val corpusEmb = Seq(
+      (1L, vec(d => if (d >= 10 && d < 14) 1f else 0f)),
+      (2L, vec(d => if (d >= 20 && d < 24) 1f else 0f)),
+      (3L, e3)
+    ).toDF("doc_id", "embedding")
+    val batchEmb = Seq(
+      (10L, vec(d => if (d >= 10 && d < 14) 1f else 0f)), // = e1: precedence test
+      (11L, vec(d => if (d >= 30 && d < 34) 1f else 0f)), // orthogonal to all
+      (13L, e3.map(_ * 1.01f)),                           // cosine 1.0 with e3
+      (12L, vec(d => if (d >= 50 && d < 54) 1f else 0f))  // orthogonal to all
+    ).toDF("doc_id", "embedding")
+    val got = operators.Dedup
+      .incrementalDedupFor3(batch, corpus, batchEmb, corpusEmb).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // 10 ALSO matches 1 in embedding space — exact must win precedence
+    assert(got(10L) == ("exact", Some(1L)), s"got ${got(10L)}")
+    assert(got(11L) == ("near", Some(2L)), s"got ${got(11L)}")
+    assert(got(13L) == ("near_embedding", Some(3L)), s"got ${got(13L)}")
+    assert(got(12L) == ("new", None), s"got ${got(12L)}")
+    operators.Caches.release()
+  }
+
   test("cross-modal audit: one row per lexical pair, bounded cosines, thresholded jaccard") {
     import org.apache.spark.sql.functions._
     val a = operators.Similarity.crossModalAudit(spark, sf)

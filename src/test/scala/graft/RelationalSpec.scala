@@ -41,6 +41,15 @@ class RelationalSpec extends AnyFunSuite {
       "QUERIES.md is stale — run `sbt \"runMain graft.Catalog\"`")
   }
 
+  test("README live counts match the generated numbers (no drift)") {
+    val md = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("README.md"))
+    assert(md.contains(Catalog.readmeCounts),
+      "README.md counts are stale — run `sbt \"runMain graft.Catalog\"`")
+    assert(md == Catalog.syncReadme(md),
+      "README.md count region is stale — run `sbt \"runMain graft.Catalog\"`")
+  }
+
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list tiny and intentional (non-SQL-expressible ops only)

@@ -251,7 +251,10 @@ class ScaleSpec extends AnyFunSuite {
     // q65's batch→corpus tiers and q67's pair→embedding lookups must all
     // be equi-joins — an all-pairs shape here is exactly the "full-corpus
     // re-dedup" this family exists to avoid
-    Seq("q65_incremental_dedup", "q67_crossmodal_audit").foreach { name =>
+    // q68 adds the embedding tier: its hyperplane-band join and cosine
+    // rescore lookups must stay equi-keyed like the lexical tiers
+    Seq("q65_incremental_dedup", "q67_crossmodal_audit",
+        "q68_incremental_dedup3").foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") &&

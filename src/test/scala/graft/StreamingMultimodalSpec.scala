@@ -232,6 +232,47 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"verdict drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
   }
 
+  test("index refresh: classify → refreshed → next batch ≡ one-shot classify") {
+    import graft.streaming.IncrementalDedup
+    import graft.operators.Dedup
+    import spark.implicits._
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),          // exact of 1
+      (11L, "eleven twelve thirteen fourteen fifteen sixteen seventeen") // new
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "eleven twelve thirteen fourteen fifteen sixteen seventeen"), // exact of 11
+      (21L, "eleven twelve thirteen fourteen fifteen sixteen eighteen"),  // near of 11
+      (22L, "entirely novel words never seen in any earlier document")    // new
+    ).toDF("doc_id", "text")
+    val idx0 = IncrementalDedup.index(corpus).cache()
+    val v1 = Dedup.classifyNew(Dedup.hashSigProjection(batch1), idx0)
+    assert(verdicts(v1) ==
+      Set((10L, "exact", Some(1L)), (11L, "new", None)))
+    // WITHOUT the refresh, batch2's dups of doc 11 would sail through as
+    // new — the refresh is load-bearing, not bookkeeping
+    val unrefreshed = Dedup.classifyNew(Dedup.hashSigProjection(batch2), idx0)
+    assert(verdicts(unrefreshed).forall(_._2 == "new"))
+    val idx1 = IncrementalDedup.refreshed(idx0, batch1, v1).cache()
+    val v2 = Dedup.classifyNew(Dedup.hashSigProjection(batch2), idx1)
+    assert(verdicts(v2) == Set((20L, "exact", Some(11L)),
+      (21L, "near", Some(11L)), (22L, "new", None)))
+    // duality: the refreshed-index path must equal classifying batch2
+    // against (corpus ∪ batch1's new survivors) in one shot
+    val oneShot = Dedup.incrementalDedupFor(batch2,
+      corpus.unionByName(batch1.join(
+        v1.filter($"status" === "new").select("doc_id"), Seq("doc_id"))))
+    assert(verdicts(v2) == verdicts(oneShot))
+    idx0.unpersist(); idx1.unpersist()
+  }
+
   test("streaming centroid drift: windowed sums ≡ batch, drift cosine sane") {
     import graft.streaming.CentroidDrift
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
