@@ -34,8 +34,8 @@ object TextFunctions {
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
   def stopwordHits(text: Column, lang: String): Column = {
-    val list = stopwords(lang).map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter(split(lower(${text.toString}), ' '), t -> t IN ($list)))")
+    val set = stopwords(lang)
+    size(filter(split(lower(text), " "), t => t.isInCollection(set)))
       .cast("long")
   }
 
@@ -50,20 +50,19 @@ object TextFunctions {
 
   /** Distinct word-level k-shingles (n-grams) of a token array column.
     * 1-based `element_at` for DuckDB slicing parity. */
-  def shingles(toks: Column, k: Int): Column = {
-    val t = toks.toString
-    val parts = (0 until k).map(j => s"element_at($t, i + $j)").mkString(", ")
-    expr(s"array_distinct(transform(sequence(1, size($t) - ${k - 1}), i -> concat_ws(' ', $parts)))")
-  }
+  def shingles(toks: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
 
   /** Winnowing-style document fingerprint: the minimum md5 over all
     * 8-token shingles. Stable across engines (md5 is standard), robust to
     * local edits, and computable per-row with no shuffle — the 100-TB
     * dedup prefilter. Caller must ensure size(toks) >= 8. */
-  def minShingleFingerprint(toks: Column, k: Int = 8): Column = {
-    val t = toks.toString
-    expr(s"array_min(transform(sequence(1, size($t) - ${k - 1}), i -> md5(concat_ws(' ', slice($t, i, $k)))))")
-  }
+  def minShingleFingerprint(toks: Column, k: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
 
   /** PII patterns + redaction (q47's corpus-hygiene pass). ONE
     * definition shared by the operator, its spec, and callers — pattern

@@ -615,4 +615,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       .join(f.as("fy"), col("y.doc_id") === col("fy.doc_id"))
     assert(j.filter(col("fx.fingerprint") =!= col("fy.fingerprint")).count() == 0)
   }
+
+  test("text HOF builders accept computed column arguments") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    // stopwordHits / shingles / minShingleFingerprint used to round-trip
+    // their column argument through Column.toString into expr(); that only
+    // parsed for simple named columns. The Column-lambda forms must accept
+    // arbitrary expressions — and agree with the named-column form when
+    // the expression is a no-op rewrite of it.
+    val d = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 8)
+      .limit(50)
+      .cache()
+    val computedText = concat(col("text"), lit("")) // computed, same value
+    val computedToks = split(lower(upper(col("text"))), " ") // computed token array
+    val named = d.select(
+      col("doc_id"),
+      stopwordHits(col("text"), "en").as("sw"),
+      shingles(split(lower(col("text")), " "), 3).as("sh"),
+      minShingleFingerprint(split(lower(col("text")), " ")).as("fp"))
+    val computed = d.select(
+      col("doc_id"),
+      stopwordHits(computedText, "en").as("sw"),
+      shingles(computedToks, 3).as("sh"),
+      minShingleFingerprint(computedToks).as("fp"))
+    assert(named.exceptAll(computed).isEmpty && computed.exceptAll(named).isEmpty,
+      "computed-column arguments must evaluate identically to named columns")
+    d.unpersist()
+  }
 }

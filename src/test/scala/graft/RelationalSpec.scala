@@ -50,6 +50,17 @@ class RelationalSpec extends AnyFunSuite {
       "README.md count region is stale — run `sbt \"runMain graft.Catalog\"`")
   }
 
+  test("README spec count matches the instantiated suites (no drift)") {
+    val md = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("README.md"))
+    val n = SpecCatalog.specCount()
+    assert(md.contains(SpecCatalog.readmeSpecLine(n)),
+      s"README.md spec count is stale (suites register $n) — run " +
+        "`sbt \"Test/runMain graft.SpecCatalog\"`")
+    assert(md == SpecCatalog.syncReadme(md, n),
+      "README.md spec-count region is stale — run `sbt \"Test/runMain graft.SpecCatalog\"`")
+  }
+
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep this list tiny and intentional (non-SQL-expressible ops only)
