@@ -89,13 +89,18 @@ object Compose {
             .over(Window.partitionBy(md5(col("text")))))
         .filter(col("_keep"))
         .select(col("doc_id"), col("text"), col("_t")))
-    // stage 3 — near-dup cluster dedup: q51's labels over the SURVIVOR
-    // corpus (pre-tokenized entry — no re-split); keep only cluster
-    // keepers (singletons keep themselves)
-    val nearKeepers = Dedup.dedupClustersTok(
-        d2.select(col("doc_id"), col("_t").as("t")), threshold, maxDocFreq)
-      .filter(col("doc_id") === col("keeper_id"))
-      .select(col("doc_id"))
-    d2.join(nearKeepers, Seq("doc_id"), "left_semi")
+    // stage 3 — near-dup cluster dedup: q51's component labeling over the
+    // SURVIVOR corpus (pre-tokenized entry — no re-split), consumed as a
+    // DROP set: a doc is removed iff it sits in the pair subgraph with a
+    // label other than itself (losers of their cluster). The anti join
+    // against that (subgraph-fraction-sized) set replaces the old
+    // clusterLabels → filter(keeper) → semi-join tail, which paid a
+    // corpus-sized left join, cluster-size aggregate, and global sort
+    // for columns this composition never read.
+    val drop = Dedup.nonKeepers(
+      Dedup.ngramJaccardPairsCappedTokRaw(
+          d2.select(col("doc_id"), col("_t").as("t")), threshold, maxDocFreq)
+        .select(col("doc_a"), col("doc_b")))
+    d2.join(drop, Seq("doc_id"), "left_anti")
   }
 }

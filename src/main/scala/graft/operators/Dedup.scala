@@ -115,7 +115,20 @@ object Dedup {
     * shingling. */
   def ngramJaccardPairsCappedTok(docToks: DataFrame,
                                  threshold: Double = 0.5,
-                                 maxDocFreq: Long = 100): DataFrame = {
+                                 maxDocFreq: Long = 100): DataFrame =
+    ngramJaccardPairsCappedTokRaw(docToks, threshold, maxDocFreq)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[ngramJaccardPairsCappedTok]] WITHOUT the final global sort. The
+    * sort exists for q26's oracle-ordered output; consumers that only
+    * aggregate the pairs (connected components, the composed pipeline)
+    * must enter here — a Sort under their cache/count would cost a full
+    * range-sampling pass that RE-EXECUTES the candidate+rescore subtree
+    * before the sort itself runs, for an ordering nothing reads. */
+  private[graft] def ngramJaccardPairsCappedTokRaw(
+      docToks: DataFrame,
+      threshold: Double = 0.5,
+      maxDocFreq: Long = 100): DataFrame = {
     // per-doc gram ARRAYS are a per-row projection (no shuffle at all) —
     // they feed the explode, both rescore joins, and keep the gram-set
     // collection out of a groupBy/collect_list entirely. Cached because
@@ -192,7 +205,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("ng_a"), col("ng_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Per-row minhash signature over a token array: ONE interpreted pass
@@ -380,16 +392,29 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           localSolveMaxEdges: Long = 1L << 20): DataFrame = {
     val Seq(a, b) = pairs.columns.take(2).toSeq.map(col)
-    // cache the DIRECTED pair list and derive the symmetric edge list
-    // from the cache: caching the union instead would evaluate the
-    // (expensive — q26's whole candidate+rescore pipeline) pair plan
-    // once per union branch when the cache materializes
-    val directed = Caches.track(pairs.select(a.as("src"), b.as("dst")))
-    // ONE action materializes the pair cache AND decides the path
-    val nEdges = directed.count()
+    val directedPlan = pairs.select(a.as("src"), b.as("dst"))
+    if (localSolveMaxEdges > 0) {
+      // ONE bounded pass decides the path AND delivers the edges: collect
+      // at most maxEdges+1 directed rows. The previous shape (cache the
+      // pair list, count it, then collect from the cache) materialized a
+      // cache stacked on the pipeline's inner docGram/capped caches, and
+      // that nested materialization measured ~2.5× the pipeline's own
+      // cost; the limit also caps driver memory no matter how big the
+      // subgraph really is (an oversized probe just falls through).
+      val lim = math.min(localSolveMaxEdges + 1, Int.MaxValue.toLong).toInt
+      val probe = directedPlan.limit(lim).collect()
+      if (probe.length < lim)
+        return localComponents(probe, pairs.sparkSession)
+    }
+    // distributed path: cache the DIRECTED pair list and derive the
+    // symmetric edge list from the cache: caching the union instead
+    // would evaluate the (expensive — q26's whole candidate+rescore
+    // pipeline) pair plan once per union branch when the cache
+    // materializes
+    val directed = Caches.track(directedPlan)
+    directed.count()
     val edges = directed.unionByName(
       directed.select(col("dst").as("src"), col("src").as("dst")))
-    if (nEdges <= localSolveMaxEdges) return localComponents(edges)
     // iterate ONLY over the pair subgraph — docs in no pair can never
     // change label, so propagating over the full corpus would shuffle
     // every doc id per round for nothing; near-dup subgraphs are a tiny
@@ -444,11 +469,13 @@ object Dedup {
     labels
   }
 
-  /** Driver-side exact union-find over a (small, pre-counted) symmetric
-    * edge list — the [[connectedComponents]] small-subgraph path. Union
-    * always points the LARGER root at the smaller, so every root IS its
+  /** Driver-side exact union-find over (small, pre-collected) DIRECTED
+    * edge rows — the [[connectedComponents]] small-subgraph path (union
+    * is symmetric, so one direction per pair suffices). Union always
+    * points the LARGER root at the smaller, so every root IS its
     * component minimum; path compression keeps finds amortized ~O(1). */
-  private def localComponents(edges: DataFrame): DataFrame = {
+  private def localComponents(edgeRows: Array[org.apache.spark.sql.Row],
+                              spark: SparkSession): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x0: Long): Long = {
       var x = x0
@@ -462,14 +489,13 @@ object Dedup {
       x
     }
     val nodes = scala.collection.mutable.HashSet.empty[Long]
-    edges.collect().foreach { r =>
+    edgeRows.foreach { r =>
       val (s, d) = (r.getLong(0), r.getLong(1))
       nodes += s
       nodes += d
       val (rs, rd) = (find(s), find(d))
       if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
     }
-    val spark = edges.sparkSession
     import spark.implicits._
     nodes.toSeq.sorted.map(n => (n, find(n))).toDF("doc_id", "label")
   }
@@ -483,10 +509,7 @@ object Dedup {
     * its scale story). */
   def dedupClusters(s: SparkSession, dir: String, threshold: Double = 0.5,
                     maxDocFreq: Long = 100, maxIter: Int = 50): DataFrame =
-    clusterLabels(
-      ngramJaccardPairsCapped(s, dir, threshold, maxDocFreq)
-        .select(col("doc_a"), col("doc_b")),
-      docs(s, dir), maxIter)
+    dedupClustersFor(docsSpread(s, dir), threshold, maxDocFreq, maxIter)
 
   /** [[dedupClusters]] over ANY (doc_id, text) frame — edges and the
     * singleton-completion corpus both come from the passed frame, so a
@@ -494,20 +517,32 @@ object Dedup {
     * documents (not the raw table). */
   def dedupClustersFor(documents: DataFrame, threshold: Double = 0.5,
                        maxDocFreq: Long = 100, maxIter: Int = 50): DataFrame =
-    clusterLabels(
-      ngramJaccardPairsCappedFor(documents, threshold, maxDocFreq)
-        .select(col("doc_a"), col("doc_b")),
-      documents, maxIter)
+    dedupClustersTok(
+      documents.select(col("doc_id"), tokens(col("text")).as("t")),
+      threshold, maxDocFreq, maxIter)
 
   /** [[dedupClustersFor]] over a PRE-TOKENIZED (doc_id, t) frame — the
     * singleton-completion corpus only needs doc_ids, so the token frame
-    * serves both roles and the texts are never re-split. */
+    * serves both roles and the texts are never re-split. Pairs come from
+    * the UNSORTED candidate pipeline ([[ngramJaccardPairsCappedTokRaw]]):
+    * components don't read pair order, and the sorted variant's range
+    * sampling would re-execute the whole rescore subtree. */
   def dedupClustersTok(docToks: DataFrame, threshold: Double = 0.5,
                        maxDocFreq: Long = 100, maxIter: Int = 50): DataFrame =
     clusterLabels(
-      ngramJaccardPairsCappedTok(docToks, threshold, maxDocFreq)
+      ngramJaccardPairsCappedTokRaw(docToks, threshold, maxDocFreq)
         .select(col("doc_a"), col("doc_b")),
       docToks, maxIter)
+
+  /** doc_ids a near-dup cluster pass REMOVES: every pair-subgraph node
+    * whose component label isn't itself. The composed pipeline anti-joins
+    * this set against its survivor frame — the full [[clusterLabels]]
+    * output (corpus left join, cluster sizes, global sort) is q51's
+    * reporting shape, all waste when the consumer only drops losers. */
+  private[graft] def nonKeepers(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponents(pairs, maxIter)
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id"))
 
   /** Shared tail of the cluster operators: component labeling of the pair
     * subgraph + singleton completion against `corpus`. */
