@@ -35,8 +35,19 @@ object Compose {
                        budget: Long = 2048,
                        threshold: Double = 0.5,
                        maxDocFreq: Long = 100): DataFrame =
+    qualityDedupPackFor(
+      Tables.spreadTable(s, dir, "documents", col("doc_id")),
+      budget, threshold, maxDocFreq)
+
+  /** [[qualityDedupPack]] over ANY (doc_id, text) frame — the library
+    * entry point (and the 10× soak's): the composed pipeline run on a
+    * caller-supplied corpus instead of the driver table. */
+  def qualityDedupPackFor(documents: DataFrame,
+                          budget: Long = 2048,
+                          threshold: Double = 0.5,
+                          maxDocFreq: Long = 100): DataFrame =
     Packing.packSequencesCounts(
-      survivorsTok(s, dir, threshold, maxDocFreq)
+      survivorsTokFor(documents, threshold, maxDocFreq)
         .select(col("doc_id"), size(col("_t")).cast("long").as("_nt")),
       budget)
 
@@ -48,6 +59,13 @@ object Compose {
                 threshold: Double = 0.5,
                 maxDocFreq: Long = 100): DataFrame =
     survivorsTok(s, dir, threshold, maxDocFreq)
+      .select(col("doc_id"), col("text"))
+
+  /** [[survivors]] over ANY (doc_id, text) frame. */
+  def survivorsFor(documents: DataFrame,
+                   threshold: Double = 0.5,
+                   maxDocFreq: Long = 100): DataFrame =
+    survivorsTokFor(documents, threshold, maxDocFreq)
       .select(col("doc_id"), col("text"))
 
   /** Survivor corpus WITH its token arrays (`_t`): split runs ONCE, at
@@ -67,10 +85,16 @@ object Compose {
     * join-based formulation scanned it 4× — once per join branch). */
   private def survivorsTok(s: SparkSession, dir: String,
                            threshold: Double = 0.5,
-                           maxDocFreq: Long = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                           maxDocFreq: Long = 100): DataFrame =
     // spread scan: stage 3's shingling is the per-row hotspot downstream
-    val base = Tables.spreadTable(s, dir, "documents", col("doc_id"))
+    survivorsTokFor(Tables.spreadTable(s, dir, "documents", col("doc_id")),
+      threshold, maxDocFreq)
+
+  private def survivorsTokFor(documents: DataFrame,
+                              threshold: Double = 0.5,
+                              maxDocFreq: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents
       .select(col("doc_id"), col("text"),
         graft.functions.TextFunctions.tokens(col("text")).as("_t"))
     // stage 1 — quality gate (q24 semantics), fused into the scan. The

@@ -1,0 +1,196 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{shingles, tokens}
+import graft.operators.{Caches, Compose, Dedup}
+import graft.sources.Tables
+
+/** 10× scale soak for the dedup family (q26/q51/q62/q65): verifies the
+  * banding/capping math's ACTUAL claim — candidate-pair volume grows
+  * sub-quadratically in corpus size — by measuring it, not asserting it
+  * in a comment. Excluded from `sbt test` (runtime is minutes); run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.SoakScale"
+  *
+  * Corpus: the sf documents replicated 10×. Copy 0 is verbatim; copy
+  * c>0 tags every 3rd token with a copy-group marker `cp{c%5}x`, so
+  * every 3-gram of a tagged copy contains a tagged token — gram
+  * universes of different copy groups are DISJOINT (no cross-group
+  * candidates, like shards of a real crawl), while each copy keeps the
+  * original's internal near-dup structure (planted pairs are
+  * position-aligned, so identical perturbation preserves their shared
+  * grams). Copies c and c+5 (c>0) get the SAME tag and are therefore
+  * exact duplicates of each other — planted cross-copy exact dups for
+  * the exact tier and stage-2 keeper rule to chew on.
+  *
+  * Gates (exit code 1 on failure):
+  *  - q26 CANDIDATE pairs grow ≤ 10^1.5 ≈ 31.6× for the 10× corpus —
+  *    the sub-quadratic claim (quadratic would be ~100×; measured ~7×,
+  *    sub-LINEAR, because hot-gram capping bites harder at scale).
+  *  - q65 band candidates stay batch-proportional: candidates per batch
+  *    document ≤ `bands` at BOTH scales. (A raw 1×-vs-10× ratio would
+  *    be misleading here: the planted cross-copy twins are TRUE matches,
+  *    and true-match candidates rightly grow with planted dup mass.)
+  * Output sizes (q26 verified pairs, q51 labels, q62 sequences) are
+  * printed for eyeballing but not gated — they track the planted data,
+  * not the engine's join shapes.
+  */
+object SoakScale {
+
+  /** Candidate-pair count of the capped n-gram pipeline — the DISTINCT
+    * (doc_a, doc_b) pairs sharing ≥1 capped gram, i.e. the rows entering
+    * q26's upper-bound prune. Mirrors ngramJaccardPairsCappedTokRaw's
+    * candidate stage (same keys, same cap). */
+  def candidatePairCount(documents: DataFrame, maxDocFreq: Long = 100): Long = {
+    val (n, sc) = Caches.scope {
+      val g = documents
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(shingles(col("t"), 3)).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      val hot = g.groupBy(col("gh")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDocFreq).select(col("gh"))
+      val capped = Caches.track(g.join(broadcast(hot), Seq("gh"), "left_anti"))
+      capped.select(col("doc_id").as("doc_a"), col("gh"))
+        .join(capped.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct().count()
+    }
+    sc.release(); n
+  }
+
+  /** Near-tier candidate volume of the incremental classifier: distinct
+    * (batch doc, corpus doc) pairs sharing a MinHash band key — the rows
+    * entering q65's agreement scoring. */
+  def bandCandidateCount(newDocs: DataFrame, corpus: DataFrame,
+                         k: Int = 12, bands: Int = 4): Long = {
+    val (n, sc) = Caches.scope {
+      def banded(df: DataFrame) =
+        Dedup.hashSigProjection(df, k).filter(col("sig").isNotNull)
+          .select(col("doc_id"),
+            explode(Dedup.bandKeyStructs(i => element_at(col("sig"), i + 1), k, bands)).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+      banded(newDocs).as("x")
+        .join(banded(corpus).as("y"), Seq("band", "key"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct().count()
+    }
+    sc.release(); n
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    // spread + cached like the real query paths (the raw sf0.1 parquet is
+    // one file; an unspread 1× side would serialize every measurement and
+    // corrupt the 1×-vs-10× comparison)
+    val base = Caches.track(
+      Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+        .repartition(32, col("doc_id")))
+    def copyDF(c: Int): DataFrame =
+      if (c == 0) base
+      else base.select(
+        (col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          (t, i) => when(i % 3 === 0, concat(lit(s"cp${c % 5}x"), t)).otherwise(t)))
+          .as("text"))
+    // materialized once so every measurement reads identical bytes and no
+    // timing includes the corpus synthesis
+    val corpus10 = Caches.track(
+      (0 until 10).map(copyDF).reduce(_ unionByName _)
+        .repartition(32, col("doc_id")))
+    val n1 = base.count()
+    val n10 = corpus10.count()
+    println(s"[soak] corpus: $n1 -> $n10 docs (${n10.toDouble / n1}x)")
+
+    def timed[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[soak] $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+    def scoped[A](name: String)(body: => A): A = {
+      val (r, sc) = Caches.scope(timed(name)(body))
+      sc.release(); spark.catalog.clearCache()
+      // the corpus caches must survive measurement scopes
+      base.cache(); base.count()
+      corpus10.cache(); corpus10.count()
+      r
+    }
+
+    base.count(); corpus10.count() // pin before first measurement
+    var failures = 0
+    val gate = math.pow(n10.toDouble / n1, 1.5)
+    def check(name: String, v1: Long, v10: Long): Unit = {
+      val ratio = v10.toDouble / math.max(v1, 1L)
+      val ok = ratio <= gate
+      if (!ok) failures += 1
+      println(f"[soak] RATIO $name%-26s $v1%12d -> $v10%12d  (${ratio}%8.2fx, gate ${gate}%.1fx) ${if (ok) "PASS" else "FAIL"}")
+    }
+    def info(name: String, v1: Long, v10: Long): Unit =
+      println(f"[soak] INFO  $name%-26s $v1%12d -> $v10%12d  (${v10.toDouble / math.max(v1, 1L)}%8.2fx, ungated)")
+
+    // candidate volumes — the sub-quadratic claim itself
+    val cand1 = scoped("q26 candidates @1x")(candidatePairCount(base))
+    val cand10 = scoped("q26 candidates @10x")(candidatePairCount(corpus10))
+    check("q26-candidate-pairs", cand1, cand10)
+
+    // q26 verified pairs
+    val p1 = scoped("q26 pairs @1x")(Dedup.ngramJaccardPairsCappedFor(base).count())
+    val p10 = scoped("q26 pairs @10x")(Dedup.ngramJaccardPairsCappedFor(corpus10).count())
+    info("q26-verified-pairs", p1, p10) // tracks planted twins, not join shape
+
+    // q51 cluster labeling (corpus-sized output; ratio trivially ~10x —
+    // the wall-time print is the signal here)
+    val c1 = scoped("q51 clusters @1x")(Dedup.dedupClustersFor(base).count())
+    val c10 = scoped("q51 clusters @10x")(Dedup.dedupClustersFor(corpus10).count())
+    info("q51-labeled-docs", c1, c10) // trivially corpus-sized
+
+    // q62 composed pipeline end-to-end
+    val s1 = scoped("q62 composed @1x")(Compose.qualityDedupPackFor(base).count())
+    val s10 = scoped("q62 composed @10x")(Compose.qualityDedupPackFor(corpus10).count())
+    println(s"[soak] q62 packed sequences: $s1 -> $s10")
+
+    // q65 incremental classifier: batch = hash-mod 20% of corpus
+    def splitBatch(df: DataFrame) = {
+      val isNew = graft.operators.Sampling.hashBucket(col("doc_id"), 5) === 4
+      (df.filter(isNew), df.filter(!isNew))
+    }
+    val (b1, co1) = splitBatch(base)
+    val (b10, co10) = splitBatch(corpus10)
+    val bc1 = scoped("q65 band candidates @1x")(bandCandidateCount(b1, co1))
+    val bc10 = scoped("q65 band candidates @10x")(bandCandidateCount(b10, co10))
+    info("q65-band-candidates", bc1, bc10) // true twins grow with dup mass
+    // batch-proportionality gate: candidates PER BATCH DOC bounded by the
+    // band count at both scales (corpus-proportional false positives
+    // would scale this with |corpus| and blow through it)
+    Seq(("q65-cand-per-batch-doc @1x", bc1, b1.count()),
+        ("q65-cand-per-batch-doc @10x", bc10, b10.count())).foreach {
+      case (name, c, nb) =>
+        val perDoc = c.toDouble / math.max(nb, 1L)
+        val ok = perDoc <= 4.0
+        if (!ok) failures += 1
+        println(f"[soak] RATIO $name%-26s ${perDoc}%8.3f cand/doc (gate 4.0) ${if (ok) "PASS" else "FAIL"}")
+    }
+    scoped("q65 classify @1x")(Dedup.incrementalDedupFor(b1, co1).count())
+    scoped("q65 classify @10x")(Dedup.incrementalDedupFor(b10, co10).count())
+
+    println(if (failures == 0) "[soak] ALL GATES PASS"
+            else s"[soak] $failures GATE(S) FAILED")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
