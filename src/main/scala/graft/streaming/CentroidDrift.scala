@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
 
 /** Streaming counterpart of q66's per-label centroid
   * ([[graft.operators.Similarity.centroidAudit]]): per-WINDOW label
@@ -66,5 +68,62 @@ object CentroidDrift {
         (dot(col("centroid"), col("_prev")) /
           greatest(norm(col("centroid")) * norm(col("_prev")), lit(1e-30)))
           .as("cos_to_prev"))
+  }
+
+  /** One alerting step, pure frames so the logic is batch-testable:
+    * `newCentroids` = [[assemble]]d centroids of freshly CLOSED windows
+    * (any number per label — late-opening labels, multi-window
+    * micro-batches); `state` = one (label, win_start, centroid) row per
+    * label, the last window already seen. Returns
+    * (alerts, nextState):
+    *  - alerts = every consecutive-window cosine that falls below
+    *    `minCos`, CHAINED across the state boundary (state→w1, w1→w2, …
+    *    — the first new window compares against the remembered one, so
+    *    a spike is never missed at a micro-batch edge);
+    *  - nextState = per label, the newest window of state ∪ new.
+    * Every pair [[driftBetweenWindows]] forms over the union involves a
+    * new window (the state holds a single row per label), so alerts are
+    * exactly the fresh ones — nothing re-fires. */
+  def alertsAndState(newCentroids: DataFrame, state: DataFrame,
+                     minCos: Double): (DataFrame, DataFrame) = {
+    val cols = Seq(col("label"), col("win_start"), col("centroid"))
+    val all = state.select(cols: _*).unionByName(newCentroids.select(cols: _*))
+    val alerts = driftBetweenWindows(all).filter(col("cos_to_prev") < minCos)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("win_start").desc)
+    val next = all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    (alerts, next)
+  }
+
+  /** Wire the telemetry to a pager: consume a STREAMING
+    * [[windowedCentroidSums]] frame (append mode — rows arrive when the
+    * watermark closes their window) and hand each micro-batch's alert
+    * rows — (label, win_start, cos_to_prev < `minCos`) — to `sink`.
+    *
+    * State story: the remembered frame is ONE row per label (the last
+    * closed window's centroid), held as collected driver rows — bounded
+    * by |labels| × dim doubles BY CONSTRUCTION, the same cardinality the
+    * windowed aggregate itself keeps per open window. Collecting it each
+    * batch also cuts the lineage chain a cached-frame formulation would
+    * grow without bound across micro-batches. */
+  def startAlerts(sums: DataFrame, minCos: Double,
+                  sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var stateRows: Array[Row] = Array.empty
+    var stateSchema: StructType = null
+    sums.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cents = assemble(batch)
+          .select(col("label"), col("win_start"), col("centroid"))
+        if (stateSchema == null) stateSchema = cents.schema
+        val stateDF = spark.createDataFrame(
+          java.util.Arrays.asList(stateRows: _*), stateSchema)
+        val (alerts, next) = alertsAndState(cents, stateDF, minCos)
+        sink(alerts, batchId)
+        stateRows = next.collect()
+      }
+      .start()
   }
 }

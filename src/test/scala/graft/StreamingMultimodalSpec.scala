@@ -313,6 +313,71 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       col("cos_to_prev") > 1.0 + 1e-9).count() == 0)
   }
 
+  test("drift alerter: pure-batch chaining across the state boundary") {
+    import graft.streaming.CentroidDrift
+    val t0 = 1700002800L // hour-aligned epoch
+    def ts(h: Int) = new java.sql.Timestamp((t0 + h * 3600L) * 1000L)
+    val state = Seq((1, ts(0), Seq(1.0, 0.0))).toDF("label", "win_start", "centroid")
+    // two new windows for label 1: w1 agrees with the remembered w0
+    // (cos 1), w2 flips (cos -1) — the first pair CROSSES the state
+    // boundary, the second is intra-batch
+    val fresh = Seq(
+      (1, ts(1), Seq(1.0, 0.0)),
+      (1, ts(2), Seq(-1.0, 0.0))).toDF("label", "win_start", "centroid")
+    val (alerts, next) = CentroidDrift.alertsAndState(fresh, state, minCos = 0.5)
+    val a = alerts.collect()
+    assert(a.length == 1 && a.head.getInt(0) == 1 &&
+      a.head.getTimestamp(1) == ts(2) && a.head.getDouble(2) < -0.99,
+      a.mkString(";"))
+    // next state = newest window per label, ready for the next batch
+    val n = next.collect()
+    assert(n.length == 1 && n.head.getTimestamp(1) == ts(2))
+    // a spike ACROSS the boundary also fires: state w2(flipped) + new w3(back)
+    val (alerts2, _) = CentroidDrift.alertsAndState(
+      Seq((1, ts(3), Seq(1.0, 0.0))).toDF("label", "win_start", "centroid"),
+      next, minCos = 0.5)
+    assert(alerts2.count() == 1)
+  }
+
+  test("streaming drift alert: injected spike fires exactly one alert") {
+    import graft.streaming.CentroidDrift
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_alert").toString
+    val t0 = 1700002800L // hour-aligned
+    def rows(win: Int, vs: Seq[Array[Float]]): Seq[(Int, Array[Float], Long)] =
+      vs.zipWithIndex.map { case (v, i) => (1, v, t0 + win * 3600L + 60L + i * 60L) }
+    def write(data: Seq[(Int, Array[Float], Long)]): Unit =
+      data.toDF("label", "embedding", "ts")
+        .select(col("label"), col("embedding"),
+          timestamp_seconds(col("ts")).as("ingest_ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // three windows for label 1: w0≈w1 (no drift), w2 flipped (the spike)
+    write(rows(0, Seq(Array(1f, 0f, 0f, 0f), Array(1f, 0.1f, 0f, 0f))) ++
+          rows(1, Seq(Array(1f, 0.05f, 0f, 0f), Array(1f, 0f, 0f, 0f))) ++
+          rows(2, Seq(Array(-1f, 0f, 0f, 0f), Array(-1f, -0.05f, 0f, 0f))))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val alerts = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    val q = CentroidDrift.startAlerts(
+      CentroidDrift.windowedCentroidSums(stream), minCos = 0.5,
+      (a, _) => alerts ++= a.collect())
+    try {
+      q.processAllAvailable()
+      // flush rows land in SEPARATE later files so the watermark closes
+      // w0 first (one trigger) and w1+w2 after (another) — the spike pair
+      // must chain across the alerter's remembered state
+      write(Seq((9999, Array(0f, 0f, 0f, 1f), t0 + 12 * 3600L)))
+      q.processAllAvailable()
+      write(Seq((9999, Array(0f, 0f, 0f, 1f), t0 + 13 * 3600L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(alerts.size == 1, s"expected exactly one alert, got: $alerts")
+    val al = alerts.head
+    assert(al.getInt(0) == 1 &&
+      al.getTimestamp(1) == new java.sql.Timestamp((t0 + 2 * 3600L) * 1000L) &&
+      al.getDouble(2) < -0.99, al.toString)
+  }
+
   test("streaming: dedup-within-watermark removes duplicated events") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
     val events = graft.sources.Tables(spark, sf, "events")
