@@ -116,7 +116,11 @@ object Dedup {
   def ngramJaccardPairsCappedTok(docToks: DataFrame,
                                  threshold: Double = 0.5,
                                  maxDocFreq: Long = 100): DataFrame =
-    ngramJaccardPairsCappedTokRaw(docToks, threshold, maxDocFreq)
+    // cache the (tiny — candidate-pruned) pair set BEFORE the oracle
+    // sort: the range partitioner's sampling pass otherwise re-executes
+    // the candidate+rescore subtree a second time (measured 3.8x the
+    // pipeline's own cost at the 10x soak scale)
+    Caches.track(ngramJaccardPairsCappedTokRaw(docToks, threshold, maxDocFreq))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** [[ngramJaccardPairsCappedTok]] WITHOUT the final global sort. The
