@@ -88,6 +88,7 @@ object SparkEntry {
     "q66_centroid_audit"    -> Similarity.centroidAudit _,
     "q67_crossmodal_audit"  -> ((s: SparkSession, d: String) => Similarity.crossModalAudit(s, d)),
     "q68_incremental_dedup3" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup3(s, d)),
+    "q69_prefix_join"       -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairsPrefix(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -485,6 +486,29 @@ object SparkEntry {
     "q26_ngram_jaccard" -> s"""
       WITH $ngramPairsCtes
       SELECT doc_a, doc_b, n_common, ng_a, ng_b, jaccard FROM pairs
+      ORDER BY doc_a, doc_b""",
+
+    // q69: the EXACT (uncapped) similarity join. The engine prunes
+    // candidates with the AllPairs prefix filter, which is provably
+    // lossless — so the oracle just computes the exact result the
+    // straightforward way (any-shared-gram candidates + exact jaccard);
+    // no need to mirror the prefix mechanics.
+    "q69_prefix_join" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram FROM t),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b, i.n_common, na.ng AS ng_a, nb.ng AS ng_b,
+             CAST(i.n_common AS DOUBLE) / (na.ng + nb.ng - i.n_common) AS jaccard
+      FROM inter i
+      JOIN n na ON na.doc_id = i.doc_a
+      JOIN n nb ON nb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (na.ng + nb.ng - i.n_common) >= 0.5
       ORDER BY doc_a, doc_b""",
 
     "q27_minhash_lsh" -> ("""

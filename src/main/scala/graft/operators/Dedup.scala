@@ -198,7 +198,16 @@ object Dedup {
     // exact rescoring over full gram sets (arrays are per-doc sized), so
     // (n_common, ng_a, ng_b, jaccard) are identical to the uncapped
     // operator for every surviving candidate — same output schema too
-    pruned
+    rescoreExact(pruned, docGrams, threshold)
+  }
+
+  /** Shared exact-rescore tail: join candidate (doc_a, doc_b) pairs with
+    * both full gram arrays and compute the exact jaccard — the math every
+    * candidate-generation strategy (capped, prefix, minhash) funnels
+    * through, so scores can't drift between strategies. */
+  private def rescoreExact(cand: DataFrame, docGrams: DataFrame,
+                           threshold: Double): DataFrame =
+    cand
       .join(docGrams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(docGrams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
@@ -209,6 +218,100 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("ng_a"), col("ng_b"), col("jaccard"))
+
+  /** q69 — EXACT n-gram Jaccard similarity join via PREFIX FILTERING
+    * (the AllPairs/PPJoin family: Bayardo et al. WWW'07, Vernica et al.
+    * SIGMOD'10). Same output as the brute candidate form
+    * ([[ngramJaccardPairs]]) — NO recall trade, unlike frequency capping
+    * (q26), which drops pairs sharing only ultra-common shingles.
+    *
+    * Prefix-filter principle: order every document's gram set by one
+    * global total order (rarity first); if jaccard(A,B) ≥ t, the first
+    * `|A| − ⌈t·|A|⌉ + 1` grams of A and the first `|B| − ⌈t·|B|⌉ + 1`
+    * grams of B must share an element — so the candidate join runs over
+    * PREFIXES only (the rare half at t=0.5), and common shingles
+    * generate candidates only for documents where they rank early,
+    * i.e. never en masse. The size filter (`t·|A| ≤ |B| ≤ |A|/t`)
+    * prunes further; survivors get the shared exact rescore.
+    *
+    * Scale shape vs q26: capping bounds candidates by FIAT (with a
+    * documented recall trade); the prefix bounds them by THEOREM with
+    * none. Cost: one extra co-partitioned join (gram→df, reusing the
+    * df groupBy's exchange) and one doc-keyed window sort. The global
+    * order is (df, gram): df may be computed on xxhash64 buckets (a
+    * collision only merges two counts — the order stays total and
+    * consistent, which is all the theorem needs), while the gram-string
+    * tiebreak keeps the order total even across hash collisions. The
+    * candidate join itself keys on the 8-byte hash; a collision can only
+    * ADD candidates, which the exact rescore discards. */
+  def ngramJaccardPairsPrefix(s: SparkSession, dir: String,
+                              threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsPrefixFor(docsSpread(s, dir), threshold)
+
+  /** Distinct 3-gram shingle ARRAYS per (doc_id, text) row — the shared
+    * entry of the pair pipelines; callers cache it (multiple consumers). */
+  private[graft] def gramsFor(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingles(col("t"), 3).as("grams"))
+
+  /** [[ngramJaccardPairsPrefix]] over ANY (doc_id, text) frame. */
+  def ngramJaccardPairsPrefixFor(documents: DataFrame,
+                                 threshold: Double = 0.5): DataFrame = {
+    val docGrams = Caches.track(gramsFor(documents))
+    // HASH-ARRAY PRE-PRUNE between candidates and the exact rescore: the
+    // prefix filter is lossless, so its candidate set is much bigger than
+    // the capped pipeline's post-prune set (~300k vs hundreds at sf0.1),
+    // and joining every candidate against two ~2.5 KB gram-STRING arrays
+    // was the measured wall-clock hotspot. Intersecting 8-byte hash SETS
+    // first is ~5x cheaper per pair and upper-bounds the true jaccard —
+    // a collision can only INFLATE the intersection (and array_distinct
+    // keeps per-doc sizes consistent with set semantics), so filtering
+    // on hash-jaccard >= t keeps every true pair. Survivors (≈ the true
+    // result set) then pay the string-exact rescore, whose scores are
+    // what the oracle sees.
+    val docGramsH = Caches.track(docGrams.select(col("doc_id"),
+      array_distinct(transform(col("grams"), g => xxhash64(g))).as("ghs")))
+    val pruned = prefixCandidates(docGrams, threshold)
+      .join(docGramsH.select(col("doc_id").as("doc_a"), col("ghs").as("_ha")), "doc_a")
+      .join(docGramsH.select(col("doc_id").as("doc_b"), col("ghs").as("_hb")), "doc_b")
+      .withColumn("_nch", size(array_intersect(col("_ha"), col("_hb"))).cast("long"))
+      .withColumn("_na", size(col("_ha")).cast("long"))
+      .withColumn("_nb", size(col("_hb")).cast("long"))
+      .filter(col("_nch").cast("double") /
+        (col("_na") + col("_nb") - col("_nch")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    Caches.track(rescoreExact(pruned, docGrams, threshold))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The prefix-filtered candidate stage of [[ngramJaccardPairsPrefix]]:
+    * distinct (doc_a, doc_b) sharing a PREFIX gram, size-filtered.
+    * Factored out so soak/specs measure exactly the shipped stage. */
+  private[graft] def prefixCandidates(docGrams: DataFrame,
+                                      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (doc, gram) stream with per-doc set size riding along (no window
+    // needed for it) and the hash key both shuffles run on
+    val g = docGrams.select(col("doc_id"),
+        size(col("grams")).cast("long").as("_ng"),
+        explode(col("grams")).as("gram"))
+      .withColumn("gh", xxhash64(col("gram")))
+    val dfreq = g.groupBy(col("gh")).agg(count(lit(1)).as("_df"))
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("_df"), col("gram"))
+    // cached: BOTH sides of the candidate self-join read it, and only the
+    // exchange (not the window computation above it) is reused otherwise
+    val prefix = Caches.track(g.join(dfreq, Seq("gh")) // reuses the groupBy exchange
+      .withColumn("_rk", row_number().over(wRank))
+      .filter(col("_rk") <= col("_ng") - ceil(lit(threshold) * col("_ng")) + 1)
+      .select(col("doc_id"), col("_ng"), col("gh")))
+    prefix.select(col("doc_id").as("doc_a"), col("_ng").as("_na"), col("gh"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("_ng").as("_nb"), col("gh")),
+        Seq("gh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("_nb") >= lit(threshold) * col("_na") &&
+        col("_na") >= lit(threshold) * col("_nb"))
+      .select(col("doc_a"), col("doc_b")).distinct()
   }
 
   /** Per-row minhash signature over a token array: ONE interpreted pass

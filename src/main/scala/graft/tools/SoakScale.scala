@@ -61,6 +61,17 @@ object SoakScale {
     sc.release(); n
   }
 
+  /** Candidate-pair count of the PREFIX pipeline (q69) — the shipped
+    * [[Dedup.prefixCandidates]] stage itself, counted. */
+  def prefixCandidatePairCount(documents: DataFrame,
+                               threshold: Double = 0.5): Long = {
+    val (n, sc) = Caches.scope {
+      Dedup.prefixCandidates(
+        Caches.track(Dedup.gramsFor(documents)), threshold).count()
+    }
+    sc.release(); n
+  }
+
   /** Near-tier candidate volume of the incremental classifier: distinct
     * (batch doc, corpus doc) pairs sharing a MinHash band key — the rows
     * entering q65's agreement scoring. */
@@ -147,6 +158,11 @@ object SoakScale {
     val cand1 = scoped("q26 candidates @1x")(candidatePairCount(base))
     val cand10 = scoped("q26 candidates @10x")(candidatePairCount(corpus10))
     check("q26-candidate-pairs", cand1, cand10)
+
+    // q69 prefix-filter candidates: exact-join candidates, also gated
+    val pc1 = scoped("q69 prefix candidates @1x")(prefixCandidatePairCount(base))
+    val pc10 = scoped("q69 prefix candidates @10x")(prefixCandidatePairCount(corpus10))
+    check("q69-prefix-candidates", pc1, pc10)
 
     // q26 verified pairs
     val p1 = scoped("q26 pairs @1x")(Dedup.ngramJaccardPairsCappedFor(base).count())

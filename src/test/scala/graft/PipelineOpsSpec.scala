@@ -616,6 +616,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(j.filter(col("fx.fingerprint") =!= col("fy.fingerprint")).count() == 0)
   }
 
+  test("prefix-filtered similarity join equals the brute exact join, with fewer candidates") {
+    import org.apache.spark.sql.functions._
+    // the prefix filter's whole claim is EXACTNESS: same rows, same
+    // scores as any-shared-gram candidate generation + exact rescore
+    val exact = operators.Dedup.ngramJaccardPairs(spark, sf)
+    val prefix = operators.Dedup.ngramJaccardPairsPrefix(spark, sf)
+    assert(exact.exceptAll(prefix).isEmpty && prefix.exceptAll(exact).isEmpty,
+      "prefix join must be lossless vs the brute exact join")
+    assert(prefix.count() > 0, "testdata should contain planted near-dups")
+    operators.Caches.release()
+    spark.catalog.clearCache()
+    // and it must actually prune: prefix-candidate volume strictly below
+    // the any-shared-gram candidate volume on the same corpus
+    val docs = graft.sources.Tables(spark, sf, "documents").select("doc_id", "text")
+    val full = tools.SoakScale.candidatePairCount(docs, maxDocFreq = Long.MaxValue)
+    val pruned = tools.SoakScale.prefixCandidatePairCount(docs)
+    assert(pruned < full, s"prefix candidates $pruned !< full $full")
+    operators.Caches.release()
+    spark.catalog.clearCache()
+  }
+
   test("text HOF builders accept computed column arguments") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._
