@@ -89,6 +89,7 @@ object SparkEntry {
     "q67_crossmodal_audit"  -> ((s: SparkSession, d: String) => Similarity.crossModalAudit(s, d)),
     "q68_incremental_dedup3" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup3(s, d)),
     "q69_prefix_join"       -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairsPrefix(s, d)),
+    "q70_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingDedupClusters(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -142,6 +143,28 @@ object SparkEntry {
       s"SELECT vec_id, $bd AS band, (sketch >> ${bd * bitsPerBand}) & $mask AS key FROM sk"
     }.mkString("\n        UNION ALL ")
   }
+
+  /** The q43 embedding near-dup pair list as a CTE chain ending in
+    * `epairs` (vec_a, vec_b, cosine ≥ 0.40) — shared by the q43 oracle
+    * and q70's connected components. */
+  private def embPairsCtes: String = s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sk AS (SELECT vec_id,
+        ${hyperplaneSketchSql(32)}
+        AS sketch FROM e),
+      banded AS (
+        ${bandArmsSql(8, 4)}),
+      cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+               FROM banded x JOIN banded y
+                 ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+      scored AS (
+        SELECT c.vec_a, c.vec_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     4) AS cosine
+        FROM cand c
+        JOIN e a ON a.vec_id = c.vec_a
+        JOIN e b ON b.vec_id = c.vec_b),
+      epairs AS (SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.40)"""
 
   /** One IVF centroid as a DuckDB DOUBLE[] literal. The artifact stores
     * floats; their exact doubles are rendered (Scala's shortest-round-trip
@@ -737,32 +760,31 @@ object SparkEntry {
 
     // Mirrors the LSH-banded embeddingNearDupPairs EXACTLY: the same
     // md5-derived hyperplane family (Similarity.planeCoef) is embedded
-    // below as double literals (the q27-minhash technique), so both
-    // engines compute the identical 32-bit sign sketch, the identical
-    // 8×4-bit band buckets, and therefore the identical candidate set —
-    // recall < 1 is part of the operator's semantics, not oracle slack.
-    "q43_embedding_dedup" -> {
-      s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      sk AS (SELECT vec_id,
-        ${hyperplaneSketchSql(32)}
-        AS sketch FROM e),
-      banded AS (
-        ${bandArmsSql(8, 4)}),
-      cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-               FROM banded x JOIN banded y
-                 ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
-      scored AS (
-        SELECT c.vec_a, c.vec_b,
-               round(list_dot_product(a.v, b.v) /
-                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                     4) AS cosine
-        FROM cand c
-        JOIN e a ON a.vec_id = c.vec_a
-        JOIN e b ON b.vec_id = c.vec_b)
-      SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.40
-      ORDER BY vec_a, vec_b"""
-    },
+    // in embPairsCtes as double literals (the q27-minhash technique), so
+    // both engines compute the identical 32-bit sign sketch, the
+    // identical 8×4-bit band buckets, and therefore the identical
+    // candidate set — recall < 1 is part of the operator's semantics,
+    // not oracle slack. Shared by q43 and q70 (the cluster oracle must
+    // recompute the SAME edge set).
+    "q43_embedding_dedup" -> s"""
+      WITH $embPairsCtes
+      SELECT vec_a, vec_b, cosine FROM epairs
+      ORDER BY vec_a, vec_b""",
+
+    // q70: q43's pair CTEs verbatim + the q51 recursive-CC pattern over
+    // them, singleton-completed against the embeddings table.
+    "q70_embedding_clusters" -> s"""
+      WITH RECURSIVE $embPairsCtes,
+      eedges AS (SELECT vec_a AS s, vec_b AS t FROM epairs
+                 UNION ALL SELECT vec_b AS s, vec_a AS t FROM epairs),
+      reach(vec_id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT g.s, re.r FROM eedges g JOIN reach re ON re.vec_id = g.t),
+      lab AS (SELECT vec_id, min(r) AS keeper_id FROM reach GROUP BY vec_id)
+      SELECT vec_id, keeper_id,
+             CAST(count(*) OVER (PARTITION BY keeper_id) AS BIGINT) AS cluster_size
+      FROM lab ORDER BY vec_id""",
 
     "q44_split_audit" -> """
       WITH d AS (

@@ -412,7 +412,19 @@ object Dedup {
     * more bits per band. */
   def embeddingNearDupPairs(s: SparkSession, dir: String,
                             threshold: Double = 0.40, bits: Int = 32,
-                            bands: Int = 8, dim: Int = 64): DataFrame = {
+                            bands: Int = 8, dim: Int = 64): DataFrame =
+    // cache-before-sort: same re-execution trap as q26's oracle sort
+    // (broadcast rescore tail, nothing materialized for the sampler)
+    Caches.track(
+        embeddingNearDupPairsRaw(s, dir, threshold, bits, bands, dim))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** [[embeddingNearDupPairs]] WITHOUT the final oracle sort — the entry
+    * for consumers that only aggregate the pairs (cluster labeling). */
+  private[graft] def embeddingNearDupPairsRaw(
+      s: SparkSession, dir: String,
+      threshold: Double = 0.40, bits: Int = 32,
+      bands: Int = 8, dim: Int = 64): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     graft.plans.FloatVectorExprs.register(s)
     import graft.functions.VectorFunctions.dotNative
@@ -445,8 +457,26 @@ object Dedup {
         round(dotNative(col("va"), col("vb")) / (col("_na") * col("_nb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** q70 — embedding dedup CLUSTER assignment: connected components over
+    * the semantic near-dup pair graph (edges = [[embeddingNearDupPairs]],
+    * q43), one row per vector with its component keeper (min vec_id) and
+    * cluster size — q51's transitive collapse applied to the embedding
+    * modality. Pairs alone don't dedup re-worded copies: A≈B≈C chains
+    * must yield ONE keeper even when cos(A,C) falls below the threshold,
+    * which is exactly the cluster semantics ([[connectedComponents]] for
+    * the algorithm and its scale story; same bounded-local / distributed
+    * pointer-jumping machinery as the lexical clusters). */
+  def embeddingDedupClusters(s: SparkSession, dir: String,
+                             threshold: Double = 0.40,
+                             maxIter: Int = 50): DataFrame =
+    clusterLabels(
+      embeddingNearDupPairsRaw(s, dir, threshold)
+        .select(col("vec_a"), col("vec_b")),
+      Tables(s, dir, "embeddings").select(col("vec_id").as("doc_id")),
+      maxIter)
+      .select(col("doc_id").as("vec_id"), col("keeper_id"), col("cluster_size"))
 
   /** Exact O(n²) variant of [[embeddingNearDupPairs]] — the recall
     * baseline for specs ONLY; never wire this into a shipped query (the

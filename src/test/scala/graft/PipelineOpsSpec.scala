@@ -637,6 +637,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("embedding clusters: pairs collapse transitively, singletons keep themselves") {
+    import org.apache.spark.sql.functions._
+    val pairs = operators.Dedup.embeddingNearDupPairs(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lab = operators.Dedup.embeddingDedupClusters(spark, sf)
+    val keeper = lab.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pairs.nonEmpty, "testdata should contain planted embedding near-dups")
+    // every near-dup pair lands in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(keeper(a)._1 == keeper(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // keeper is the member minimum; size equals the member count
+    keeper.groupBy(_._2._1).foreach { case (k, members) =>
+      assert(members.keys.min == k, s"cluster $k keeper isn't its min member")
+      members.foreach { case (_, (_, sz)) =>
+        assert(sz == members.size, s"cluster $k size drift")
+      }
+    }
+    // vectors in no pair are singletons of themselves
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    keeper.filterNot(kv => inPairs(kv._1)).foreach { case (v, (k, sz)) =>
+      assert(k == v && sz == 1L, s"singleton $v mislabeled ($k, $sz)")
+    }
+    operators.Caches.release()
+    spark.catalog.clearCache()
+  }
+
   test("text HOF builders accept computed column arguments") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._
