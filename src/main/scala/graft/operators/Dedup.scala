@@ -807,6 +807,18 @@ object Dedup {
   private[graft] def classifyNew(batch: DataFrame, corpus: DataFrame,
                                  k: Int = 12, bands: Int = 4,
                                  estThreshold: Double = 0.5): DataFrame =
+    // cache-before-sort: the verdict frame is batch-sized and its sort
+    // would otherwise re-execute the tier joins during range sampling.
+    // The STREAMING twin must use [[classifyNewRaw]]: a tracked cache
+    // per micro-batch would accumulate across an unbounded stream.
+    Caches.track(classifyNewRaw(batch, corpus, k, bands, estThreshold))
+      .orderBy(col("doc_id"))
+
+  /** [[classifyNew]] without the oracle sort or the cache — the
+    * per-micro-batch entry (verdicts are order-free rows to a sink). */
+  private[graft] def classifyNewRaw(batch: DataFrame, corpus: DataFrame,
+                                    k: Int = 12, bands: Int = 4,
+                                    estThreshold: Double = 0.5): DataFrame =
     batch.select(col("doc_id"))
       .join(exactTier(batch, corpus), Seq("doc_id"), "left")
       .join(nearTier(batch, corpus, k, bands, estThreshold), Seq("doc_id"), "left")
@@ -815,7 +827,6 @@ object Dedup {
           .when(col("near_id").isNotNull, "near")
           .otherwise("new").as("status"),
         coalesce(col("exact_id"), col("near_id")).as("match_id"))
-      .orderBy(col("doc_id"))
 
   /** Exact tier: content-hash equi join, batch side small → broadcast.
     * (doc_id, exact_id = min matching corpus doc_id). */
@@ -904,7 +915,8 @@ object Dedup {
                                   cosThreshold: Double = 0.40,
                                   bits: Int = 32,
                                   embBands: Int = 8): DataFrame =
-    batch.select(col("doc_id"))
+    // cache-before-sort, as in classifyNew
+    Caches.track(batch.select(col("doc_id"))
       .join(exactTier(batch, corpus), Seq("doc_id"), "left")
       .join(nearTier(batch, corpus, k, bands, estThreshold), Seq("doc_id"), "left")
       .join(embeddingTier(batchEmb, corpusEmb, cosThreshold, bits, embBands),
@@ -914,7 +926,7 @@ object Dedup {
           .when(col("near_id").isNotNull, "near")
           .when(col("emb_id").isNotNull, "near_embedding")
           .otherwise("new").as("status"),
-        coalesce(col("exact_id"), col("near_id"), col("emb_id")).as("match_id"))
+        coalesce(col("exact_id"), col("near_id"), col("emb_id")).as("match_id")))
       .orderBy(col("doc_id"))
 
   /** q68 — three-tier INCREMENTAL dedup: q65's exact + MinHash tiers

@@ -77,7 +77,7 @@ object IncrementalDedup {
     newDocs.writeStream
       .outputMode("append")
       .foreachBatch { (microBatch: DataFrame, batchId: Long) =>
-        sink(Dedup.classifyNew(
+        sink(Dedup.classifyNewRaw(
           Dedup.hashSigProjection(microBatch, k),
           corpusIndex, k, bands, estThreshold), batchId)
       }
