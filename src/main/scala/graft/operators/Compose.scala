@@ -47,7 +47,7 @@ object Compose {
                           threshold: Double = 0.5,
                           maxDocFreq: Long = 100): DataFrame =
     Packing.packSequencesCounts(
-      survivorsTokFor(documents, threshold, maxDocFreq)
+      survivorsTokFor(documents, threshold, maxDocFreq, keepText = false)
         .select(col("doc_id"), size(col("_t")).cast("long").as("_nt")),
       budget)
 
@@ -92,7 +92,8 @@ object Compose {
 
   private def survivorsTokFor(documents: DataFrame,
                               threshold: Double = 0.5,
-                              maxDocFreq: Long = 100): DataFrame = {
+                              maxDocFreq: Long = 100,
+                              keepText: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = documents
       .select(col("doc_id"), col("text"),
@@ -112,7 +113,11 @@ object Compose {
           col("doc_id") === min(col("doc_id"))
             .over(Window.partitionBy(md5(col("text")))))
         .filter(col("_keep"))
-        .select(col("doc_id"), col("text"), col("_t")))
+        // text is dead weight in the cache when only packing consumes the
+        // survivors (qualityDedupPackFor reads token COUNTS); survivors()
+        // keeps it for the cleaned-corpus output
+        .select((Seq(col("doc_id")) ++
+          (if (keepText) Seq(col("text")) else Nil) :+ col("_t")): _*))
     // stage 3 — near-dup cluster dedup: q51's component labeling over the
     // SURVIVOR corpus (pre-tokenized entry — no re-split), consumed as a
     // DROP set: a doc is removed iff it sits in the pair subgraph with a
