@@ -116,12 +116,22 @@ object Dedup {
   def ngramJaccardPairsCappedTok(docToks: DataFrame,
                                  threshold: Double = 0.5,
                                  maxDocFreq: Long = 100): DataFrame =
-    // cache the (tiny — candidate-pruned) pair set BEFORE the oracle
-    // sort: the range partitioner's sampling pass otherwise re-executes
-    // the candidate+rescore subtree a second time (measured 3.8x the
-    // pipeline's own cost at the 10x soak scale)
-    Caches.track(ngramJaccardPairsCappedTokRaw(docToks, threshold, maxDocFreq))
+    // The sort's range-sampling pass re-executes only the (cache-fed,
+    // candidate-pruned) tail, which measures CHEAPER at bench scale than
+    // materializing an extra cache (~1s of cold codegen per fresh
+    // session); order-insensitive consumers (clusters, compose, q67,
+    // streaming) enter the Raw form and skip the sort entirely.
+    ngramJaccardPairsCappedTokRaw(docToks, threshold, maxDocFreq)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Dir-level unsorted capped pairs — for order-insensitive consumers
+    * of the driver table (q67's cross-modal rescore). */
+  private[graft] def ngramJaccardPairsCappedRaw(
+      s: SparkSession, dir: String,
+      threshold: Double = 0.5, maxDocFreq: Long = 100): DataFrame =
+    ngramJaccardPairsCappedTokRaw(
+      docsSpread(s, dir).select(col("doc_id"), tokens(col("text")).as("t")),
+      threshold, maxDocFreq)
 
   /** [[ngramJaccardPairsCappedTok]] WITHOUT the final global sort. The
     * sort exists for q26's oracle-ordered output; consumers that only
@@ -413,10 +423,9 @@ object Dedup {
   def embeddingNearDupPairs(s: SparkSession, dir: String,
                             threshold: Double = 0.40, bits: Int = 32,
                             bands: Int = 8, dim: Int = 64): DataFrame =
-    // cache-before-sort: same re-execution trap as q26's oracle sort
-    // (broadcast rescore tail, nothing materialized for the sampler)
-    Caches.track(
-        embeddingNearDupPairsRaw(s, dir, threshold, bits, bands, dim))
+    // sort-last, cache-free: the sampling re-execution reads the banded
+    // cache; cluster consumers (q70) enter the Raw form
+    embeddingNearDupPairsRaw(s, dir, threshold, bits, bands, dim)
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** [[embeddingNearDupPairs]] WITHOUT the final oracle sort — the entry
@@ -807,11 +816,10 @@ object Dedup {
   private[graft] def classifyNew(batch: DataFrame, corpus: DataFrame,
                                  k: Int = 12, bands: Int = 4,
                                  estThreshold: Double = 0.5): DataFrame =
-    // cache-before-sort: the verdict frame is batch-sized and its sort
-    // would otherwise re-execute the tier joins during range sampling.
-    // The STREAMING twin must use [[classifyNewRaw]]: a tracked cache
-    // per micro-batch would accumulate across an unbounded stream.
-    Caches.track(classifyNewRaw(batch, corpus, k, bands, estThreshold))
+    // sort-last, cache-free (the tier joins re-read the callers' cached
+    // projections under sampling); the STREAMING twin uses
+    // [[classifyNewRaw]] — its sink needs no order at all.
+    classifyNewRaw(batch, corpus, k, bands, estThreshold)
       .orderBy(col("doc_id"))
 
   /** [[classifyNew]] without the oracle sort or the cache — the
@@ -915,8 +923,7 @@ object Dedup {
                                   cosThreshold: Double = 0.40,
                                   bits: Int = 32,
                                   embBands: Int = 8): DataFrame =
-    // cache-before-sort, as in classifyNew
-    Caches.track(batch.select(col("doc_id"))
+    batch.select(col("doc_id"))
       .join(exactTier(batch, corpus), Seq("doc_id"), "left")
       .join(nearTier(batch, corpus, k, bands, estThreshold), Seq("doc_id"), "left")
       .join(embeddingTier(batchEmb, corpusEmb, cosThreshold, bits, embBands),
@@ -926,7 +933,7 @@ object Dedup {
           .when(col("near_id").isNotNull, "near")
           .when(col("emb_id").isNotNull, "near_embedding")
           .otherwise("new").as("status"),
-        coalesce(col("exact_id"), col("near_id"), col("emb_id")).as("match_id")))
+        coalesce(col("exact_id"), col("near_id"), col("emb_id")).as("match_id"))
       .orderBy(col("doc_id"))
 
   /** q68 — three-tier INCREMENTAL dedup: q65's exact + MinHash tiers

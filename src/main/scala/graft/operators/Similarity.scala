@@ -381,20 +381,18 @@ object Similarity {
                       threshold: Double = 0.5,
                       maxDocFreq: Long = 100): DataFrame = {
     val pairs = graft.operators.Dedup
-      .ngramJaccardPairsCapped(s, dir, threshold, maxDocFreq)
+      .ngramJaccardPairsCappedRaw(s, dir, threshold, maxDocFreq)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     val dot = expr(
       "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), 0d, (a, b) -> a + b)")
     def norm(c: String) = sqrt(expr(
       s"aggregate($c, 0d, (a, x) -> a + cast(x as double) * cast(x as double))"))
-    // cache-before-sort: pair-set-sized, and the sort's sampling pass
-    // would otherwise re-run both embedding lookups
-    graft.operators.Caches.track(pairs
+    pairs
       .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
       .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
       .withColumn("emb_cos", dot / greatest(norm("ea") * norm("eb"), lit(1e-30)))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("emb_cos")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("emb_cos"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }
