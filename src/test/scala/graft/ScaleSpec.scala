@@ -237,7 +237,10 @@ class ScaleSpec extends AnyFunSuite {
     // q57's range join belongs here too: the bucket grid must make it an
     // EQUI-join (inequality only in the post-join filter) — a BNLJ would
     // mean the grid key fell out of the join condition
-    Seq("q26_ngram_jaccard", "q43_embedding_dedup", "q57_range_join")
+    // q69's prefix/size/hash-prune stages and q70's cluster tail must
+    // stay equi-keyed for the same reason
+    Seq("q26_ngram_jaccard", "q43_embedding_dedup", "q57_range_join",
+        "q69_prefix_join", "q70_embedding_clusters")
       .foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
