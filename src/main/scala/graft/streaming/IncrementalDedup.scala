@@ -16,8 +16,9 @@ import graft.operators.Dedup
   * each document's verdict depends only on (document, index), never on
   * other stream rows, so there is no watermark, no keyed state, and no
   * late-data semantics to reason about. `foreachBatch` runs the SAME
-  * classifier the batch query uses ([[Dedup.classifyNew]], shared
-  * verbatim) on each micro-batch against the cached index. Chunking is
+  * classifier the batch query uses ([[Dedup.classifyNewRaw]] — the
+  * batch entry is the same joins plus an oracle sort the sink doesn't
+  * need) on each micro-batch against the cached index. Chunking is
   * therefore exact by construction: replaying the batch input in any
   * number of micro-batches yields precisely the batch verdict set (the
   * duality spec proves it end-to-end).
