@@ -311,16 +311,22 @@ object Dedup {
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("_df"), col("gram"))
     // cached: BOTH sides of the candidate self-join read it, and only the
     // exchange (not the window computation above it) is reused otherwise
+    // The 1e-9 nudges guard sub-ulp float error in t·|x| for thresholds
+    // that aren't exactly representable (0.5 is; 0.3 isn't): both shift
+    // in the CONSERVATIVE direction — a longer prefix / looser size
+    // filter only ADDS candidates, which the exact rescore discards;
+    // the other direction could silently drop a boundary-true pair.
     val prefix = Caches.track(g.join(dfreq, Seq("gh")) // reuses the groupBy exchange
       .withColumn("_rk", row_number().over(wRank))
-      .filter(col("_rk") <= col("_ng") - ceil(lit(threshold) * col("_ng")) + 1)
+      .filter(col("_rk") <=
+        col("_ng") - ceil(lit(threshold) * col("_ng") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("_ng"), col("gh")))
     prefix.select(col("doc_id").as("doc_a"), col("_ng").as("_na"), col("gh"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("_ng").as("_nb"), col("gh")),
         Seq("gh"))
       .filter(col("doc_a") < col("doc_b") &&
-        col("_nb") >= lit(threshold) * col("_na") &&
-        col("_na") >= lit(threshold) * col("_nb"))
+        col("_nb") >= lit(threshold) * col("_na") - lit(1e-9) &&
+        col("_na") >= lit(threshold) * col("_nb") - lit(1e-9))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 

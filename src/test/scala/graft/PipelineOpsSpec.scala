@@ -625,6 +625,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exact.exceptAll(prefix).isEmpty && prefix.exceptAll(exact).isEmpty,
       "prefix join must be lossless vs the brute exact join")
     assert(prefix.count() > 0, "testdata should contain planted near-dups")
+    // and at a threshold whose t·|x| products are NOT exactly
+    // representable (0.3) — exercises the conservative fp nudges in the
+    // prefix-length and size filters
+    val exact3 = operators.Dedup.ngramJaccardPairs(spark, sf, threshold = 0.3)
+    val prefix3 = operators.Dedup.ngramJaccardPairsPrefix(spark, sf, threshold = 0.3)
+    assert(exact3.exceptAll(prefix3).isEmpty && prefix3.exceptAll(exact3).isEmpty,
+      "prefix join must stay lossless at a non-representable threshold")
     operators.Caches.release()
     spark.catalog.clearCache()
     // and it must actually prune: prefix-candidate volume strictly below
