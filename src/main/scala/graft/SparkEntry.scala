@@ -512,8 +512,10 @@ object SparkEntry {
       ORDER BY doc_a, doc_b""",
 
     // q69: the EXACT (uncapped) similarity join. The engine prunes
-    // candidates with the AllPairs prefix filter, which is provably
-    // lossless — so the oracle just computes the exact result the
+    // candidates with the AllPairs prefix filter, which is lossless by
+    // theorem (modulo ~2⁻⁶⁴ shared-gram hash collisions in the hash-set
+    // pre-prune — see Dedup.ngramJaccardPairsPrefixFor's collision
+    // caveat) — so the oracle just computes the exact result the
     // straightforward way (any-shared-gram candidates + exact jaccard);
     // no need to mirror the prefix mechanics.
     "q69_prefix_join" -> """

@@ -274,12 +274,22 @@ object Dedup {
     // the capped pipeline's post-prune set (~300k vs hundreds at sf0.1),
     // and joining every candidate against two ~2.5 KB gram-STRING arrays
     // was the measured wall-clock hotspot. Intersecting 8-byte hash SETS
-    // first is ~5x cheaper per pair and upper-bounds the true jaccard —
-    // a collision can only INFLATE the intersection (and array_distinct
-    // keeps per-doc sizes consistent with set semantics), so filtering
-    // on hash-jaccard >= t keeps every true pair. Survivors (≈ the true
-    // result set) then pay the string-exact rescore, whose scores are
-    // what the oracle sees.
+    // first is ~5x cheaper per pair, and for COLLISION-FREE hash
+    // restrictions it upper-bounds the true jaccard (a cross-side
+    // collision — a gram of A∖B colliding with one of B∖A — can only
+    // INFLATE the intersection, and array_distinct keeps per-doc sizes
+    // consistent with set semantics), so filtering on hash-jaccard >= t
+    // keeps every true pair. COLLISION CAVEAT (the one way this filter
+    // is not strictly lossless): if two grams BOTH IN A∩B collide, the
+    // hashed intersection shrinks faster than the hashed union and
+    // hash-jaccard can fall BELOW the true jaccard (A={a,b,c},
+    // B={a,b,d}, h(a)=h(b): true J=0.5, hash J=1/3), so a
+    // boundary-true pair could be dropped. Probability ≈ 2⁻⁶⁴ per
+    // shared-gram pair — negligible below ~4×10⁹ distinct grams per
+    // doc pair universe; for strict losslessness at that scale widen
+    // the pre-prune key to 128 bits (md5 prefix pair) at ~2× cost.
+    // Survivors (≈ the true result set) then pay the string-exact
+    // rescore, whose scores are what the oracle sees.
     val docGramsH = Caches.track(docGrams.select(col("doc_id"),
       array_distinct(transform(col("grams"), g => xxhash64(g))).as("ghs")))
     val pruned = prefixCandidates(docGrams, threshold)

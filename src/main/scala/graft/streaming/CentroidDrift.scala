@@ -106,10 +106,23 @@ object CentroidDrift {
     * by |labels| × dim doubles BY CONSTRUCTION, the same cardinality the
     * windowed aggregate itself keeps per open window. Collecting it each
     * batch also cuts the lineage chain a cached-frame formulation would
-    * grow without bound across micro-batches. */
+    * grow without bound across micro-batches.
+    *
+    * DURABILITY: with `stateDir = None` the chaining state lives only in
+    * this driver — on query RESTART it resets to empty, so a drift spike
+    * whose window pair spans the restart is silently never alerted (the
+    * first post-restart window has nothing to chain against). Pass a
+    * `stateDir` to close that gap: after each micro-batch the (tiny)
+    * per-label state is persisted as `state_<batchId>.parquet`, and a
+    * restarted query reloads the newest state snapshot STRICTLY OLDER
+    * than the batch it replays — so a batch re-run after a mid-commit
+    * crash chains against the same pre-batch state it saw the first time
+    * (idempotent by construction, like the checkpointed sums feeding
+    * it). Snapshots older than the reloaded one are pruned on load. */
   def startAlerts(sums: DataFrame, minCos: Double,
-                  sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    var stateRows: Array[Row] = Array.empty
+                  sink: (DataFrame, Long) => Unit,
+                  stateDir: Option[String] = None): StreamingQuery = {
+    var stateRows: Option[Array[Row]] = None // None = not yet loaded
     var stateSchema: StructType = null
     sums.writeStream
       .outputMode("append")
@@ -118,12 +131,57 @@ object CentroidDrift {
         val cents = assemble(batch)
           .select(col("label"), col("win_start"), col("centroid"))
         if (stateSchema == null) stateSchema = cents.schema
+        if (stateRows.isEmpty)
+          stateRows = Some(stateDir
+            .map(d => loadState(spark, d, beforeBatchId = batchId, stateSchema))
+            .getOrElse(Array.empty[Row]))
         val stateDF = spark.createDataFrame(
-          java.util.Arrays.asList(stateRows: _*), stateSchema)
+          java.util.Arrays.asList(stateRows.get: _*), stateSchema)
         val (alerts, next) = alertsAndState(cents, stateDF, minCos)
         sink(alerts, batchId)
-        stateRows = next.collect()
+        val nextRows = next.collect()
+        stateDir.foreach(d => saveState(spark, d, batchId, nextRows, stateSchema))
+        stateRows = Some(nextRows)
       }
       .start()
+  }
+
+  private def statePath(dir: String, batchId: Long) =
+    s"$dir/state_$batchId.parquet"
+
+  /** Persist one batch's chaining state. Overwrite mode: a replayed
+    * batch rewrites the same deterministic snapshot. */
+  private[graft] def saveState(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, batchId: Long,
+                               rows: Array[Row], schema: StructType): Unit =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(statePath(dir, batchId))
+
+  /** Load the newest persisted state with batchId < `beforeBatchId`
+    * (empty when none exists) and prune older snapshots — only the
+    * snapshot a replay could still need is kept. */
+  private[graft] def loadState(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, beforeBatchId: Long,
+                               schema: StructType): Array[Row] = {
+    val d = new java.io.File(dir)
+    val snaps = Option(d.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        f.getName match {
+          case s if s.startsWith("state_") && s.endsWith(".parquet") =>
+            s.stripPrefix("state_").stripSuffix(".parquet").toLongOption
+              .filter(_ < beforeBatchId).map(id => (id, f))
+          case _ => None
+        }
+      }.sortBy(_._1)
+    if (snaps.isEmpty) Array.empty
+    else {
+      snaps.dropRight(1).foreach { case (_, f) =>
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+      }
+      // re-project to the caller's schema order: parquet round-trips
+      // columns by name
+      spark.read.parquet(snaps.last._2.getPath)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*).collect()
+    }
   }
 }

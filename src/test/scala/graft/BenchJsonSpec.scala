@@ -96,7 +96,11 @@ class BenchJsonSpec extends AnyFunSuite {
   }
 
   test("compact line is <2KB-scale, parseable, and driver-contract complete") {
-    val line = Bench.renderCompactJson(Seq(clean, dirty, failed), 3, "/sf")
+    // query names collapse to their unique qNN prefix in the compact
+    // line — full names live in the full line / bench_full.json
+    val line = Bench.renderCompactJson(
+      Seq(clean.copy(name = "q01_pricing"), dirty.copy(name = "q42_sess"),
+        failed.copy(name = "q99_x")), 3, "/sf")
     assert(!line.contains("\n"))
     val j = JsonMethods.parse(line)
     assert((j \ "metric") === JString("total"))
@@ -113,6 +117,10 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(math.abs(total - (0.50 + 0.72)) < 5e-4) // 3dp rounding
     val JArray(sus) = (j \ "suspect"): @unchecked
     assert(sus === List(JString("q42")))
+    // the headline total is the LAST field: even a front-truncated tail
+    // window keeps it (the round-8 failure sliced the leading "value")
+    assert(line.indexOf("\"value\":") > line.indexOf("\"queries\":"))
+    assert(line.endsWith("}"))
     // no per-rep/gc/load blocks: those live in the full line only — the
     // compact line's reason to exist is fitting a 2000-char stdout tail
     assert((j \ "queries_reps") === JNothing)
@@ -120,17 +128,71 @@ class BenchJsonSpec extends AnyFunSuite {
     assert((j \ "load_before") === JNothing)
   }
 
-  test("compact line for the REAL query set fits a 2000-char stdout tail") {
-    // the whole point of the compact line is surviving the driver's stdout
-    // tail — pin it against the actual declared query names with
-    // pessimistic two-digit-seconds medians (worst realistic width)
+  test("short compact keys must be unique (a qNN collision fails loudly)") {
+    val a = Bench.QueryTimes("q05_one", Vector(0.1))
+    val b = Bench.QueryTimes("q05_two", Vector(0.2))
+    assertThrows[IllegalArgumentException] {
+      Bench.renderCompactJson(Seq(a, b), 1, "/sf")
+    }
+  }
+
+  test("compact line + tail padding survive the driver's 2000-char stdout tail") {
+    // pin it against the actual declared query names with pessimistic
+    // two-digit-seconds medians (worst realistic width), every query
+    // suspect AND retried (worst-case list widths)
     val real = SparkEntry.queries.keys.toSeq.sorted.map(n =>
-      Bench.QueryTimes(n, Vector(88.888888, 88.9, 88.85)))
+      Bench.QueryTimes(n, Vector(88.888888, 188.9, 88.85), retried = 2))
     val line = Bench.renderCompactJson(real, 3, "/root/testdata/sf0.1")
     assert(line.length < 1900, s"compact line is ${line.length} chars")
     val j = JsonMethods.parse(line)
     val JObject(fields) = (j \ "queries"): @unchecked
     assert(fields.size === SparkEntry.queries.size)
+    // simulate the driver: stdout = full line + padding + compact line,
+    // tail = last 2000 chars. The tail must parse AS A WHOLE (leading
+    // whitespace is valid JSON trivia) and contain the headline value.
+    val full = Bench.renderJson(real, 3, "/root/testdata/sf0.1", "1 1 1", "1 1 1")
+    val stdout = full + "\n" + Bench.TailPad + line + "\n"
+    val tail = stdout.takeRight(2000)
+    val jt = JsonMethods.parse(tail)
+    assert((jt \ "metric") === JString("total"))
+    assert((jt \ "value") !== JNothing)
+    val JObject(tailQs) = (jt \ "queries"): @unchecked
+    assert(tailQs.size === SparkEntry.queries.size)
+  }
+
+  test("loadContended matches the external-load signature, not GC or clean runs") {
+    // round-8 committed q28: 21.6/13.5/0.88 s with GC 0/241/0 ms — the
+    // contended-box shape the adaptive re-rep exists for
+    assert(Bench.loadContended(Vector(21.6, 13.5, 0.88), Vector(0L, 241L, 0L)))
+    // clean reps: no
+    assert(!Bench.loadContended(Vector(0.50, 0.52, 0.48), Vector(5L, 3L, 4L)))
+    // one slow rep but the median is fine: no (median robustness already
+    // absorbs a single outlier — no extra reps needed)
+    assert(!Bench.loadContended(Vector(0.5, 11.4, 0.52), Vector(0L, 10L, 0L)))
+    // slow reps fully billed to GC: a real collector pause, not load
+    assert(!Bench.loadContended(Vector(0.9, 12.1, 12.3), Vector(40L, 11200L, 11400L)))
+    // failed reps never trigger re-reps; surviving reps are judged on
+    // their own (2-rep median = the lower one → not contended here)
+    assert(!Bench.loadContended(Vector(-1.0, -1.0, -1.0), Vector(0L, 0L, 0L)))
+    assert(!Bench.loadContended(Vector(0.5, -1.0, 9.9), Vector(0L, 0L, 0L)))
+  }
+
+  test("retried queries are listed in both artifact lines") {
+    val r = Bench.QueryTimes("q28_simhash", Vector(21.6, 13.5, 0.88, 0.6, 0.59),
+      Vector(0L, 241L, 0L, 1L, 0L), retried = 2)
+    val j = parsed(Seq(r))
+    val JArray(ret) = (j \ "retried"): @unchecked
+    assert(ret === List(JString("q28_simhash")))
+    // median over ALL reps incl. the extras: 0.88 (the engine's number)
+    val JDouble(med) = (j \ "queries" \ "q28_simhash"): @unchecked
+    assert(med === 0.88)
+    val jc = JsonMethods.parse(Bench.renderCompactJson(Seq(r), 3, "/sf"))
+    val JArray(retC) = (jc \ "retried"): @unchecked
+    assert(retC === List(JString("q28")))
+    // the spread still flags it suspect — retrying repairs the median,
+    // not the evidence that the box was dirty
+    val JArray(susC) = (jc \ "suspect"): @unchecked
+    assert(susC === List(JString("q28")))
   }
 
   test("gcMillis() is non-negative and non-decreasing under allocation") {

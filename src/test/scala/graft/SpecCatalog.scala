@@ -19,19 +19,26 @@ import scala.jdk.CollectionConverters._
   */
 object SpecCatalog {
 
-  private val testClassesDir = Paths.get("target/scala-2.13/test-classes")
+  /** The compiled test-classes root, derived from THIS class's own code
+    * location (not a hard-coded `target/scala-2.13/...` path, which
+    * would silently break the spec-count pin on a Scala version bump). */
+  private val testClassesDir: Path =
+    Paths.get(SpecCatalog.getClass.getProtectionDomain
+      .getCodeSource.getLocation.toURI)
 
   /** All top-level graft.*Spec suites on the compiled test classpath,
     * instantiated (cheap: construction only registers tests). */
   def discoverSuites(): Seq[org.scalatest.Suite] = {
-    val names = Files.walk(testClassesDir).iterator().asScala
-      .filter(p => p.toString.endsWith(".class") && !p.toString.contains("$"))
-      .map { p: Path =>
-        testClassesDir.relativize(p).toString
-          .stripSuffix(".class").replace(java.io.File.separatorChar, '.')
-      }
-      .filter(_.matches("graft\\.[A-Za-z0-9]*Spec"))
-      .toSeq.sorted
+    val names = scala.util.Using.resource(Files.walk(testClassesDir)) { walk =>
+      walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".class") && !p.toString.contains("$"))
+        .map { p: Path =>
+          testClassesDir.relativize(p).toString
+            .stripSuffix(".class").replace(java.io.File.separatorChar, '.')
+        }
+        .filter(_.matches("graft\\.[A-Za-z0-9]*Spec"))
+        .toSeq.sorted
+    }
     names.flatMap { n =>
       val cls = Class.forName(n)
       if (classOf[org.scalatest.Suite].isAssignableFrom(cls)

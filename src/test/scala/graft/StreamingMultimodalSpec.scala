@@ -339,6 +339,41 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(alerts2.count() == 1)
   }
 
+  test("drift alerter state survives a restart via the persisted snapshots") {
+    import graft.streaming.CentroidDrift
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_state").toString
+    val t0 = 1700002800L
+    def ts(h: Int) = new java.sql.Timestamp((t0 + h * 3600L) * 1000L)
+    val w0 = Seq((1, ts(0), Seq(1.0, 0.0))).toDF("label", "win_start", "centroid")
+    val schema = w0.schema
+    // "session 1": batch 0 closes window w0; its chaining state persists
+    val (_, s0) = CentroidDrift.alertsAndState(w0,
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
+      minCos = 0.5)
+    CentroidDrift.saveState(spark, dir, 0L, s0.collect(), schema)
+    // "session 2" (driver restarted — in-memory state gone): the replayed
+    // query's first batch is id 1; loading snapshots < 1 recovers w0, so
+    // the boundary-spanning flip w0→w1 still alerts
+    val recovered = CentroidDrift.loadState(spark, dir, beforeBatchId = 1L, schema)
+    assert(recovered.length == 1 && recovered.head.getTimestamp(1) == ts(0))
+    val w1 = Seq((1, ts(1), Seq(-1.0, 0.0))).toDF("label", "win_start", "centroid")
+    val (alerts, s1) = CentroidDrift.alertsAndState(w1,
+      spark.createDataFrame(java.util.Arrays.asList(recovered: _*), schema),
+      minCos = 0.5)
+    assert(alerts.count() == 1, "the restart-spanning window pair must alert")
+    CentroidDrift.saveState(spark, dir, 1L, s1.collect(), schema)
+    // crash-replay idempotence: batch 1 re-runs after its state was
+    // already written — the load looks STRICTLY BEFORE the replayed id,
+    // so it chains against s0 again, not against its own output
+    val replayed = CentroidDrift.loadState(spark, dir, beforeBatchId = 1L, schema)
+    assert(replayed.length == 1 && replayed.head.getTimestamp(1) == ts(0))
+    // and pruning keeps only the newest still-needed snapshot
+    val afterB2 = CentroidDrift.loadState(spark, dir, beforeBatchId = 2L, schema)
+    assert(afterB2.length == 1 && afterB2.head.getTimestamp(1) == ts(1))
+    assert(!new java.io.File(s"$dir/state_0.parquet").exists(),
+      "older snapshots must be pruned on load")
+  }
+
   test("streaming drift alert: injected spike fires exactly one alert") {
     import graft.streaming.CentroidDrift
     val dir = java.nio.file.Files.createTempDirectory("graft_drift_alert").toString
