@@ -90,6 +90,7 @@ object SparkEntry {
     "q68_incremental_dedup3" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup3(s, d)),
     "q69_prefix_join"       -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairsPrefix(s, d)),
     "q70_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingDedupClusters(s, d)),
+    "q71_url_dedup"         -> Dedup.urlNormalizedDedup _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -501,6 +502,76 @@ object SparkEntry {
     "q25_exact_dedup" -> """
       SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY text_hash""",
+
+    // q71: the synthetic-URL fixture rule (md5 hex digits of doc_id →
+    // cosmetic variants; see Dedup.syntheticUrl) and the normalization
+    // (fragment/case/www/default-port/trailing-slash/param-sort/utm
+    // strip; TextFunctions.normalizeUrl) both mirrored step-for-step.
+    // DuckDB regexp_replace is first-match-only, but every pattern here
+    // is anchored or single-match, so it agrees with Spark's
+    // replace-all semantics.
+    "q71_url_dedup" -> """
+      WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx
+                 FROM documents),
+      v AS (SELECT doc_id, source,
+              CAST('0x' || substr(hx, 1, 1) AS INT) AS v1,
+              CAST('0x' || substr(hx, 2, 1) AS INT) AS v2,
+              CAST('0x' || substr(hx, 3, 1) AS INT) AS v3,
+              CAST('0x' || substr(hx, 4, 1) AS INT) AS v4,
+              CAST('0x' || substr(hx, 5, 1) AS INT) AS v5,
+              CAST('0x' || substr(hx, 6, 1) AS INT) AS v6,
+              CAST('0x' || substr(hx, 7, 1) AS INT) AS v7,
+              CAST('0x' || substr(hx, 8, 1) AS INT) AS v8
+            FROM h),
+      u AS (SELECT doc_id,
+              (['http','HTTP','https','Http'])[v1 % 4 + 1] || '://' ||
+              (['', 'www.', 'WWW.'])[v2 % 3 + 1] ||
+              source || (['.example.com', '.Example.COM'])[v3 % 2 + 1] ||
+              ([':80', '', ':8080'])[v4 % 3 + 1] ||
+              '/a/' || CAST(doc_id % 7 AS VARCHAR) || (['', '/'])[v5 % 2 + 1] ||
+              '?' ||
+              (CASE WHEN v7 % 2 = 0 THEN 'utm_source=feed&' ELSE '' END) ||
+              (CASE WHEN v6 % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END) ||
+              (CASE WHEN v8 % 2 = 0 THEN '' ELSE '#sec' END) AS url
+            FROM v),
+      s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      s2 AS (SELECT doc_id,
+               lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+             FROM s1),
+      s3 AS (SELECT doc_id, scheme,
+               CASE WHEN strpos(rest, '?') > 0
+                    THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END AS authpath,
+               CASE WHEN strpos(rest, '?') > 0
+                    THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS rawq
+             FROM s2),
+      s4 AS (SELECT doc_id, scheme, rawq,
+               lower(split_part(authpath, '/', 1)) AS authlower,
+               substr(authpath, len(split_part(authpath, '/', 1)) + 1) AS path0
+             FROM s3),
+      s5 AS (SELECT doc_id, scheme, rawq, path0,
+               regexp_replace(split_part(authlower, ':', 1), '^www\.', '') AS host,
+               CASE WHEN strpos(authlower, ':') > 0
+                    THEN substr(authlower, strpos(authlower, ':') + 1)
+                    ELSE '' END AS port
+             FROM s4),
+      s6 AS (SELECT doc_id, scheme, host, port,
+               CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(path0, '/+$', '') END AS path,
+               array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+                 p -> len(p) > 0 AND substr(p, 1, 4) <> 'utm_')), '&') AS qnorm
+             FROM s5),
+      n AS (SELECT doc_id,
+              scheme || '://' || host ||
+              (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443'))
+                    THEN ':' || port ELSE '' END) ||
+              path ||
+              (CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END) AS norm_url
+            FROM s6)
+      SELECT norm_url, min(doc_id) AS keeper_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM n GROUP BY 1 ORDER BY norm_url""",
 
     // Mirrors ngramJaccardPairsCapped: shingles appearing in > 100 docs
     // are dropped from CANDIDATE generation only (the `rare`/`cg` CTEs);

@@ -87,4 +87,51 @@ object TextFunctions {
     * reproduce with CAST('0x'||substr(md5(x),1,15) AS BIGINT). */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Crawl-URL canonicalization (q71) — the cheapest first dedup pass a
+    * production crawl runs, BEFORE any content hashing: two fetches of
+    * the same resource usually differ only in URL cosmetics. Rules (all
+    * pure per-row string ops, zero shuffle, whole-stage codegen'd):
+    *   - drop the `#fragment` (never sent to the server);
+    *   - lowercase scheme and host; strip one leading `www.`;
+    *   - strip the scheme's DEFAULT port only (`:80` for http, `:443`
+    *     for https — `:8080`, or `:80` under https, is a real
+    *     distinction and survives);
+    *   - strip trailing slashes from the path (empty path → `/`);
+    *   - split the query on `&`, drop empty and `utm_*` tracking
+    *     params, SORT the rest (param order never changes the
+    *     resource), re-join.
+    * Path case, param case and values are preserved — they ARE
+    * significant. Every step is mirrored expression-for-expression in
+    * the q71 DuckDB oracle. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val authPath = substring_index(rest, "?", 1)
+    val rawQuery = when(instr(rest, "?") > 0,
+      rest.substr(instr(rest, "?") + 1, length(rest))).otherwise(lit(""))
+    val authority = substring_index(authPath, "/", 1)
+    val path0 = authPath.substr(length(authority) + 1, length(authPath))
+    val authLower = lower(authority)
+    val hostRaw = substring_index(authLower, ":", 1)
+    val port = when(instr(authLower, ":") > 0,
+      authLower.substr(instr(authLower, ":") + 1, length(authLower)))
+      .otherwise(lit(""))
+    val host = regexp_replace(hostRaw, "^www\\.", "")
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val pathStripped = regexp_replace(path0, "/+$", "")
+    val path = when(pathStripped === "", "/").otherwise(pathStripped)
+    // substring(p,1,4): exact-prefix test DuckDB mirrors verbatim (LIKE
+    // 'utm_%' would wildcard the underscore)
+    val params = array_sort(filter(split(rawQuery, "&"),
+      p => length(p) > 0 && substring(p, 1, 4) =!= "utm_"))
+    val queryNorm = array_join(params, "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(queryNorm =!= "", concat(lit("?"), queryNorm)).otherwise(lit("")))
+  }
 }

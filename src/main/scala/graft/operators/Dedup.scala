@@ -27,6 +27,58 @@ object Dedup {
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     TextOps.docsHeavy(s, dir)
 
+  /** Deterministic synthetic crawl URL per document — the q71 FIXTURE
+    * rule, not an operator: the driver testdata has no url column, so
+    * the crawl-URL surface is derived from (doc_id, source) via the
+    * portable md5-digit technique the split/sampling family already
+    * uses (q44/q65's hash rules), mirrored digit-for-digit in the
+    * DuckDB oracle. The derivation deliberately sprays every cosmetic
+    * variation [[graft.functions.TextFunctions.normalizeUrl]] must
+    * collapse — scheme/host case, www., default vs real ports,
+    * trailing slash, param order, utm_ tracking params, fragments —
+    * while keeping the underlying resource key (source, doc_id mod 97,
+    * http-vs-https, non-default port) intact. */
+  private[graft] def syntheticUrl: org.apache.spark.sql.Column = {
+    val h = md5(col("doc_id").cast("string"))
+    def v(i: Int) = conv(substring(h, i, 1), 16, 10).cast("int")
+    val scheme = element_at(
+      array(lit("http"), lit("HTTP"), lit("https"), lit("Http")), v(1) % 4 + 1)
+    val www = element_at(array(lit(""), lit("www."), lit("WWW.")), v(2) % 3 + 1)
+    val host = concat(col("source"),
+      element_at(array(lit(".example.com"), lit(".Example.COM")), v(3) % 2 + 1))
+    val port = element_at(array(lit(":80"), lit(""), lit(":8080")), v(4) % 3 + 1)
+    // path modulus 7: source repeats every 20 doc_ids, so the resource
+    // key (source, doc_id mod 7) recurs every lcm(20,7)=140 ids — real
+    // multi-copy groups at every SF, not a sea of singletons
+    val path = concat(lit("/a/"), (col("doc_id") % 7).cast("string"),
+      element_at(array(lit(""), lit("/")), v(5) % 2 + 1))
+    val qparams = when(v(6) % 2 === 0, lit("a=1&b=2")).otherwise(lit("b=2&a=1"))
+    val utm = when(v(7) % 2 === 0, lit("utm_source=feed&")).otherwise(lit(""))
+    val frag = when(v(8) % 2 === 0, lit("")).otherwise(lit("#sec"))
+    concat(scheme, lit("://"), www, host, port, path, lit("?"), utm, qparams, frag)
+  }
+
+  /** q71 — URL-normalized dedup: canonicalize every document's crawl
+    * URL ([[graft.functions.TextFunctions.normalizeUrl]]) and keep one
+    * document per canonical URL (min doc_id) with the copy count — the
+    * cheapest tier of a production crawl dedup, run BEFORE any content
+    * hashing (two fetches of one resource differ in URL cosmetics far
+    * more often than in bytes). Scale shape = q25's: normalization is
+    * pure per-row string work inside whole-stage codegen, then ONE
+    * hash shuffle on the canonical URL. */
+  def urlNormalizedDedup(s: SparkSession, dir: String): DataFrame =
+    urlNormalizedDedupFor(
+      docs(s, dir).select(col("doc_id"), syntheticUrl.as("url")))
+
+  /** [[urlNormalizedDedup]] over ANY (doc_id, url) frame — the library
+    * entry a real crawl (which has its own url column) calls. */
+  def urlNormalizedDedupFor(docUrls: DataFrame): DataFrame =
+    docUrls
+      .groupBy(graft.functions.TextFunctions.normalizeUrl(col("url")).as("norm_url"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+           count(lit(1)).as("n_copies"))
+      .orderBy(col("norm_url"))
+
   // q25 — exact dedup: md5 content hash → keeper (min doc_id) + copy
   // count. One shuffle on the hash; at 100 TB this is the cheapest dedup
   // pass and runs first.

@@ -702,4 +702,50 @@ class PipelineOpsSpec extends AnyFunSuite {
       "computed-column arguments must evaluate identically to named columns")
     d.unpersist()
   }
+
+  test("URL normalization: cosmetic variants collapse, real distinctions survive (q71)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.normalizeUrl
+    val spark2 = spark
+    import spark2.implicits._
+    def norm(urls: String*): Seq[String] =
+      urls.toDF("url").select(normalizeUrl(col("url"))).as[String].collect().toSeq
+    // every cosmetic variation of one resource → ONE canonical form
+    val variants = Seq(
+      "http://example.com/a/1?a=1&b=2",
+      "HTTP://EXAMPLE.com/a/1?a=1&b=2",
+      "http://www.example.com/a/1?a=1&b=2",
+      "http://WWW.example.com:80/a/1?a=1&b=2",
+      "http://example.com/a/1/?b=2&a=1",
+      "http://example.com/a/1?utm_source=feed&a=1&b=2",
+      "http://example.com/a/1?a=1&b=2#section-3")
+    assert(norm(variants: _*).distinct ==
+      Seq("http://example.com/a/1?a=1&b=2"))
+    // real distinctions must NOT collapse: scheme, non-default port,
+    // :80 under https, path case, param values, extra params
+    val distinct = Seq(
+      "http://example.com/a/1?a=1&b=2",
+      "https://example.com/a/1?a=1&b=2",
+      "http://example.com:8080/a/1?a=1&b=2",
+      "https://example.com:80/a/1?a=1&b=2",
+      "http://example.com/A/1?a=1&b=2",
+      "http://example.com/a/1?a=2&b=2",
+      "http://example.com/a/1?a=1&b=2&c=3")
+    assert(norm(distinct: _*).distinct.size == distinct.size,
+      "semantically different URLs must stay different")
+    // https default port strips; empty path → "/"; idempotence
+    assert(norm("HTTPS://Example.com:443?b=2&a=1") ==
+      Seq("https://example.com/?a=1&b=2"))
+    val once = norm(variants ++ distinct: _*)
+    assert(norm(once: _*) == once, "normalization must be idempotent")
+    // and the q71 operator: keepers partition the corpus, keeper is the
+    // group min, copy counts sum to the doc count
+    val r = operators.Dedup.urlNormalizedDedup(spark, sf).cache()
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    assert(r.agg(sum("n_copies")).head.getLong(0) == docs.count())
+    assert(r.filter(col("keeper_id") < 0).isEmpty)
+    assert(r.count() < docs.count(),
+      "the fixture must contain real URL duplicates to collapse")
+    r.unpersist()
+  }
 }
