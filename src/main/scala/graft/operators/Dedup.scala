@@ -505,8 +505,6 @@ object Dedup {
     require(bits % bands == 0, "bands must divide bits")
     graft.plans.FloatVectorExprs.register(s)
     import graft.functions.VectorFunctions.dotNative
-    val r = bits / bands
-    val mask = (1L << r) - 1
     // per-vector norm computed ONCE here (sqrt(dot(v,v)) is the same
     // double wherever computed, so the per-pair cosine stays bit-equal
     // to the oracle while rescoring does one dot per pair, not three)
@@ -518,9 +516,7 @@ object Dedup {
     // self-join; released via Caches.release()
     val banded = Caches.track(
       e.select(col("vec_id"), col("embedding"), col("_norm"),
-        explode(array((0 until bands).map(bd =>
-          struct(lit(bd).as("band"),
-            shiftright(col("sketch"), bd * r).bitwiseAND(mask).as("key"))): _*)).as("b"))
+        explode(sketchBandStructs(col("sketch"), bits, bands)).as("b"))
         .select(col("vec_id"), col("embedding"), col("_norm"),
           col("b.band").as("band"), col("b.key").as("key")))
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
@@ -933,6 +929,21 @@ object Dedup {
       .groupBy(col("doc_id")).agg(min(col("_cid")).as("near_id"))
   }
 
+  /** (band, key) structs over a packed sign-bit sketch — `bands` keys of
+    * `bits/bands` bits each; the banding every hyperplane-sketch
+    * consumer (q43, q68's embedding tier, the bucketed index) derives
+    * from ONE definition so bucket keys can't drift between the
+    * in-memory and stored-index paths. */
+  private[graft] def sketchBandStructs(sketch: Column, bits: Int,
+                                       bands: Int): Column = {
+    require(bits % bands == 0, "bands must divide bits")
+    val r = bits / bands
+    val mask = (1L << r) - 1
+    array((0 until bands).map(bd =>
+      struct(lit(bd).as("band"),
+        shiftright(sketch, bd * r).bitwiseAND(mask).as("key"))): _*)
+  }
+
   /** Embedding tier: batch→corpus hyperplane-banded candidates scored
     * by exact cosine (q43's sketch family made DIRECTIONAL — the corpus
     * sketch index is never self-joined). Inputs are
@@ -942,14 +953,9 @@ object Dedup {
                             cosThreshold: Double, bits: Int,
                             embBands: Int): DataFrame = {
     import graft.functions.VectorFunctions.dotNative
-    require(bits % embBands == 0, "embBands must divide bits")
-    val r = bits / embBands
-    val mask = (1L << r) - 1
     def banded(df: DataFrame): DataFrame = df
       .select(col("doc_id"),
-        explode(array((0 until embBands).map(bd =>
-          struct(lit(bd).as("band"),
-            shiftright(col("sketch"), bd * r).bitwiseAND(mask).as("key"))): _*)).as("b"))
+        explode(sketchBandStructs(col("sketch"), bits, embBands)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
     val cand = banded(batchEmb).as("x")
       .join(banded(corpusEmb).as("y"), Seq("band", "key"))
@@ -991,18 +997,29 @@ object Dedup {
                                   cosThreshold: Double = 0.40,
                                   bits: Int = 32,
                                   embBands: Int = 8): DataFrame =
-    batch.select(col("doc_id"))
-      .join(exactTier(batch, corpus), Seq("doc_id"), "left")
-      .join(nearTier(batch, corpus, k, bands, estThreshold), Seq("doc_id"), "left")
-      .join(embeddingTier(batchEmb, corpusEmb, cosThreshold, bits, embBands),
-        Seq("doc_id"), "left")
+    verdict3(batch.select(col("doc_id")),
+      exactTier(batch, corpus),
+      nearTier(batch, corpus, k, bands, estThreshold),
+      embeddingTier(batchEmb, corpusEmb, cosThreshold, bits, embBands))
+      .orderBy(col("doc_id"))
+
+  /** Fold the three tier verdicts onto the batch ids with the
+    * exact > near > near_embedding > new precedence — shared by the
+    * in-memory classifier and the bucketed-index classifier
+    * ([[DedupIndex.classifyNew3Indexed]]) so the verdict rule can't
+    * drift between deployment shapes. */
+  private[graft] def verdict3(batchIds: DataFrame, exact: DataFrame,
+                              near: DataFrame, emb: DataFrame): DataFrame =
+    batchIds
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(emb, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("exact_id").isNotNull, "exact")
           .when(col("near_id").isNotNull, "near")
           .when(col("emb_id").isNotNull, "near_embedding")
           .otherwise("new").as("status"),
         coalesce(col("exact_id"), col("near_id"), col("emb_id")).as("match_id"))
-      .orderBy(col("doc_id"))
 
   /** q68 — three-tier INCREMENTAL dedup: q65's exact + MinHash tiers
     * plus an EMBEDDING tier. A batch document that is neither a content

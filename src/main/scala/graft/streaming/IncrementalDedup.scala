@@ -67,6 +67,31 @@ object IncrementalDedup {
         verdicts.filter(col("status") === "new").select("doc_id"),
         Seq("doc_id")), k))
 
+  /** The embedding-side dedup index ([[index]]'s vector twin): sketch +
+    * norm per corpus vector. Cache or persist it — the three-tier
+    * classifier probes it every batch. */
+  def embIndex(corpusEmb: DataFrame, bits: Int = 32, dim: Int = 64): DataFrame =
+    Dedup.embSketchProjection(corpusEmb, bits, dim)
+
+  /** Three-tier [[refreshed]]: fold a classified batch's `new` survivors
+    * into BOTH indexes — text (hash+signature) and embedding
+    * (sketch+norm). A `new` verdict means no tier matched, so the doc
+    * must become probe-able by every tier tomorrow; exact/near/
+    * near_embedding matches are already represented by their corpus
+    * copy. Same exactness argument as [[refreshed]] (both projections
+    * are pure per-row, so union ≡ rebuild), proven end-to-end by the
+    * three-tier duality spec. Returns (textIndex', embIndex'). */
+  def refreshed3(index: DataFrame, embIdx: DataFrame,
+                 batchDocs: DataFrame, batchEmb: DataFrame,
+                 verdicts: DataFrame, k: Int = 12,
+                 bits: Int = 32, dim: Int = 64): (DataFrame, DataFrame) = {
+    val newIds = verdicts.filter(col("status") === "new").select("doc_id")
+    (index.unionByName(
+       Dedup.hashSigProjection(batchDocs.join(newIds, Seq("doc_id")), k)),
+     embIdx.unionByName(
+       Dedup.embSketchProjection(batchEmb.join(newIds, Seq("doc_id")), bits, dim)))
+  }
+
   /** Start classifying `newDocs` (a streaming (doc_id, text) frame)
     * against `corpusIndex` ([[index]] output). Each micro-batch's
     * verdicts — (doc_id, status ∈ exact|near|new, match_id) — are handed

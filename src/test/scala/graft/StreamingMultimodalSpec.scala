@@ -273,6 +273,71 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     idx0.unpersist(); idx1.unpersist()
   }
 
+  test("three-tier index refresh: classify → refreshed3 → next batch ≡ one-shot") {
+    import graft.streaming.IncrementalDedup
+    import graft.operators.Dedup
+    import spark.implicits._
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    // tiny embedding space: dim=4, 8 sketch bits in 4 bands
+    val (bits, dim, embBands) = (8, 4, 4)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val corpusEmb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("doc_id", "embedding")
+    val batch1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),           // exact of 1
+      (11L, "eleven twelve thirteen fourteen fifteen sixteen seventeen") // new
+    ).toDF("doc_id", "text")
+    val batch1Emb = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("doc_id", "embedding")
+    // batch2: doc 20 is LEXICALLY unrelated to everything but its
+    // embedding equals doc 11's — a semantic dup only the refreshed
+    // EMBEDDING index can catch; doc 21 is new on every tier
+    val batch2 = Seq(
+      (20L, "totally different surface form with no shared phrasing at all"),
+      (21L, "entirely novel words never seen in any earlier document")
+    ).toDF("doc_id", "text")
+    val batch2Emb = Seq(
+      (20L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (21L, Seq(-0.5f, -0.5f, -0.5f, -0.5f))).toDF("doc_id", "embedding")
+    def classify(b: org.apache.spark.sql.DataFrame, be: org.apache.spark.sql.DataFrame,
+                 idx: org.apache.spark.sql.DataFrame, eidx: org.apache.spark.sql.DataFrame) =
+      Dedup.classifyNew3(Dedup.hashSigProjection(b), idx,
+        Dedup.embSketchProjection(be, bits, dim), eidx,
+        bits = bits, embBands = embBands)
+    val idx0 = IncrementalDedup.index(corpus).cache()
+    val eidx0 = IncrementalDedup.embIndex(corpusEmb, bits, dim).cache()
+    val v1 = classify(batch1, batch1Emb, idx0, eidx0)
+    assert(verdicts(v1) == Set((10L, "exact", Some(1L)), (11L, "new", None)))
+    // WITHOUT the refresh, batch2 sails through as new on every tier
+    assert(verdicts(classify(batch2, batch2Emb, idx0, eidx0))
+      .forall(_._2 == "new"))
+    val (idx1, eidx1) = IncrementalDedup.refreshed3(
+      idx0, eidx0, batch1, batch1Emb, v1, bits = bits, dim = dim)
+    val v2 = classify(batch2, batch2Emb, idx1.cache(), eidx1.cache())
+    assert(verdicts(v2) == Set((20L, "near_embedding", Some(11L)),
+      (21L, "new", None)),
+      "the refreshed embedding index must catch the semantic dup")
+    // duality: refreshed-index classify ≡ one-shot against the unioned
+    // corpus — the index refresh IS the corpus union, tier for tier
+    val new1 = batch1.join(v1.filter($"status" === "new").select("doc_id"),
+      Seq("doc_id"))
+    val new1Emb = batch1Emb.join(v1.filter($"status" === "new").select("doc_id"),
+      Seq("doc_id"))
+    val oneShot = Dedup.incrementalDedupFor3(batch2, corpus.unionByName(new1),
+      batch2Emb, corpusEmb.unionByName(new1Emb),
+      bits = bits, embBands = embBands, dim = dim)
+    assert(verdicts(v2) == verdicts(oneShot))
+    Seq(idx0, eidx0).foreach(_.unpersist())
+    spark.catalog.clearCache()
+  }
+
   test("streaming centroid drift: windowed sums ≡ batch, drift cosine sane") {
     import graft.streaming.CentroidDrift
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
