@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   */
 object CcpPruning {
 
+  /** An impurity criterion over a class histogram. */
+  type Impurity = Array[Long] => Double
+
   /** Driver-side pruning tree. `counts(k)` = training rows of class k
     * routed through this node; `prediction` is the majority class (ties →
     * lowest class index, sklearn's convention). */
@@ -37,33 +40,53 @@ object CcpPruning {
     def n: Long = counts.sum
     def prediction: Double = counts.indexOf(counts.max).toDouble
     def leaves: Int
-    /** Σ over this subtree's leaves of (n_leaf/N)·gini(leaf). */
-    def subtreeRisk(total: Double): Double
-    /** This node AS a leaf: (n/N)·gini(counts). */
-    def nodeRisk(total: Double): Double = n / total * gini(counts)
+    /** Σ over this subtree's leaves of (n_leaf/N)·imp(leaf). */
+    def subtreeRisk(total: Double, imp: Impurity = gini): Double
+    /** This node AS a leaf: (n/N)·imp(counts). */
+    def nodeRisk(total: Double, imp: Impurity = gini): Double =
+      n / total * imp(counts)
   }
   final case class PLeaf(counts: Array[Long]) extends PTree {
     val leaves = 1
-    def subtreeRisk(total: Double): Double = nodeRisk(total)
+    def subtreeRisk(total: Double, imp: Impurity): Double =
+      nodeRisk(total, imp)
   }
   final case class PSplit(featureIndex: Int, threshold: Double,
                           leftCategories: Option[Array[Double]],
                           left: PTree, right: PTree,
                           counts: Array[Long]) extends PTree {
     val leaves: Int = left.leaves + right.leaves
-    def subtreeRisk(total: Double): Double =
-      left.subtreeRisk(total) + right.subtreeRisk(total)
+    def subtreeRisk(total: Double, imp: Impurity): Double =
+      left.subtreeRisk(total, imp) + right.subtreeRisk(total, imp)
   }
 
-  /** Gini impurity of a class histogram. The path is computed with gini
-    * regardless of the split criterion the tree was GROWN with (sklearn
-    * prunes with the tree's criterion; the weakest-link ordering is
-    * near-identical and the CV selection step absorbs the difference —
-    * recorded delta). */
+  /** Gini impurity of a class histogram. */
   def gini(counts: Array[Long]): Double = {
     val n = counts.sum.toDouble
     if (n == 0) 0.0 else 1.0 - counts.map(c => (c / n) * (c / n)).sum
   }
+
+  /** Shannon entropy (log₂) of a class histogram — MLlib's and sklearn's
+    * "entropy" criterion; empty classes contribute 0. */
+  def entropy(counts: Array[Long]): Double = {
+    val n = counts.sum.toDouble
+    if (n == 0) 0.0
+    else -counts.collect { case c if c > 0 =>
+      val p = c / n
+      p * math.log(p) / math.log(2.0)
+    }.sum
+  }
+
+  /** The criterion a fitted MLlib model was GROWN with — the pruning
+    * path is computed with the SAME criterion (sklearn semantics:
+    * `cost_complexity_pruning_path` scores R(t) with the tree's own
+    * impurity; the earlier unconditional-gini form was the recorded M7
+    * delta, now closed). */
+  def impurityOf(model: DecisionTreeClassificationModel): Impurity =
+    model.getImpurity.toLowerCase match {
+      case "entropy" => entropy
+      case _         => gini
+    }
 
   /** The full-tree → root sequence of (α, pruned tree): entry 0 is the
     * unpruned tree at α=0; each later entry prunes every internal node
@@ -113,8 +136,9 @@ object CcpPruning {
     build(model.rootNode, 0)._1
   }
 
-  /** Weakest-link path over an extracted tree. */
-  def path(root: PTree): CcpPath = {
+  /** Weakest-link path over an extracted tree, under the given
+    * impurity criterion. */
+  def path(root: PTree, imp: Impurity = gini): CcpPath = {
     val total = root.n.toDouble
     val alphas = scala.collection.mutable.ArrayBuffer(0.0)
     val trees = scala.collection.mutable.ArrayBuffer(root)
@@ -124,7 +148,8 @@ object CcpPruning {
       def minG(t: PTree): Double = t match {
         case _: PLeaf => Double.PositiveInfinity
         case s: PSplit =>
-          val g = (s.nodeRisk(total) - s.subtreeRisk(total)) / (s.leaves - 1)
+          val g = (s.nodeRisk(total, imp) - s.subtreeRisk(total, imp)) /
+            (s.leaves - 1)
           math.min(g, math.min(minG(s.left), minG(s.right)))
       }
       val g = minG(cur)
@@ -132,7 +157,8 @@ object CcpPruning {
       def collapse(t: PTree): PTree = t match {
         case l: PLeaf => l
         case s: PSplit =>
-          val own = (s.nodeRisk(total) - s.subtreeRisk(total)) / (s.leaves - 1)
+          val own = (s.nodeRisk(total, imp) - s.subtreeRisk(total, imp)) /
+            (s.leaves - 1)
           if (own <= g + 1e-15) PLeaf(s.counts)
           else {
             val c = s.copy(left = collapse(s.left), right = collapse(s.right))
@@ -157,10 +183,11 @@ object CcpPruning {
   }
 
   /** `cost_complexity_pruning_path` in one call: fit-side histograms +
-    * driver path. */
+    * driver path, computed with the criterion the tree was grown with
+    * ([[impurityOf]]). */
   def pruningPath(model: DecisionTreeClassificationModel, df: DataFrame,
                   labelCol: String, featureCols: Seq[String]): CcpPath =
-    path(extract(model, df, labelCol, featureCols))
+    path(extract(model, df, labelCol, featureCols), impurityOf(model))
 
   /** A pruned tree as a PREDICTION column — nested when/otherwise over
     * the raw feature columns. Codegen'd end to end: CV scoring and final

@@ -26,15 +26,22 @@ import org.apache.spark.sql.functions._
   * β = W·(PᵀW)⁻¹·q over centered X, folded into an intercept so
   * [[PlsModel.transform]] is a single pure column expression.
   *
-  * Semantic delta vs sklearn's `PLSRegression(scale=True)`: this
-  * centers but does not variance-scale features (pass pre-scaled
-  * columns through [[Features]] scalers for that behavior); with
-  * nComponents = p it reproduces OLS exactly, a property the spec pins.
+  * `scale = true` matches sklearn's `PLSRegression(scale=True)`
+  * (explained_codes.ipynb:~457 (cell 9)): features AND response are
+  * standardized (ddof=1, zero-variance guard → 1.0, sklearn's
+  * convention) before NIPALS, and the fitted coefficients are folded
+  * back to RAW feature units (β_i = σ_y·β_std_i/σ_xi), so
+  * [[PlsModel.transform]] is unchanged in shape. `scale = false`
+  * centers only (the round-8 behavior, kept as the default for the
+  * existing identities: with nComponents = p it reproduces OLS exactly
+  * either way, a property the spec pins). The scaling stats join the
+  * same single means pass — no extra scan.
   */
 object Pls {
 
   case class PlsModel(features: Seq[String], labelCol: String,
                       xMean: Array[Double], yMean: Double,
+                      xStd: Array[Double], yStd: Double,
                       weights: Array[Array[Double]],  // h × p (rows = components)
                       loadings: Array[Array[Double]], // h × p
                       q: Array[Double],               // h
@@ -50,21 +57,34 @@ object Pls {
   }
 
   def fit(df: DataFrame, labelCol: String, features: Seq[String],
-          nComponents: Int): PlsModel = {
+          nComponents: Int, scale: Boolean = false): PlsModel = {
     val p = features.size
     require(nComponents >= 1 && nComponents <= p,
       s"nComponents must be in [1, $p], got $nComponents")
-    val meanAggs = features.map(f => avg(col(f).cast("double"))) :+
-      avg(col(labelCol).cast("double"))
+    val meanAggs = (features.map(f => avg(col(f).cast("double"))) :+
+      avg(col(labelCol).cast("double"))) ++
+      (if (scale)
+        features.map(f => stddev_samp(col(f).cast("double"))) :+
+          stddev_samp(col(labelCol).cast("double"))
+       else Nil)
     val mr = df.agg(meanAggs.head, meanAggs.tail: _*).head
     val xMean = Array.tabulate(p)(i => mr.getDouble(i))
     val yMean = mr.getDouble(p)
-    // centered design as NAMED columns; every deflation round re-projects
-    // them so downstream expressions stay attribute references
+    // sklearn's zero-variance guard: a constant column scales by 1.0
+    def std(i: Int): Double = {
+      val v = mr.getDouble(p + 1 + i)
+      if (v > 0.0 && !v.isNaN) v else 1.0
+    }
+    val xStd = if (scale) Array.tabulate(p)(std) else Array.fill(p)(1.0)
+    val yStd = if (scale) std(p) else 1.0
+    // centered (and, under scale, standardized) design as NAMED columns;
+    // every deflation round re-projects them so downstream expressions
+    // stay attribute references
     var cur: DataFrame = df.select(
       Array.tabulate(p)(i =>
-        (col(features(i)).cast("double") - lit(xMean(i))).as(s"_xc_$i")) :+
-        (col(labelCol).cast("double") - lit(yMean)).as("_yc"): _*)
+        ((col(features(i)).cast("double") - lit(xMean(i))) / lit(xStd(i)))
+          .as(s"_xc_$i")) :+
+        ((col(labelCol).cast("double") - lit(yMean)) / lit(yStd)).as("_yc"): _*)
     def xc(i: Int): Column = col(s"_xc_$i")
 
     val ws = Array.ofDim[Double](nComponents, p)
@@ -104,20 +124,25 @@ object Pls {
     val (mInv, _) = Customs.invertAndLogDet(m)
     val c = Array.tabulate(nComponents)(a =>
       (0 until nComponents).map(b => mInv(a)(b) * qs(b)).sum)
-    val beta = Array.tabulate(p)(i =>
+    // betaStd lives in the standardized space; fold the scaling back so
+    // beta/intercept apply to RAW feature columns
+    val betaStd = Array.tabulate(p)(i =>
       (0 until nComponents).map(h => ws(h)(i) * c(h)).sum)
+    val beta = Array.tabulate(p)(i => betaStd(i) * yStd / xStd(i))
     val intercept = yMean - (0 until p).map(i => beta(i) * xMean(i)).sum
     // scores over the ORIGINAL features via the rotation identity
-    // T = Xc·W(PᵀW)⁻¹ (R = W·mInv in this row-major layout): flat
+    // T = Xs·W(PᵀW)⁻¹ (R = W·mInv in this row-major layout): flat
     // p-term expressions usable on any frame carrying the feature cols
+    // (1/σ folded into the rotation coefficient)
     val rot = Array.tabulate(p, nComponents)((i, hh) =>
       (0 until nComponents).map(b => ws(b)(i) * mInv(b)(hh)).sum)
     val tExprs = (0 until nComponents).map { hh =>
       (0 until p).map(i =>
-        (col(features(i)).cast("double") - lit(xMean(i))) * lit(rot(i)(hh)))
+        (col(features(i)).cast("double") - lit(xMean(i))) *
+          lit(rot(i)(hh) / xStd(i)))
         .reduce(_ + _)
     }
-    PlsModel(features, labelCol, xMean, yMean, ws, ps, qs, beta, intercept,
-      tExprs)
+    PlsModel(features, labelCol, xMean, yMean, xStd, yStd, ws, ps, qs,
+      beta, intercept, tExprs)
   }
 }

@@ -48,14 +48,58 @@ class CcpForestSpec extends AnyFunSuite {
 
   test("ccp path: risk increase per step equals alpha times leaves removed") {
     // the defining identity of weakest-link pruning: collapsing the
-    // minimizing node(s) raises subtree risk by exactly g per removed leaf
+    // minimizing node(s) raises subtree risk by exactly g per removed
+    // leaf — under the tree's OWN criterion (Models.decisionTree grows
+    // with entropy, and pruningPath now prunes with it: sklearn
+    // semantics, the closed M7 delta)
     val total = ccpPath.trees.head.n.toDouble
     ccpPath.alphas.indices.drop(1).foreach { k =>
-      val dR = ccpPath.trees(k).subtreeRisk(total) -
-        ccpPath.trees(k - 1).subtreeRisk(total)
+      val dR = ccpPath.trees(k).subtreeRisk(total, CcpPruning.entropy) -
+        ccpPath.trees(k - 1).subtreeRisk(total, CcpPruning.entropy)
       val dLeaves = ccpPath.trees(k - 1).leaves - ccpPath.trees(k).leaves
       assert(math.abs(dR - ccpPath.alphas(k) * dLeaves) < 1e-9,
         s"step $k: dR=$dR alpha*dLeaves=${ccpPath.alphas(k) * dLeaves}")
+    }
+  }
+
+  test("ccp path trees are OPTIMAL prunings under the grown (entropy) criterion") {
+    // independent reference: enumerate EVERY valid pruning of a small
+    // entropy-grown tree (all antichain collapses) and check that each
+    // path entry minimizes R(T) + α·|leaves(T)| over the whole space for
+    // α just past its breakpoint, with the fewest leaves among
+    // minimizers — the CART optimality theorem, verified by brute force
+    // rather than by re-running the engine's own weakest-link logic
+    val assembled = Features.assemble(noisy, Seq("f1", "f2"), "features")
+    val small = Models.decisionTree("label", maxDepth = 3).fit(assembled)
+    assert(small.getImpurity == "entropy") // the criterion under test
+    val root = CcpPruning.extract(small, noisy, "label", Seq("f1", "f2"))
+    val p = CcpPruning.pruningPath(small, noisy, "label", Seq("f1", "f2"))
+    def allPrunings(t: CcpPruning.PTree): Seq[CcpPruning.PTree] = t match {
+      case l: CcpPruning.PLeaf => Seq(l)
+      case s: CcpPruning.PSplit =>
+        CcpPruning.PLeaf(s.counts) +: (for {
+          l <- allPrunings(s.left); r <- allPrunings(s.right)
+        } yield s.copy(left = l, right = r))
+    }
+    val space = allPrunings(root)
+    assert(space.size > p.trees.length, "enumeration must exceed the path")
+    val total = root.n.toDouble
+    def cost(t: CcpPruning.PTree, a: Double): Double =
+      t.subtreeRisk(total, CcpPruning.entropy) + a * t.leaves
+    // probe α midway into each path segment (and past the last breakpoint)
+    val probes = p.alphas.indices.map { k =>
+      if (k + 1 < p.alphas.length) (p.alphas(k) + p.alphas(k + 1)) / 2
+      else p.alphas(k) + 1.0
+    }
+    probes.zipWithIndex.foreach { case (a, k) =>
+      val best = space.map(t => cost(t, a)).min
+      val t = p.trees(k)
+      assert(cost(t, a) <= best + 1e-12,
+        s"path tree $k is not optimal at alpha=$a")
+      val minLeaves = space.filter(s => cost(s, a) <= best + 1e-12)
+        .map(_.leaves).min
+      assert(t.leaves == minLeaves,
+        s"path tree $k has ${t.leaves} leaves; a ${minLeaves}-leaf pruning ties")
     }
   }
 

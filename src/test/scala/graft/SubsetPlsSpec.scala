@@ -150,6 +150,79 @@ class SubsetPlsSpec extends AnyFunSuite {
     assert(math.abs(pls.intercept - interceptRef) < 1e-8)
   }
 
+  test("PLS scale=true matches a naive scaled NIPALS; OLS identity survives scaling (M20)") {
+    // sklearn PLSRegression(scale=True) semantics: standardize X and y
+    // (ddof=1) before NIPALS, fold the scaling back into raw-unit
+    // coefficients — the closed M20 delta. Reference: plain-array NIPALS
+    // on the standardized collected fixture.
+    val rows = plsDf.select(col("f1"), col("f2"), col("f3"), col("y"))
+      .collect().map(r => (Array(r.getDouble(0), r.getDouble(1), r.getDouble(2)), r.getDouble(3)))
+    val n = rows.length; val p = 3; val hMax = 2
+    val xMean = Array.tabulate(p)(j => rows.map(_._1(j)).sum / n)
+    val yMean = rows.map(_._2).sum / n
+    def sd(vals: Seq[Double], m: Double) =
+      math.sqrt(vals.map(v => (v - m) * (v - m)).sum / (n - 1))
+    val xStd = Array.tabulate(p)(j => sd(rows.map(_._1(j)).toSeq, xMean(j)))
+    val yStd = sd(rows.map(_._2).toSeq, yMean)
+    val x = rows.map { case (xi, _) =>
+      Array.tabulate(p)(j => (xi(j) - xMean(j)) / xStd(j)) }
+    val yc = rows.map(r => (r._2 - yMean) / yStd)
+    val ws = Array.ofDim[Double](hMax, p); val psL = Array.ofDim[Double](hMax, p)
+    val qs = Array.ofDim[Double](hMax)
+    for (h <- 0 until hMax) {
+      val wRaw = Array.tabulate(p)(j => x.indices.map(i => x(i)(j) * yc(i)).sum)
+      val norm = math.sqrt(wRaw.map(v => v * v).sum)
+      val w = wRaw.map(_ / norm)
+      val t = x.map(xi => (0 until p).map(j => xi(j) * w(j)).sum)
+      val tt = t.map(v => v * v).sum
+      val pl = Array.tabulate(p)(j => x.indices.map(i => x(i)(j) * t(i)).sum / tt)
+      qs(h) = x.indices.map(i => yc(i) * t(i)).sum / tt
+      ws(h) = w; psL(h) = pl
+      x.indices.foreach(i => (0 until p).foreach(j => x(i)(j) -= t(i) * pl(j)))
+    }
+    val m = Array.tabulate(hMax, hMax)((a, b) =>
+      (0 until p).map(i => psL(a)(i) * ws(b)(i)).sum)
+    val aug = Array.tabulate(hMax)(i => m(i) :+ qs(i))
+    for (cIdx <- 0 until hMax) {
+      val piv = (cIdx until hMax).maxBy(r => math.abs(aug(r)(cIdx)))
+      val tmp = aug(piv); aug(piv) = aug(cIdx); aug(cIdx) = tmp
+      val d = aug(cIdx)(cIdx)
+      for (j <- 0 to hMax) aug(cIdx)(j) /= d
+      for (r <- 0 until hMax if r != cIdx) {
+        val f = aug(r)(cIdx)
+        for (j <- 0 to hMax) aug(r)(j) -= f * aug(cIdx)(j)
+      }
+    }
+    val c = Array.tabulate(hMax)(i => aug(i)(hMax))
+    val betaRef = Array.tabulate(p)(i =>
+      (0 until hMax).map(h => ws(h)(i) * c(h)).sum * yStd / xStd(i))
+    val interceptRef = yMean - (0 until p).map(i => betaRef(i) * xMean(i)).sum
+
+    val pls = Pls.fit(plsDf, "y", feats3, nComponents = hMax, scale = true)
+    (0 until p).foreach { i =>
+      assert(math.abs(pls.beta(i) - betaRef(i)) < 1e-8,
+        s"beta($i): distributed ${pls.beta(i)} vs naive scaled ${betaRef(i)}")
+    }
+    assert(math.abs(pls.intercept - interceptRef) < 1e-8)
+    // scaling is a reparametrization: at full rank both variants are OLS
+    val full = Pls.fit(plsDf, "y", feats3, nComponents = 3, scale = true)
+    val ols = Models.olsSummary(Features.assemble(plsDf, feats3, "_x"), "y", "_x")
+    feats3.indices.foreach { i =>
+      assert(math.abs(full.beta(i) - ols.coefficients(i)) < 1e-6)
+    }
+    assert(math.abs(full.intercept - ols.coefficients.last) < 1e-6)
+    // a scaled fit differs from an unscaled one below full rank (the
+    // parameter is load-bearing, not cosmetic)
+    val unscaled = Pls.fit(plsDf, "y", feats3, nComponents = hMax)
+    assert((0 until p).exists(i =>
+      math.abs(unscaled.beta(i) - pls.beta(i)) > 1e-10))
+    // constant column: the zero-variance guard keeps the fit finite
+    val withConst = plsDf.withColumn("f0", lit(3.0))
+    val cg = Pls.fit(withConst, "y", Seq("f0") ++ feats3, nComponents = 2,
+      scale = true)
+    assert(cg.beta.forall(java.lang.Double.isFinite))
+  }
+
   test("PLS transform adds a prediction column with near-OLS error (M20)") {
     val pls = Pls.fit(plsDf, "y", feats3, nComponents = 2)
     val pred = pls.transform(plsDf)
