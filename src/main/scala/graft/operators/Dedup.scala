@@ -600,7 +600,16 @@ object Dedup {
     * Both paths produce the identical component-min labeling; pass
     * `localSolveMaxEdges = 0` to force the distributed loop (specs do). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-                          localSolveMaxEdges: Long = 1L << 20): DataFrame = {
+                          localSolveMaxEdges: Long = 1L << 20): DataFrame =
+    connectedComponentsCounted(pairs, maxIter, localSolveMaxEdges)._1
+
+  /** [[connectedComponents]] plus the DISTRIBUTED round count actually
+    * executed (0 when the small-subgraph local path answered) — the
+    * measured side of the O(log diameter) pointer-jumping claim, gated
+    * at 10× with planted chains by `tools/SoakScale`. */
+  private[graft] def connectedComponentsCounted(
+      pairs: DataFrame, maxIter: Int = 50,
+      localSolveMaxEdges: Long = 1L << 20): (DataFrame, Int) = {
     val Seq(a, b) = pairs.columns.take(2).toSeq.map(col)
     val directedPlan = pairs.select(a.as("src"), b.as("dst"))
     if (localSolveMaxEdges > 0) {
@@ -614,15 +623,25 @@ object Dedup {
       val lim = math.min(localSolveMaxEdges + 1, Int.MaxValue.toLong).toInt
       val probe = directedPlan.limit(lim).collect()
       if (probe.length < lim)
-        return localComponents(probe, pairs.sparkSession)
+        return (localComponents(probe, pairs.sparkSession), 0)
     }
-    // distributed path: cache the DIRECTED pair list and derive the
-    // symmetric edge list from the cache: caching the union instead
-    // would evaluate the (expensive — q26's whole candidate+rescore
-    // pipeline) pair plan once per union branch when the cache
-    // materializes
-    val directed = Caches.track(directedPlan)
-    directed.count()
+    // distributed path: materialize the DIRECTED pair list once and
+    // derive the symmetric edge list from it (materializing the union
+    // instead would evaluate the expensive pair plan — q26's whole
+    // candidate+rescore pipeline — once per union branch).
+    // localCheckpoint, not a plain cache: the edge list feeds TWO joins
+    // in EVERY round, so each round's logical plan would otherwise
+    // embed the whole candidate-generation pipeline twice — between
+    // label checkpoints that nests ~3⁵ copies, and merely RENDERING
+    // that plan (Spark builds the SQL-event plan description for every
+    // action) OOMed the driver on a 1000-link chain soak before any
+    // task ran. Truncating lineage at the materialized edge blocks
+    // makes every round's plan O(round state), independent of how
+    // expensive the pair pipeline was. Trade, same as the label
+    // checkpoints below: an unpersisted edge block cannot recompute —
+    // release caches only after materializing results, which is the
+    // existing Caches contract.
+    val directed = Caches.register(directedPlan.localCheckpoint())
     val edges = directed.unionByName(
       directed.select(col("dst").as("src"), col("src").as("dst")))
     // iterate ONLY over the pair subgraph — docs in no pair can never
@@ -676,7 +695,7 @@ object Dedup {
     // the final round's persisted state backs the returned labeling —
     // hand it to the registry so the library caller's release() drops it
     Caches.register(cached)
-    labels
+    (labels, iter)
   }
 
   /** Driver-side exact union-find over (small, pre-collected) DIRECTED
@@ -1037,7 +1056,10 @@ object Dedup {
     * volume is |batch|-proportional, and the only vectors that move are
     * the |candidates| id-keyed rescore lookups. The batch/corpus split
     * and oracle determinism follow q65 (portable hash rule, literal
-    * plane family in the oracle). */
+    * plane family in the oracle). Production deployment: persist the
+    * corpus side as [[DedupIndex]]'s bucketed tables — every tier then
+    * probes the stored index with ZERO index-side shuffle
+    * (plan-asserted in DedupIndexSpec). */
   def incrementalDedup3(s: SparkSession, dir: String, k: Int = 12,
                         bands: Int = 4, estThreshold: Double = 0.5,
                         cosThreshold: Double = 0.40, bits: Int = 32,

@@ -91,6 +91,44 @@ object SoakScale {
     sc.release(); n
   }
 
+  /** A planted near-dup CHAIN of `n` documents: doc i carries tokens
+    * [i·stride, i·stride+len) of one synthetic token stream, so
+    * consecutive docs share len−stride tokens (3-gram jaccard
+    * (len−stride−2)/(2(len−2)−(len−stride−2)) ≈ 0.58 ≥ 0.5) while
+    * skip-1 pairs fall to ≈0.31 < 0.5 — the verified pair graph is a
+    * pure PATH of diameter n−1, the worst case for label propagation
+    * and exactly what pointer jumping's O(log d) claim is about.
+    * Tokens are namespaced (`chainw…`) so the chain's gram universe is
+    * disjoint from any co-resident corpus; per-gram doc frequency ≤
+    * ⌈len/stride⌉ = 4 ≪ the hot-gram cap, so capping never bites. */
+  def chainDocs(spark: SparkSession, n: Int, len: Int = 40,
+                stride: Int = 10): DataFrame =
+    spark.range(n).select(
+      (col("id") + 900000000L).as("doc_id"),
+      concat_ws(" ", transform(
+        sequence(col("id") * stride, col("id") * stride + (len - 1)),
+        j => concat(lit("chainw"), j))).as("text"))
+      .repartition(32, col("doc_id"))
+
+  /** Distributed-CC measurement on an n-link chain: (distinct labels,
+    * rounds, wall seconds). localSolveMaxEdges=0 forces the distributed
+    * loop — the small-subgraph shortcut would otherwise answer locally
+    * and measure nothing. */
+  def ccChain(spark: SparkSession, n: Int): (Long, Int, Double) = {
+    val (res, sc) = graft.operators.Caches.scope {
+      val pairs = Dedup.ngramJaccardPairsCappedTokRaw(
+        chainDocs(spark, n).select(col("doc_id"), tokens(col("text")).as("t")))
+        .select(col("doc_a"), col("doc_b"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) = Dedup.connectedComponentsCounted(
+        pairs, maxIter = 50, localSolveMaxEdges = 0)
+      val distinctLabels = labels.select(col("label")).distinct().count()
+      (distinctLabels, rounds, (System.nanoTime() - t0) / 1e9)
+    }
+    sc.release(); spark.catalog.clearCache()
+    res
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -204,6 +242,36 @@ object SoakScale {
     }
     scoped("q65 classify @1x")(Dedup.incrementalDedupFor(b1, co1).count())
     scoped("q65 classify @10x")(Dedup.incrementalDedupFor(b10, co10).count())
+
+    // --- connected-components mechanics: planted chains (q51/q70's
+    // engine). Two gates beyond candidate volume:
+    //  1. O(log diameter): a 1000-link path must converge in ≤ 12
+    //     distributed rounds (log₂(1000) ≈ 10 + settle; plain
+    //     propagation would need ~1000);
+    //  2. ~linear subgraph scaling: doubling the chain adds ≤ 2 rounds
+    //     (log₂) and ≤ 3× wall (linear work per round ⇒ ~2×, gate 3×
+    //     for box noise; a quadratic loop would be ~4× and climbing).
+    val (lab1k, rounds1k, wall1k) = timed("cc 1000-link chain") {
+      ccChain(spark, 1000)
+    }
+    println(f"[soak] CC 1000-chain: components=$lab1k rounds=$rounds1k wall=${wall1k}%.2f s")
+    if (lab1k != 1L) {
+      failures += 1
+      println(s"[soak] RATIO cc-chain-fixture          $lab1k components (want 1) FAIL")
+    }
+    val okRounds = rounds1k <= 12
+    if (!okRounds) failures += 1
+    println(f"[soak] RATIO cc-rounds-1000-chain     $rounds1k%12d rounds (gate 12) ${if (okRounds) "PASS" else "FAIL"}")
+    val (lab2k, rounds2k, wall2k) = timed("cc 2000-link chain") {
+      ccChain(spark, 2000)
+    }
+    println(f"[soak] CC 2000-chain: components=$lab2k rounds=$rounds2k wall=${wall2k}%.2f s")
+    val okR2 = lab2k == 1L && rounds2k <= rounds1k + 2
+    if (!okR2) failures += 1
+    println(f"[soak] RATIO cc-rounds-2x-chain       $rounds1k -> $rounds2k rounds (gate +2) ${if (okR2) "PASS" else "FAIL"}")
+    val okW2 = wall2k <= 3.0 * wall1k
+    if (!okW2) failures += 1
+    println(f"[soak] RATIO cc-wall-2x-chain         ${wall1k}%.2f -> ${wall2k}%.2f s (${wall2k / wall1k}%.2fx, gate 3.0x) ${if (okW2) "PASS" else "FAIL"}")
 
     println(if (failures == 0) "[soak] ALL GATES PASS"
             else s"[soak] $failures GATE(S) FAILED")

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GOLDEN PLAN-SHAPE pins for the board's five most expensive queries
+  * (round-8 clean bench: q62 3.8 s, q51 2.2 s, q69 1.4 s, q26 1.3 s,
+  * q68 1.1 s). A lost broadcast, a resurrected sort, or a new exchange
+  * in one of these shows up in the bench as a wall-clock delta with no
+  * name; these pins make the same regression fail BY QUERY AND BY FACT.
+  *
+  * Pin policy: CEILINGS at today's measured values (graft.tools
+  * .PlanFacts on the same sf/conf this suite runs) — a future
+  * optimization that removes an exchange or converts SMJ→broadcast
+  * keeps passing; only regressions fail. Extraction is shared with the
+  * PlanFacts tool so the measurement and the pin can't drift.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def factsOf(name: String): Map[String, Int] = {
+    val f = tools.PlanFacts.facts(
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString)
+    operators.Caches.release()
+    spark.catalog.clearCache()
+    f
+  }
+
+  private def pin(name: String, ceilings: (String, Int)*): Unit = {
+    val f = factsOf(name)
+    ceilings.foreach { case (k, max) =>
+      assert(f(k) <= max,
+        s"$name: $k regressed to ${f(k)} (golden ceiling $max) — " +
+          s"full facts: ${f.toSeq.sortBy(_._1).mkString(", ")}")
+    }
+  }
+
+  test("q62 composed pipeline: all joins broadcast, bounded exchanges") {
+    // one documents scan feeds quality→exact-dedup→near-dup→cluster→pack;
+    // the keeper window and candidate joins own the hash exchanges, the
+    // pack stage's ordering the range exchanges. An SMJ here means a
+    // broadcast (hot-gram set, drop set) fell through.
+    pin("q62_composed_pipeline",
+      "sort_merge_join" -> 0, "exchange_hash" -> 10,
+      "exchange_range" -> 3, "sort" -> 4, "cartesian" -> 0)
+  }
+
+  test("q51 dedup clusters: local-solved CC tail stays tiny") {
+    // the limit-probe solves the small subgraph driver-side during
+    // construction, so the FINAL plan is just labels⋈sizes⋈corpus: two
+    // broadcast joins, one label groupBy exchange, the oracle sort.
+    pin("q51_dedup_clusters",
+      "sort_merge_join" -> 0, "exchange_hash" -> 2,
+      "exchange_range" -> 1, "sort" -> 1, "cartesian" -> 0)
+  }
+
+  test("q69 prefix join: rarity-order window + candidate join stay broadcast-shaped") {
+    // the df groupBy feeds the prefix window through ONE reused
+    // exchange; candidate self-join, hash pre-prune and string rescore
+    // all broadcast at this scale. More exchanges = the exchange reuse
+    // or a broadcast was lost.
+    pin("q69_prefix_join",
+      "sort_merge_join" -> 0, "exchange_hash" -> 13,
+      "exchange_range" -> 1, "sort" -> 3, "cartesian" -> 0)
+  }
+
+  test("q26 capped n-gram pairs: candidate/rescore joins all broadcast") {
+    pin("q26_ngram_jaccard",
+      "sort_merge_join" -> 0, "exchange_hash" -> 19,
+      "exchange_range" -> 1, "sort" -> 1, "cartesian" -> 0)
+  }
+
+  test("q68 three-tier incremental dedup: tier joins bounded, no extra sorts") {
+    // the three batch→corpus tier joins plan as SMJ over the shared
+    // cached projection at this scale (AQE broadcasts the batch side at
+    // runtime); a fourth SMJ or new exchange means a tier started
+    // re-projecting or re-shuffling the corpus.
+    pin("q68_incremental_dedup3",
+      "sort_merge_join" -> 3, "exchange_hash" -> 17,
+      "exchange_range" -> 1, "sort" -> 5, "cartesian" -> 0)
+  }
+}
