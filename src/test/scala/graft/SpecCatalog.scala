@@ -19,26 +19,39 @@ import scala.jdk.CollectionConverters._
   */
 object SpecCatalog {
 
-  /** The compiled test-classes root, derived from THIS class's own code
-    * location (not a hard-coded `target/scala-2.13/...` path, which
-    * would silently break the spec-count pin on a Scala version bump). */
-  private val testClassesDir: Path =
+  /** The compiled test-code location of THIS class (not a hard-coded
+    * `target/scala-2.13/...` path, which would silently break the
+    * spec-count pin on a Scala version bump). Under `sbt test` this is
+    * the test-classes DIRECTORY; under `sbt Test/runMain` sbt packages
+    * the test classes into a bg-jobs JAR — both shapes are handled. */
+  private val testCodeLocation: Path =
     Paths.get(SpecCatalog.getClass.getProtectionDomain
       .getCodeSource.getLocation.toURI)
+
+  private def compiledClassNames(): Seq[String] = {
+    val raw: Seq[String] =
+      if (Files.isDirectory(testCodeLocation))
+        scala.util.Using.resource(Files.walk(testCodeLocation)) { walk =>
+          walk.iterator().asScala
+            .map { p: Path => testCodeLocation.relativize(p).toString }
+            .toSeq
+        }
+      else
+        scala.util.Using.resource(
+          new java.util.jar.JarFile(testCodeLocation.toFile)) { jar =>
+          jar.entries().asScala.map(_.getName).toSeq
+        }
+    raw.filter(n => n.endsWith(".class") && !n.contains("$"))
+      .map(_.stripSuffix(".class")
+        .replace('/', '.').replace(java.io.File.separatorChar, '.'))
+      .sorted
+  }
 
   /** All top-level graft.*Spec suites on the compiled test classpath,
     * instantiated (cheap: construction only registers tests). */
   def discoverSuites(): Seq[org.scalatest.Suite] = {
-    val names = scala.util.Using.resource(Files.walk(testClassesDir)) { walk =>
-      walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".class") && !p.toString.contains("$"))
-        .map { p: Path =>
-          testClassesDir.relativize(p).toString
-            .stripSuffix(".class").replace(java.io.File.separatorChar, '.')
-        }
-        .filter(_.matches("graft\\.[A-Za-z0-9]*Spec"))
-        .toSeq.sorted
-    }
+    val names = compiledClassNames()
+      .filter(_.matches("graft\\.[A-Za-z0-9]*Spec"))
     names.flatMap { n =>
       val cls = Class.forName(n)
       if (classOf[org.scalatest.Suite].isAssignableFrom(cls)
