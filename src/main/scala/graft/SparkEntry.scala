@@ -91,6 +91,7 @@ object SparkEntry {
     "q69_prefix_join"       -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairsPrefix(s, d)),
     "q70_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingDedupClusters(s, d)),
     "q71_url_dedup"         -> Dedup.urlNormalizedDedup _,
+    "q72_decontamination"   -> ((s: SparkSession, d: String) => Sampling.benchmarkDecontamination(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1008,6 +1009,40 @@ object SparkEntry {
       FROM s LEFT JOIN tr ON s.fingerprint = tr.fingerprint
       WHERE s.split != 'train'
       GROUP BY 1 ORDER BY 1""",
+
+    // q72: mirrors benchmarkDecontamination — distinct 8-grams per doc
+    // (shingles() distincts, mirrored by list_distinct), the portable
+    // md5 mod-10 eval split, per-(eval, train) intersection counts,
+    // eval-side LEFT JOIN so clean benchmarks report zeros explicitly.
+    "q72_decontamination" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      g AS (SELECT doc_id,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0 AS is_eval,
+              unnest(list_distinct(list_transform(
+                generate_series(1, len(tk) - 7),
+                i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+            FROM t),
+      ov AS (SELECT e.doc_id AS eval_id, tr.doc_id AS train_id,
+                    count(*) AS n_overlap
+             FROM g e JOIN g tr ON e.gram = tr.gram
+             WHERE e.is_eval AND NOT tr.is_eval
+             GROUP BY 1, 2),
+      pe AS (SELECT eval_id,
+                    CAST(count(*) AS BIGINT) AS n_contaminated_train_docs,
+                    CAST(max(n_overlap) AS BIGINT) AS max_overlap_grams
+             FROM ov GROUP BY 1),
+      en AS (SELECT doc_id AS eval_id,
+                    CAST(len(list_distinct(list_transform(
+                      generate_series(1, len(tk) - 7),
+                      i -> array_to_string(tk[i:i+7], ' ')))) AS BIGINT) AS n_eval_grams
+             FROM t
+             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0)
+      SELECT en.eval_id, en.n_eval_grams,
+             coalesce(pe.n_contaminated_train_docs, 0) AS n_contaminated_train_docs,
+             coalesce(pe.max_overlap_grams, 0) AS max_overlap_grams
+      FROM en LEFT JOIN pe ON en.eval_id = pe.eval_id
+      ORDER BY en.eval_id""",
 
     // Mirrors conversionFunnel: identical strictly-earlier running
     // windows over the same (ts, event_id) total order, identical

@@ -79,6 +79,40 @@ object DedupIndex {
       .mode(SaveMode.Overwrite).saveAsTable(embTable(prefix))
   }
 
+  /** Day-over-day DURABLE refresh: append a classified batch's `new`
+    * survivors to the three stored index tables — the persisted twin of
+    * [[graft.streaming.IncrementalDedup.refreshed3]]. Only `new`
+    * verdicts enter (matched docs are already represented by their
+    * corpus copy); the writes use the SAME bucket spec as
+    * [[saveIndex]], so appended files land per bucket and every later
+    * classify still probes without an index-side shuffle. Cost is
+    * |new|-proportional — no table rebuild, ever. */
+  def appendNew(batchDocs: DataFrame, batchEmb: DataFrame,
+                verdicts: DataFrame, prefix: String, buckets: Int = 8,
+                k: Int = 12, bands: Int = 4, bits: Int = 32,
+                dim: Int = 64, embBands: Int = 8): Unit = {
+    // MATERIALIZED before the first write, not lazy: `verdicts` usually
+    // READS these same index tables (it's the classify output), so
+    // re-evaluating it after the exact-tier append would classify a
+    // just-appended doc as an exact match of ITSELF — no longer `new` —
+    // and silently skip its band/embedding rows. localCheckpoint pins
+    // the pre-append verdict set for all three writes.
+    val newIds = verdicts.filter(col("status") === "new").select("doc_id")
+      .localCheckpoint()
+    val proj = Dedup.hashSigProjection(
+      batchDocs.join(newIds, Seq("doc_id")), k)
+    proj.select(col("doc_id"), col("_h"))
+      .write.bucketBy(buckets, "_h").sortBy("_h")
+      .mode(SaveMode.Append).saveAsTable(exactTable(prefix))
+    bandedSig(proj, k, bands)
+      .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .mode(SaveMode.Append).saveAsTable(bandTable(prefix))
+    bandedEmb(Dedup.embSketchProjection(
+        batchEmb.join(newIds, Seq("doc_id")), bits, dim), bits, embBands)
+      .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .mode(SaveMode.Append).saveAsTable(embTable(prefix))
+  }
+
   /** q68's three-tier classifier against the STORED index: identical
     * verdicts to [[Dedup.classifyNew3]] (shared [[Dedup.verdict3]]
     * precedence), but every tier probes a bucketed table on its bucket

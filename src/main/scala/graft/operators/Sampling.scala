@@ -75,6 +75,72 @@ object Sampling {
       .orderBy(col("split"))
   }
 
+  /** q72 — BENCHMARK DECONTAMINATION audit: n-gram overlap between the
+    * training corpus and a held-out benchmark/eval set — the standard
+    * LLM-pretraining decontamination rule (GPT-3/PaLM-style: a train
+    * document leaks an eval example if they share any k-token gram).
+    * Complements q53: fingerprints catch whole-document duplication
+    * across splits; the gram rule catches PARTIAL containment — an eval
+    * question quoted inside an otherwise-novel train document.
+    *
+    * Output: one row per EVAL document (the report a benchmark owner
+    * reads) — its distinct-gram count, how many train documents share
+    * ≥1 gram with it, and the largest per-train-doc overlap. Zero rows
+    * never disappear (left join), so a clean benchmark reports
+    * explicitly rather than by absence.
+    *
+    * Scale shape: benchmark sets are tiny by construction (the
+    * hash-mod eval split here; a real eval suite is a few thousand
+    * rows), so the eval gram table is BROADCAST and the train side —
+    * the 100-TB operand — streams through one map-side join with no
+    * shuffle of its gram stream; the per-(eval, train) aggregate keys
+    * on matched pairs only. Join key is the gram STRING (bounded k·word
+    * bytes): with a broadcast build side the 8-byte-hash-key trick
+    * buys nothing, and string equality keeps overlap counts exactly
+    * the oracle's. The eval split rule is the portable md5 bucket, so
+    * DuckDB reproduces membership exactly. */
+  def benchmarkDecontamination(s: SparkSession, dir: String, k: Int = 8,
+                               evalMod: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    // cached: the gram projection feeds the (tiny) eval side and the
+    // train side from ONE scan+tokenize; released via Caches.release()
+    val g = Caches.track(TextOps.docsHeavy(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .withColumn("_eval", hashBucket(col("doc_id"), evalMod) === 0))
+    decontaminationAuditFor(
+      g.filter(!col("_eval")).select(col("doc_id"), col("t")),
+      g.filter(col("_eval")).select(col("doc_id"), col("t")), k)
+  }
+
+  /** [[benchmarkDecontamination]] over caller-supplied PRE-TOKENIZED
+    * (doc_id, t) train and eval frames — the library entry a real
+    * pipeline calls with its actual benchmark suite. */
+  def decontaminationAuditFor(trainToks: DataFrame, evalToks: DataFrame,
+                              k: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val eg = evalToks
+      .select(col("doc_id").as("eval_id"), explode(shingles(col("t"), k)).as("gram"))
+    val tg = trainToks
+      .select(col("doc_id").as("train_id"), explode(shingles(col("t"), k)).as("gram"))
+    // distinct grams per doc on BOTH sides (shingles() distincts), so
+    // the pair count below is exactly |gram(eval) ∩ gram(train)|
+    val pairOverlap = tg.join(broadcast(eg), Seq("gram"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val perEval = pairOverlap.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_contaminated_train_docs"),
+           max(col("n_overlap")).as("max_overlap_grams"))
+    evalToks.select(col("doc_id").as("eval_id"),
+        size(shingles(col("t"), k)).cast("long").as("n_eval_grams"))
+      .join(perEval, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_eval_grams"),
+        coalesce(col("n_contaminated_train_docs"), lit(0L))
+          .as("n_contaminated_train_docs"),
+        coalesce(col("max_overlap_grams"), lit(0L)).as("max_overlap_grams"))
+      .orderBy(col("eval_id"))
+  }
+
   /** Deterministic subsampling: keep a fraction of rows by hash bucket
     * (keep = bucket < fraction·buckets). Stable under corpus growth —
     * a kept row stays kept. */

@@ -81,4 +81,67 @@ class DedupIndexSpec extends AnyFunSuite {
       dropAll()
     }
   }
+
+  test("appendNew: durable index refresh ≡ one-shot classify (three tiers)") {
+    import spark.implicits._
+    val (bits, dim, embBands) = (8, 4, 4)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val corpusEmb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("doc_id", "embedding")
+    val batch1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),            // exact of 1
+      (11L, "eleven twelve thirteen fourteen fifteen sixteen seventeen") // new
+    ).toDF("doc_id", "text")
+    val batch1Emb = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("doc_id", "embedding")
+    val batch2 = Seq(
+      (20L, "totally different surface form with no shared phrasing at all"), // emb dup of 11
+      (21L, "entirely novel words never seen in any earlier document")
+    ).toDF("doc_id", "text")
+    val batch2Emb = Seq(
+      (20L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (21L, Seq(-0.5f, -0.5f, -0.5f, -0.5f))).toDF("doc_id", "embedding")
+    dropAll()
+    try {
+      DedupIndex.saveIndex(corpus, corpusEmb, prefix, buckets = 4,
+        bits = bits, dim = dim, embBands = embBands)
+      // localCheckpoint: v1 READS the index tables, so any evaluation
+      // after the append would reclassify doc 11 as an exact match of
+      // itself — pin the pre-append verdicts (appendNew does the same
+      // internally for its own reads)
+      val v1 = DedupIndex.classifyNew3Indexed(spark, batch1, batch1Emb, prefix,
+        bits = bits, dim = dim, embBands = embBands).localCheckpoint()
+      assert(verdicts(v1) == Set((10L, "exact", Some(1L)), (11L, "new", None)))
+      // durable refresh: only doc 11 (the `new` survivor) enters the store
+      DedupIndex.appendNew(batch1, batch1Emb, v1, prefix, buckets = 4,
+        bits = bits, dim = dim, embBands = embBands)
+      val v2 = DedupIndex.classifyNew3Indexed(spark, batch2, batch2Emb, prefix,
+        bits = bits, dim = dim, embBands = embBands)
+      assert(verdicts(v2) == Set((20L, "near_embedding", Some(11L)),
+        (21L, "new", None)),
+        "the appended embedding index must catch the semantic dup")
+      // duality vs the in-memory one-shot over the unioned corpus
+      val new1 = batch1.join(v1.filter($"status" === "new").select("doc_id"), Seq("doc_id"))
+      val new1Emb = batch1Emb.join(v1.filter($"status" === "new").select("doc_id"), Seq("doc_id"))
+      val oneShot = Dedup.incrementalDedupFor3(batch2, corpus.unionByName(new1),
+        batch2Emb, corpusEmb.unionByName(new1Emb),
+        bits = bits, embBands = embBands, dim = dim)
+      assert(verdicts(v2) == verdicts(oneShot))
+      // and appended files preserve the bucketed layout (spec stays set)
+      Seq(DedupIndex.exactTable(prefix), DedupIndex.bandTable(prefix),
+        DedupIndex.embTable(prefix)).foreach { t =>
+        val ddl = spark.sql(s"DESCRIBE EXTENDED $t").collect().map(_.toString).mkString
+        assert(ddl.contains("Num Buckets") || ddl.contains("bucket"),
+          s"$t lost its bucket spec after append")
+      }
+    } finally dropAll()
+  }
 }

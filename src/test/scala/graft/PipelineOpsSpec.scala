@@ -703,6 +703,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("decontamination audit: planted gram leakage found, clean docs report zero (q72)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val spark2 = spark
+    import spark2.implicits._
+    def toks(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select(col("doc_id"), tokens(col("text")).as("t"))
+    val evalSet = toks(Seq(
+      (1L, "what is the capital of france paris obviously everyone knows"),
+      (2L, "completely unleaked benchmark question about nothing in corpus")))
+    val train = toks(Seq(
+      // doc 10 quotes eval doc 1's first 8 tokens inside novel text: the
+      // PARTIAL containment q53's whole-doc fingerprints cannot see
+      (10L, "some filler words then what is the capital of france paris obviously and more trailing content"),
+      (11L, "entirely unrelated training document with its own vocabulary stream"),
+      // doc 12 is an exact copy of eval doc 1 (max overlap)
+      (12L, "what is the capital of france paris obviously everyone knows")))
+    val r = operators.Sampling.decontaminationAuditFor(train, evalSet, k = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // eval 1 has 10 tokens → 3 distinct 8-grams; doc 10 quotes one of
+    // them, doc 12 (the full copy) all three → (3 grams, 2 train docs,
+    // max overlap 3 = the full gram count)
+    assert(r(1L) == ((3L, 2L, 3L)),
+      s"eval 1 must be contaminated by exactly docs 10 and 12: ${r(1L)}")
+    // eval 2: untouched — explicit zero row, never silently absent
+    assert(r(2L)._2 == 0L && r(2L)._3 == 0L, s"clean eval doc must report zeros: ${r(2L)}")
+    // fixture sanity for the driver query: the hash split yields a
+    // non-empty eval set and the report covers exactly the eval docs
+    val q = operators.Sampling.benchmarkDecontamination(spark, sf)
+    val n = q.count()
+    assert(n > 0)
+    assert(q.filter(col("n_eval_grams") <= 0).isEmpty)
+    operators.Caches.release()
+    spark.catalog.clearCache()
+  }
+
   test("URL normalization: cosmetic variants collapse, real distinctions survive (q71)") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.normalizeUrl
