@@ -113,21 +113,39 @@ object Sampling {
       g.filter(col("_eval")).select(col("doc_id"), col("t")), k)
   }
 
+  /** The benchmark GRAM INDEX: one (eval_id, gram) row per distinct
+    * k-gram of each eval document — the static side every
+    * decontamination pass (batch q72, the streaming twin) probes.
+    * Tiny by construction (benchmark suites are small); broadcast it. */
+  def benchmarkGramIndex(evalToks: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    evalToks.select(col("doc_id").as("eval_id"),
+      explode(shingles(col("t"), k)).as("gram"))
+  }
+
+  /** Contamination HITS of a train frame against a benchmark gram
+    * index: one (eval_id, train_id, n_overlap) row per contaminated
+    * pair, n_overlap = |gram(eval) ∩ gram(train)| (both sides distinct
+    * per doc). Shared verbatim by the batch audit and the streaming
+    * twin, so the two ingestion shapes can't drift. */
+  def contaminationHits(trainToks: DataFrame, gramIndex: DataFrame,
+                        k: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    trainToks
+      .select(col("doc_id").as("train_id"), explode(shingles(col("t"), k)).as("gram"))
+      .join(broadcast(gramIndex), Seq("gram"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** [[benchmarkDecontamination]] over caller-supplied PRE-TOKENIZED
     * (doc_id, t) train and eval frames — the library entry a real
     * pipeline calls with its actual benchmark suite. */
   def decontaminationAuditFor(trainToks: DataFrame, evalToks: DataFrame,
                               k: Int = 8): DataFrame = {
     import graft.functions.TextFunctions.shingles
-    val eg = evalToks
-      .select(col("doc_id").as("eval_id"), explode(shingles(col("t"), k)).as("gram"))
-    val tg = trainToks
-      .select(col("doc_id").as("train_id"), explode(shingles(col("t"), k)).as("gram"))
-    // distinct grams per doc on BOTH sides (shingles() distincts), so
-    // the pair count below is exactly |gram(eval) ∩ gram(train)|
-    val pairOverlap = tg.join(broadcast(eg), Seq("gram"))
-      .groupBy(col("eval_id"), col("train_id"))
-      .agg(count(lit(1)).as("n_overlap"))
+    val pairOverlap =
+      contaminationHits(trainToks, benchmarkGramIndex(evalToks, k), k)
     val perEval = pairOverlap.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("n_contaminated_train_docs"),
            max(col("n_overlap")).as("max_overlap_grams"))

@@ -273,6 +273,51 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     idx0.unpersist(); idx1.unpersist()
   }
 
+  test("streaming decontamination ≡ batch hits under any chunking (q72 twin)") {
+    import graft.streaming.Decontamination
+    import graft.functions.TextFunctions.tokens
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    // sf0.01: the sf0.001 corpus has NO natural 8-gram leakage across
+    // the hash split (verified), which would make the duality vacuous
+    val sfDecon = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables(spark, sfDecon, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("_eval", operators.Sampling.hashBucket(col("doc_id"), 10) === 0)
+    // feed = the q72 train split in 4 file-source micro-batches;
+    // index = the benchmark gram index, cached like a deployment would
+    docs.filter(!col("_eval")).select("doc_id", "text")
+      .withColumn("_chunk", pmod(col("doc_id"), lit(4)))
+      .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
+    val idx = Decontamination.index(
+      docs.filter(col("_eval")).select("doc_id", "text")).cache()
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/feed")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = Decontamination.start(stream, idx, (hits, _) =>
+      got.synchronized {
+        got ++= hits.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2)))
+      })
+    try q.processAllAvailable() finally q.stop()
+    val want = operators.Sampling.contaminationHits(
+      docs.filter(!col("_eval"))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 8), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    idx.unpersist()
+    assert(want.nonEmpty, "fixture should contain contaminated train docs")
+    assert(got.size == want.size,
+      s"stream emitted ${got.size} hits, batch has ${want.size}")
+    assert(got.toSet == want,
+      s"hit drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
+  }
+
   test("three-tier index refresh: classify → refreshed3 → next batch ≡ one-shot") {
     import graft.streaming.IncrementalDedup
     import graft.operators.Dedup
