@@ -1,0 +1,210 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** M12 — EXACT RBF-kernel SVM (binary), closing the recorded delta: the
+  * reference runs sklearn `SVC(kernel='rbf')` (`SVM.ipynb:~2584
+  * (cell 18)`), an exact kernel machine, while [[Approx.rbfSvc]] ships
+  * the random-Fourier-features approximation. This estimator solves the
+  * exact dual with SMO (Platt 1998, the algorithm behind libsvm/sklearn)
+  * and certifies its own optimality: [[KSvmModel.kktViolations]] checks
+  * the KKT conditions every dual optimum must satisfy, so the spec
+  * asserts optimality directly instead of trusting the optimizer.
+  *
+  * Scale contract, stated honestly: exact kernel SVM is Ω(n²) in both
+  * kernel evaluations and memory — sklearn hits the same wall, which is
+  * why its docs cap practical SVC at ~10⁴ rows. The FIT therefore
+  * collects a BOUNDED sample (`maxSamples`, deterministic hash order,
+  * default 2000 → a 32 MB kernel matrix) — the same sanctioned
+  * driver-bounded pattern as LOOCV/bootstrap — while SCORING stays
+  * fully distributed: the decision function is one codegen'd column
+  * expression over support-vector literals (the IVF-centroid-literal
+  * technique), so inference runs at 100 TB even though fitting is
+  * reference-scale. For corpus-scale TRAINING the RFF path remains the
+  * recorded substitute ([[Approx.rbfSvc]]/[[Approx.rbfSvcOvo]]).
+  */
+object KernelSvm {
+
+  /** Fitted exact-kernel machine. `svX`/`svAlphaY` hold the support
+    * vectors and their αᵢ·yᵢ (y ∈ {−1,+1}); labels map back to the
+    * caller's {0,1}. */
+  final case class KSvmModel(features: Seq[String],
+                             svX: Array[Array[Double]],
+                             svAlphaY: Array[Double],
+                             b: Double, gamma: Double,
+                             // full training copy for the KKT audit
+                             trainX: Array[Array[Double]],
+                             trainY: Array[Double],
+                             alphas: Array[Double], c: Double) {
+
+    /** f(x) = Σ αᵢyᵢ·exp(−γ‖x−xᵢ‖²) + b as ONE column expression over
+      * the raw feature columns — support vectors are literals, so the
+      * whole decision function whole-stage-codegens and inference never
+      * leaves Tungsten. Expression size is O(|SV|·p); for the
+      * driver-bounded fits this estimator accepts that is thousands of
+      * nodes, well inside codegen limits exercised by the spec. */
+    def decisionCol: Column = {
+      val terms = svX.indices.map { j =>
+        val sq = features.zipWithIndex.map { case (f, d) =>
+          val diff = col(f).cast("double") - lit(svX(j)(d))
+          diff * diff
+        }.reduce(_ + _)
+        lit(svAlphaY(j)) * exp(lit(-gamma) * sq)
+      }
+      terms.reduce(_ + _) + lit(b)
+    }
+
+    /** Predicted label in the caller's {0.0, 1.0} coding. */
+    def predictCol: Column = when(decisionCol > 0, 1.0).otherwise(0.0)
+
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn("decision", decisionCol)
+        .withColumn("prediction", predictCol)
+
+    /** Count of KKT violations at tolerance ε over the TRAINING set —
+      * the dual-optimality certificate: αᵢ=0 ⇒ yᵢf(xᵢ) ≥ 1−ε;
+      * 0<αᵢ<C ⇒ |yᵢf(xᵢ)−1| ≤ ε; αᵢ=C ⇒ yᵢf(xᵢ) ≤ 1+ε. A correct
+      * SMO run returns 0. Driver arithmetic over the bounded sample. */
+    def kktViolations(eps: Double = 1e-3): Int = {
+      def f(x: Array[Double]): Double =
+        svX.indices.map { j =>
+          var s = 0.0
+          var d = 0
+          while (d < x.length) {
+            val diff = x(d) - svX(j)(d); s += diff * diff; d += 1
+          }
+          svAlphaY(j) * math.exp(-gamma * s)
+        }.sum + b
+      trainX.indices.count { i =>
+        val m = trainY(i) * f(trainX(i))
+        val a = alphas(i)
+        if (a <= eps * c) m < 1 - eps * 10
+        else if (a >= c * (1 - eps)) m > 1 + eps * 10
+        else math.abs(m - 1) > eps * 10
+      }
+    }
+  }
+
+  /** Fit on a bounded, DETERMINISTIC sample of `df` (smallest md5-hash
+    * rows of the feature/label tuple — stable across runs and partition
+    * layouts, like every split rule in this engine). `labelCol` is
+    * {0,1}; `gamma` is the RBF width (sklearn's `gamma`). */
+  def fit(df: DataFrame, labelCol: String, features: Seq[String],
+          c: Double = 1.0, gamma: Double = 1.0, maxSamples: Int = 2000,
+          tol: Double = 1e-3, maxPasses: Int = 10): KSvmModel = {
+    val cols = features.map(f => col(f).cast("double")) :+
+      col(labelCol).cast("double")
+    val rows = df.select(cols: _*)
+      .withColumn("_h", md5(concat_ws("|", cols: _*)))
+      .orderBy(col("_h")).limit(maxSamples)
+      .drop("_h").collect()
+    val n = rows.length
+    require(n >= 2, "kernel SVM needs at least two rows")
+    val p = features.size
+    val x = Array.tabulate(n)(i => Array.tabulate(p)(d => rows(i).getDouble(d)))
+    val y = Array.tabulate(n)(i => if (rows(i).getDouble(p) > 0.5) 1.0 else -1.0)
+    require(y.exists(_ > 0) && y.exists(_ < 0),
+      "kernel SVM needs both classes in the sample")
+
+    // full kernel matrix: n ≤ maxSamples by construction (the Ω(n²)
+    // memory IS the reason this estimator is driver-bounded)
+    val k = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) {
+        var s = 0.0
+        var d = 0
+        while (d < p) { val diff = x(i)(d) - x(j)(d); s += diff * diff; d += 1 }
+        val v = math.exp(-gamma * s)
+        k(i)(j) = v; k(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+
+    // simplified SMO (Platt) with an INCREMENTALLY maintained decision
+    // array: fArr(i) = Σ αⱼyⱼK(i,j) + b, updated in O(n) after each
+    // successful (α₁, α₂, b) step — the second-choice scan then reads
+    // cached errors instead of recomputing f per candidate (which would
+    // make a sweep O(n³); n = 2000 needs O(n²) sweeps to be practical)
+    val alpha = Array.fill(n)(0.0)
+    var b = 0.0
+    val fArr = Array.fill(n)(0.0) // all α start at 0 ⇒ f = b = 0
+    var passes = 0
+    while (passes < maxPasses) {
+      var changed = 0
+      var i1 = 0
+      while (i1 < n) {
+        val e1 = fArr(i1) - y(i1)
+        if ((y(i1) * e1 < -tol && alpha(i1) < c) ||
+            (y(i1) * e1 > tol && alpha(i1) > 0)) {
+          // one (i1, i2) optimization attempt; true iff α moved
+          def tryPair(i2: Int): Boolean = {
+            if (i2 == i1) return false
+            val e2 = fArr(i2) - y(i2)
+            val (aOld1, aOld2) = (alpha(i1), alpha(i2))
+            val (lo, hi) =
+              if (y(i1) != y(i2))
+                (math.max(0.0, aOld2 - aOld1), math.min(c, c + aOld2 - aOld1))
+              else
+                (math.max(0.0, aOld1 + aOld2 - c), math.min(c, aOld1 + aOld2))
+            val eta = 2 * k(i1)(i2) - k(i1)(i1) - k(i2)(i2)
+            if (lo >= hi || eta >= 0) return false
+            var a2 = aOld2 - y(i2) * (e1 - e2) / eta
+            a2 = math.max(lo, math.min(hi, a2))
+            if (math.abs(a2 - aOld2) <= 1e-7) return false
+            val a1 = aOld1 + y(i1) * y(i2) * (aOld2 - a2)
+            alpha(i1) = a1; alpha(i2) = a2
+            val bOld = b
+            val b1 = b - e1 - y(i1) * (a1 - aOld1) * k(i1)(i1) -
+              y(i2) * (a2 - aOld2) * k(i1)(i2)
+            val b2 = b - e2 - y(i1) * (a1 - aOld1) * k(i1)(i2) -
+              y(i2) * (a2 - aOld2) * k(i2)(i2)
+            b = if (a1 > 0 && a1 < c) b1
+                else if (a2 > 0 && a2 < c) b2
+                else (b1 + b2) / 2
+            // O(n) decision refresh for the two changed multipliers
+            val d1 = y(i1) * (a1 - aOld1)
+            val d2 = y(i2) * (a2 - aOld2)
+            val db = b - bOld
+            var t = 0
+            while (t < n) {
+              fArr(t) += d1 * k(i1)(t) + d2 * k(i2)(t) + db
+              t += 1
+            }
+            true
+          }
+          // Platt's second-choice ladder, deterministically: the
+          // max-|E1−E2| candidate first, then every index in order —
+          // a max-gap-only rule stalls when its pair is ineligible
+          // (η ≥ 0 or a degenerate box), leaving KKT violations stuck
+          var i2 = -1
+          var best = -1.0
+          var j = 0
+          while (j < n) {
+            if (j != i1) {
+              val gap = math.abs(e1 - (fArr(j) - y(j)))
+              if (gap > best + 1e-15) { best = gap; i2 = j }
+            }
+            j += 1
+          }
+          var moved = tryPair(i2)
+          j = 0
+          while (!moved && j < n) { moved = tryPair(j); j += 1 }
+          if (moved) changed += 1
+        }
+        i1 += 1
+      }
+      // standard simplified-SMO convergence rule: stop after maxPasses
+      // consecutive sweeps with no α update; any change resets the count
+      passes = if (changed == 0) passes + 1 else 0
+    }
+
+    val svIdx = alpha.indices.filter(alpha(_) > 1e-9).toArray
+    KSvmModel(features,
+      svIdx.map(x(_)), svIdx.map(i0 => alpha(i0) * y(i0)), b, gamma,
+      x, y, alpha, c)
+  }
+}

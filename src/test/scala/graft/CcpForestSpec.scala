@@ -270,6 +270,58 @@ class CcpForestSpec extends AnyFunSuite {
     rings.unpersist()
   }
 
+  test("exact RBF-kernel SVM: rings separated, KKT-certified optimal, codegen scoring (M12 exact)") {
+    // two concentric rings — radially separable ONLY through the kernel
+    def ring(n: Int, r: Double, seed: Int, label: Double): DataFrame = {
+      val angle = rand(seed) * 2 * math.Pi
+      spark.range(n).select(
+        (cos(angle) * r + randn(seed + 100) * 0.15).as("f1"),
+        (sin(angle) * r + randn(seed + 200) * 0.15).as("f2"),
+        lit(label).as("label"))
+    }
+    val rings = ring(150, 0.8, 80, 1.0).unionByName(ring(150, 2.6, 81, 0.0))
+      .cache()
+    val m = KernelSvm.fit(rings, "label", Seq("f1", "f2"),
+      c = 10.0, gamma = 1.0, maxSamples = 300)
+    // the dual-optimality certificate: zero KKT violations means SMO
+    // actually solved the exact problem, not "converged somewhere"
+    assert(m.kktViolations() == 0,
+      s"${m.kktViolations()} KKT violations — SMO did not reach the optimum")
+    // non-linear separation through the exact kernel
+    val pred = m.transform(rings)
+    val acc = pred.filter(col("prediction") === col("label")).count().toDouble /
+      pred.count()
+    assert(acc > 0.97, s"exact-kernel accuracy=$acc")
+    // ... where a LINEAR machine cannot get off the ground
+    val lin = Models.linearSvc("label", c = 10.0, n = 300).fit(
+      Features.assemble(rings, Seq("f1", "f2"), "features"))
+    val linAcc = lin.transform(Features.assemble(rings, Seq("f1", "f2"), "features"))
+      .filter(col("prediction") === col("label")).count().toDouble / 300
+    assert(linAcc < 0.75, s"rings should defeat a linear SVM, acc=$linAcc")
+    // codegen'd column scoring ≡ the driver-side decision function
+    val viaColumn = pred.select(col("f1"), col("f2"), col("decision"))
+      .collect()
+    viaColumn.take(25).foreach { r =>
+      val x = Array(r.getDouble(0), r.getDouble(1))
+      val driver = m.svX.indices.map { j =>
+        val s = x.indices.map(d => (x(d) - m.svX(j)(d)) * (x(d) - m.svX(j)(d))).sum
+        m.svAlphaY(j) * math.exp(-m.gamma * s)
+      }.sum + m.b
+      assert(math.abs(driver - r.getDouble(2)) < 1e-8,
+        s"column decision ${r.getDouble(2)} vs driver $driver")
+    }
+    // deterministic: the bounded sample is hash-ordered, so a refit is
+    // bit-identical (support count, bias, multipliers)
+    val m2 = KernelSvm.fit(rings, "label", Seq("f1", "f2"),
+      c = 10.0, gamma = 1.0, maxSamples = 300)
+    assert(m2.b == m.b && m2.alphas.sameElements(m.alphas))
+    // bounded-sample contract: a cap below n still fits and certifies
+    val mSmall = KernelSvm.fit(rings, "label", Seq("f1", "f2"),
+      c = 10.0, gamma = 1.0, maxSamples = 120)
+    assert(mSmall.trainX.length == 120 && mSmall.kktViolations() == 0)
+    rings.unpersist()
+  }
+
   test("unigram LM scoring: common-token docs outscore rare-token docs (q59)") {
     val lm = operators.TextOps.unigramLmScore(spark, sf).cache()
     // every doc: negative log-probs, min ≤ avg, token count matches the
