@@ -207,4 +207,47 @@ object KernelSvm {
       svIdx.map(x(_)), svIdx.map(i0 => alpha(i0) * y(i0)), b, gamma,
       x, y, alpha, c)
   }
+
+  /** Exact-kernel ONE-VS-ONE multiclass — sklearn `SVC`'s actual
+    * multiclass strategy over the exact dual (completing M12's exact
+    * surface; [[Approx.rbfSvcOvo]] is the RFF twin). k(k−1)/2 binary
+    * fits, each on that pair's rows (driver-bounded like [[fit]]);
+    * scoring is pure column arithmetic — every pairwise decision is a
+    * support-vector-literal expression, votes argmax with ties → lowest
+    * class index (sklearn's convention). Returns a scorer that adds
+    * `prediction` and drops its scratch columns. */
+  def fitOvo(train: DataFrame, labelCol: String, features: Seq[String],
+             c: Double = 1.0, gamma: Double = 1.0,
+             maxSamples: Int = 2000): DataFrame => DataFrame = {
+    val classes = train.select(col(labelCol).cast("double"))
+      .distinct().collect().map(_.getDouble(0)).sorted
+    require(classes.length >= 2,
+      s"one-vs-one needs ≥ 2 classes, got ${classes.length}")
+    val pairs = for {
+      i <- classes.indices
+      j <- i + 1 until classes.length
+    } yield (i, j)
+    val models = pairs.map { case (i, j) =>
+      val sub = train.filter(col(labelCol).isin(classes(i), classes(j)))
+        .withColumn("_bl", (col(labelCol) === classes(j)).cast("double"))
+      (i, j) -> fit(sub, "_bl", features, c, gamma, maxSamples)
+    }
+    (score: DataFrame) => {
+      val scored = models.foldLeft(score) { case (acc, ((i, j), m)) =>
+        acc.withColumn(s"_ovo_p_${i}_$j", m.predictCol)
+      }
+      val votes: Seq[Column] = classes.indices.map { cc =>
+        pairs.map { case (i, j) =>
+          if (i == cc) when(col(s"_ovo_p_${i}_$j") === 0.0, 1).otherwise(0)
+          else if (j == cc) when(col(s"_ovo_p_${i}_$j") === 1.0, 1).otherwise(0)
+          else lit(0)
+        }.reduce(_ + _)
+      }
+      val voteArr = array(votes: _*)
+      val idx = array_position(voteArr, array_max(voteArr))
+      val out = scored.withColumn("prediction",
+        element_at(lit(classes), idx.cast("int")))
+      pairs.foldLeft(out) { case (acc, (i, j)) => acc.drop(s"_ovo_p_${i}_$j") }
+    }
+  }
 }

@@ -322,6 +322,31 @@ class CcpForestSpec extends AnyFunSuite {
     rings.unpersist()
   }
 
+  test("exact-kernel OVO separates 3 concentric rings (M12 exact multiclass)") {
+    def ring(n: Int, r: Double, seed: Int, label: Double): DataFrame = {
+      val angle = rand(seed) * 2 * math.Pi
+      spark.range(n).select(
+        (cos(angle) * r + randn(seed + 100) * 0.15).as("f1"),
+        (sin(angle) * r + randn(seed + 200) * 0.15).as("f2"),
+        lit(label).as("label"))
+    }
+    val rings = ring(100, 0.6, 90, 0.0)
+      .unionByName(ring(100, 2.0, 91, 1.0))
+      .unionByName(ring(100, 3.6, 92, 2.0)).cache()
+    val scorer = KernelSvm.fitOvo(rings, "label", Seq("f1", "f2"),
+      c = 10.0, gamma = 1.0)
+    val pred = scorer(rings)
+    val acc = pred.filter(col("prediction") === col("label")).count().toDouble /
+      pred.count()
+    assert(acc > 0.95, s"exact OVO accuracy=$acc")
+    val preds = pred.select(col("prediction")).distinct()
+      .as[Double].collect().toSet
+    assert(preds.subsetOf(Set(0.0, 1.0, 2.0)), s"labels $preds")
+    assert(!pred.columns.exists(_.startsWith("_ovo_")),
+      pred.columns.mkString(","))
+    rings.unpersist()
+  }
+
   test("unigram LM scoring: common-token docs outscore rare-token docs (q59)") {
     val lm = operators.TextOps.unigramLmScore(spark, sf).cache()
     // every doc: negative log-probs, min ≤ avg, token count matches the
