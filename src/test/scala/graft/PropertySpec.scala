@@ -191,4 +191,69 @@ class PropertySpec extends AnyFunSuite {
       math.floor(x.toDouble / w).toLong != (x - math.floorMod(x, w)) / w
     }, "fixture no longer exercises the 2^52 double hazard")
   }
+
+  test("normalizeUrl properties over generated URLs (q71)") {
+    import graft.functions.TextFunctions.normalizeUrl
+    // URL generator spanning the normalizer's whole rule surface:
+    // scheme/host case, optional www., default/real/absent ports,
+    // path depth + trailing slashes, shuffled params incl. utm_*,
+    // optional fragments
+    val scheme = Gen.oneOf("http", "https", "HTTP", "Https", "HtTpS")
+    val hostCore = for {
+      a <- Gen.nonEmptyListOf(Gen.alphaChar).map(_.take(6).mkString)
+      b <- Gen.oneOf("com", "org", "NET")
+    } yield s"$a.example.$b"
+    val www = Gen.oneOf("", "www.", "WWW.", "WwW.")
+    val port = Gen.oneOf("", ":80", ":443", ":8080", ":9999")
+    val seg = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(5).mkString)
+    val path = for {
+      segs <- Gen.listOf(seg).map(_.take(3))
+      slash <- Gen.oneOf("", "/", "//")
+    } yield (if (segs.isEmpty) "" else segs.mkString("/", "/", "")) + slash
+    val param = for {
+      k <- Gen.oneOf("a", "b", "zz", "utm_source", "utm_x")
+      v <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(4).mkString)
+    } yield s"$k=$v"
+    val query = Gen.listOf(param).map(_.take(4))
+      .map(ps => if (ps.isEmpty) "" else ps.mkString("?", "&", ""))
+    val frag = Gen.oneOf("", "#x", "#sec-2")
+    val url = for {
+      s0 <- scheme; w0 <- www; h <- hostCore; p0 <- port
+      pa <- path; q <- query; f <- frag
+    } yield s"$s0://$w0$h$p0$pa$q$f"
+
+    def norm(us: Seq[String]): Seq[String] =
+      us.toDF("url").select(normalizeUrl(col("url"))).as[String].collect().toSeq
+
+    forAll(Gen.listOfN(8, url).map(_.distinct)) { us0 =>
+      val us = us0.filter(_.nonEmpty)
+      if (us.nonEmpty) {
+        val once = norm(us)
+        // idempotence: a canonical URL is its own canonical form
+        assert(norm(once) == once, s"not idempotent on $us -> $once")
+        once.zip(us).foreach { case (n, u) =>
+          // invariants every canonical form must satisfy
+          assert(n == n.toLowerCase.take(n.indexOf("://") + 3) +
+            n.drop(n.indexOf("://") + 3), s"scheme not lowered: $u -> $n")
+          assert(!n.contains("#"), s"fragment survived: $u -> $n")
+          assert(!n.contains("utm_"), s"tracking param survived: $u -> $n")
+          assert(!n.matches("^https?://www\\..*"), s"www survived: $u -> $n")
+          assert(!n.matches("^http://[^/]*:80(/.*)?$") &&
+                 !n.matches("^https://[^/]*:443(/.*)?$"),
+            s"default port survived: $u -> $n")
+          // case-insensitivity of scheme+authority: uppercasing them in
+          // the INPUT never changes the canonical form
+          val schemeEnd = u.indexOf("://") + 3
+          val authEnd0 = u.indexOf('/', schemeEnd)
+          val authEnd = if (authEnd0 < 0) {
+            val qPos = u.indexOf('?', schemeEnd)
+            if (qPos < 0) u.length else qPos
+          } else authEnd0
+          val shouted = u.substring(0, authEnd).toUpperCase + u.substring(authEnd)
+          assert(norm(Seq(shouted)).head == n,
+            s"authority case changed the canonical form: $shouted vs $u")
+        }
+      }
+    }
+  }
 }
