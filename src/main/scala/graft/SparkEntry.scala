@@ -92,6 +92,7 @@ object SparkEntry {
     "q70_embedding_clusters" -> ((s: SparkSession, d: String) => Dedup.embeddingDedupClusters(s, d)),
     "q71_url_dedup"         -> Dedup.urlNormalizedDedup _,
     "q72_decontamination"   -> ((s: SparkSession, d: String) => Sampling.benchmarkDecontamination(s, d)),
+    "q73_image_neardup"     -> ((s: SparkSession, d: String) => Multimodal.imageNearDupPairs(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1043,6 +1044,73 @@ object SparkEntry {
              coalesce(pe.max_overlap_grams, 0) AS max_overlap_grams
       FROM en LEFT JOIN pe ON en.eval_id = pe.eval_id
       ORDER BY en.eval_id""",
+
+    // q73: the oracle replays the perceptual pipeline from the fixture
+    // formulas WITHOUT decoding (the q61/q63/q64 technique): splitmix in
+    // HUGEINT for the per-base pattern params and per-pixel noise, the
+    // resolution-normalized triangle pattern, 9x8 pooled block sums
+    // compared by integer cross-multiplication, 64-bit pack converted
+    // HUGEINT -> signed BIGINT to match the engine's Long bit pattern,
+    // then the same 8x8-bit banding and hamming filter.
+    "q73_image_neardup" -> s"""
+      WITH im AS (SELECT doc_id AS id,
+                    (doc_id % 8) * 16 + 32 AS w, (doc_id % 8) * 9 + 18 AS h,
+                    (doc_id // 3) % 21 AS base
+                  FROM documents WHERE doc_id % 3 = 0),
+      bb AS (SELECT DISTINCT base FROM im),
+      ${sqlMixCtes("pa", "bb", "base", "base * 3 + 1")},
+      ${sqlMixCtes("pb", "bb", "base", "base * 3 + 2")},
+      ${sqlMixCtes("pc", "bb", "base", "base * 3 + 3")},
+      pr AS (SELECT im.id, im.w, im.h,
+               1 + CAST(pa.z % 5 AS BIGINT) AS a,
+               1 + CAST(pb.z % 5 AS BIGINT) AS b,
+               CAST(pc.z % 512 AS BIGINT) AS c
+             FROM im
+             JOIN paz pa ON pa.base = im.base
+             JOIN pbz pb ON pb.base = im.base
+             JOIN pcz pc ON pc.base = im.base),
+      px0 AS (SELECT id, w, h, a, b, c,
+                unnest(generate_series(0, w - 1)) AS x FROM pr),
+      px AS (SELECT id, w, h, a, b, c, x,
+               unnest(generate_series(0, h - 1)) AS y FROM px0),
+      ${sqlMixCtes("n", "px", "id, w, h, a, b, c, x, y",
+                   "id * 1000003 + y * w + x")},
+      pv AS (SELECT id, w, h, x, y,
+               a * ((x * 512) // w) + b * ((y * 512) // h) + c +
+                 CAST(z % 4 AS BIGINT) AS arg
+             FROM nz),
+      gv AS (SELECT id, w, h, x, y,
+               CASE WHEN arg % 512 < 256 THEN arg % 512
+                    ELSE 511 - (arg % 512) END AS v
+             FROM pv),
+      bl AS (SELECT id, (x * 9) // w AS gx, (y * 8) // h AS gy,
+               CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+             FROM gv GROUP BY 1, 2, 3),
+      bits AS (SELECT l.id, l.gy * 8 + l.gx AS k,
+                 CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
+               FROM bl l JOIN bl r
+                 ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+               WHERE l.gx < 8),
+      hu AS (SELECT id, CAST(sum(CAST(bit AS HUGEINT) *
+                 (CAST(1 AS HUGEINT) << CAST(k AS INT))) AS HUGEINT) AS hraw
+             FROM bits GROUP BY 1),
+      hs AS (SELECT id,
+               CAST(CASE WHEN hraw >= 9223372036854775808
+                         THEN hraw - 18446744073709551616
+                         ELSE hraw END AS BIGINT) AS dhash
+             FROM hu),
+      banded AS (SELECT id, dhash, b AS band, (dhash >> (b * 8)) & 255 AS key
+                 FROM hs, (SELECT unnest(generate_series(0, 7)) AS b)),
+      cand AS (SELECT DISTINCT x.id AS img_a, y.id AS img_b
+               FROM banded x JOIN banded y
+                 ON x.band = y.band AND x.key = y.key AND x.id < y.id)
+      SELECT c.img_a, c.img_b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN hs a ON a.id = c.img_a
+      JOIN hs b ON b.id = c.img_b
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+      ORDER BY img_a, img_b""",
 
     // Mirrors conversionFunnel: identical strictly-earlier running
     // windows over the same (ts, event_id) total order, identical

@@ -49,8 +49,10 @@ object Multimodal {
   object MediaCodec {
     ImageIO.setUseCache(false) // in-memory PNG io; no temp-file per call
 
-    /** splitmix64-style finalizer: deterministic pixel/sample source. */
-    private def mix(s: Long): Long = {
+    /** splitmix64-style finalizer: deterministic pixel/sample source.
+      * Package-visible: the q73 fixture derives its pattern params and
+      * pixel noise from the same family the oracle emulates. */
+    private[operators] def mix(s: Long): Long = {
       var z = s + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -126,6 +128,92 @@ object Multimodal {
         f += 1
       }
       bb.array
+    }
+
+    // ---- q73 fixture: perceptual near-dup image family ----
+    // Same-base images share ONE resolution-normalized pattern (a
+    // triangle wave over a*u + b*v + c with u = x·512/w, v = y·512/h —
+    // the argument spans the same range at every resolution, so the
+    // POOLED 9×8 grid is dimension-invariant up to integer
+    // discretization) plus per-pixel ±3 argument noise per image id.
+    // Same base ⇒ dHash hamming ~0-4 across ANY dims; different base ⇒
+    // uncorrelated (~32). All integer arithmetic on the unsigned mix
+    // value, mirrored digit-for-digit in the q73 DuckDB oracle.
+    def nearDupImageBase(id: Long): Long = (id / 3) % 21
+
+    private def triWave(arg: Long): Int = {
+      val m = (arg % 512).toInt
+      if (m < 256) m else 511 - m
+    }
+
+    /** Grayscale value of pixel (x, y) of image `id` — the q73 camera
+      * formula (public: the spec's brute-force twin reads it too). */
+    def nearDupPixel(id: Long, w: Int, h: Int, x: Int, y: Int): Int = {
+      val base = nearDupImageBase(id)
+      val a = 1 + java.lang.Long.remainderUnsigned(mix(base * 3 + 1), 5)
+      val b = 1 + java.lang.Long.remainderUnsigned(mix(base * 3 + 2), 5)
+      val c = java.lang.Long.remainderUnsigned(mix(base * 3 + 3), 512)
+      val noise = java.lang.Long.remainderUnsigned(
+        mix(id * 1000003L + y.toLong * w + x), 4)
+      triWave(a * (x.toLong * 512 / w) + b * (y.toLong * 512 / h) + c + noise)
+    }
+
+    /** Real PNG bytes for the near-dup family (same encoder as
+      * [[pngFor]]; gray pixels r=g=b). */
+    def pngNearFor(id: Long): Array[Byte] = {
+      val w = imageWidth(id); val h = imageHeight(id)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = nearDupPixel(id, w, h, x, y)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** 64-bit difference hash (dHash) of a decoded image: average-pool
+      * the grayscale raster onto a 9×8 grid (pixel→block map
+      * gx = x·9/w, gy = y·8/h — no empty blocks for w ≥ 9, h ≥ 8),
+      * bit(gy·8+gx) = 1 iff mean(gx+1, gy) > mean(gx, gy), compared by
+      * integer CROSS-MULTIPLICATION (s₂·n₁ > s₁·n₂) so the bits are
+      * exact and the DuckDB oracle reproduces them without floats. */
+    def dHash64(img: BufferedImage): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      require(w >= 9 && h >= 8, s"dHash needs >= 9x8 pixels, got ${w}x$h")
+      val sums = Array.ofDim[Long](9, 8)
+      val counts = Array.ofDim[Long](9, 8)
+      var y = 0
+      while (y < h) {
+        val gy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val gx = x * 9 / w
+          sums(gx)(gy) += (img.getRGB(x, y) & 0xff).toLong
+          counts(gx)(gy) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (sums(gx + 1)(gy) * counts(gx)(gy) >
+              sums(gx)(gy) * counts(gx + 1)(gy))
+            hash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
     }
 
     case class Decoded(width: Int, height: Int, durationMs: Int,
@@ -451,6 +539,57 @@ object Multimodal {
         f.frame_bytes.length.toLong, polyChecksum(f.frame_bytes)))
       .toDF("media_id", "frame_idx", "offset_ms", "n_bytes", "checksum")
       .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** q73 — PERCEPTUAL image near-dup pairs: dedup extended to the
+    * image modality. Each image id's real PNG payload (the q73 fixture
+    * family, [[MediaCodec.pngNearFor]]) is DECODED FROM BYTES ALONE,
+    * reduced to a 64-bit difference hash ([[MediaCodec.dHash64]]:
+    * 9×8 average-pooled grid, adjacent-block comparisons — robust to
+    * resolution changes and small pixel edits, the property
+    * content-hash dedup lacks for images), banded 8×8 bits, and pairs
+    * with Hamming distance ≤ `maxHamming` are emitted.
+    *
+    * Scale shape: hashing is one decoder pass per partition (bytes
+    * never shuffle — only the 8-byte hash does); the candidate join is
+    * band-keyed, never all-pairs; and for maxHamming ≤ 7 the 8-band
+    * split is EXACT by pigeonhole (two hashes differing in ≤ 7 bits
+    * must agree on one of 8 disjoint bytes), so the banding is a pure
+    * optimization with zero recall trade — the spec proves equality
+    * with the brute-force O(n²) scan. The oracle replays the whole
+    * path from the fixture formulas (splitmix in HUGEINT, triangle
+    * pattern, integer cross-multiplied pooled comparisons) without
+    * decoding, exactly like q61/q63/q64. */
+  def imageNearDupPairs(s: SparkSession, dir: String,
+                        maxHamming: Int = 6): DataFrame = {
+    import s.implicits._
+    val ids = graft.sources.Tables.spread(
+      graft.sources.Tables(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(3)) === 0),
+      col("doc_id")).as[Long]
+    // encode + decode + hash in one per-partition pass: the payload is
+    // born and dies inside the task; only (id, hash) ever moves
+    val hashes = Caches.track(ids.mapPartitions { it =>
+      it.map { id =>
+        val bytes = MediaCodec.pngNearFor(id) // the camera
+        val img = ImageIO.read(new ByteArrayInputStream(bytes)) // bytes alone
+        require(img != null, s"media_id=$id: undecodable PNG")
+        (id, MediaCodec.dHash64(img))
+      }
+    }.toDF("media_id", "dhash"))
+    val banded = hashes.select(col("media_id"), col("dhash"),
+        explode(Dedup.sketchBandStructs(col("dhash"), 64, 8)).as("b"))
+      .select(col("media_id"), col("dhash"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("img_a"), col("b.media_id").as("img_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("img_a"), col("img_b"))
   }
 
   /** q64 — audio feature audit: [[extractFeatures]] over the real WAV

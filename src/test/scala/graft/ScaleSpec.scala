@@ -239,8 +239,10 @@ class ScaleSpec extends AnyFunSuite {
     // mean the grid key fell out of the join condition
     // q69's prefix/size/hash-prune stages and q70's cluster tail must
     // stay equi-keyed for the same reason
+    // q73's dHash band join belongs here too: image payloads must never
+    // meet in an all-pairs shape — only 8-byte hashes on band keys
     Seq("q26_ngram_jaccard", "q43_embedding_dedup", "q57_range_join",
-        "q69_prefix_join", "q70_embedding_clusters")
+        "q69_prefix_join", "q70_embedding_clusters", "q73_image_neardup")
       .foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString

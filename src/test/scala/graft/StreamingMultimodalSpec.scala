@@ -273,6 +273,42 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     idx0.unpersist(); idx1.unpersist()
   }
 
+  test("image near-dup: banding ≡ brute force, resolution-invariant, base-precise (q73)") {
+    import graft.operators.Multimodal.MediaCodec
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    val spark2 = spark
+    import spark2.implicits._
+    val got = operators.Multimodal.imageNearDupPairs(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    operators.Caches.release()
+    spark.catalog.clearCache()
+    // driver brute force through the SAME camera → decode → hash path
+    val imgIds = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id").as[Long].collect().filter(_ % 3 == 0).sorted
+    val hashes = imgIds.map(id => id -> MediaCodec.dHash64(
+      ImageIO.read(new ByteArrayInputStream(MediaCodec.pngNearFor(id))))).toMap
+    val brute = (for {
+      a <- imgIds; b <- imgIds if a < b
+      hd = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if hd <= 6
+    } yield (a, b, hd.toLong)).toSet
+    assert(brute.nonEmpty, "fixture must contain perceptual near-dups")
+    // 8 disjoint bytes + hamming ≤ 6 < 8 ⇒ pigeonhole: the banded join
+    // is EXACT, not approximate — full equality, no recall slack
+    assert(got == brute,
+      s"banded-only=${got -- brute} brute-only=${brute -- got}")
+    // resolution invariance: pairs span DIFFERENT image dimensions
+    // (id mod 8 drives w/h) — the pooled hash, not the raster, matches
+    assert(got.exists { case (a, b, _) => a % 8 != b % 8 },
+      "expected near-dup pairs across different resolutions")
+    // precision: pattern-base groups dominate the pair set (cross-base
+    // collisions are possible but must be rare)
+    val sameBase = got.count { case (a, b, _) =>
+      MediaCodec.nearDupImageBase(a) == MediaCodec.nearDupImageBase(b) }
+    assert(sameBase.toDouble / got.size > 0.9,
+      s"only $sameBase/${got.size} pairs share a pattern base")
+  }
+
   test("streaming decontamination ≡ batch hits under any chunking (q72 twin)") {
     import graft.streaming.Decontamination
     import graft.functions.TextFunctions.tokens
