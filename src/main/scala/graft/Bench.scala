@@ -15,8 +15,7 @@ object Bench {
                               gcMs: Vector[Long] = Vector.empty,
                               retried: Int = 0) {
     val failed: Boolean = reps.contains(-1.0)
-    val median: Double =
-      if (failed) -1.0 else reps.sorted.apply((reps.size - 1) / 2)
+    val median: Double = if (failed) -1.0 else Bench.medianOf(reps)
     val min: Double = if (failed) -1.0 else reps.min
     val max: Double = if (failed) -1.0 else reps.max
     /** Rep spread = max/min. On a quiet box warm reps of the same query in
@@ -38,6 +37,19 @@ object Bench {
   val SuspectRatio = 2.0
   val SuspectAbsGapSec = 0.5
 
+  /** Averaged median: the mean of the two middle elements on even-length
+    * vectors. The previous lower-middle convention let ONE fast adaptive
+    * extra rep flip a retried query's reported median to the
+    * minimum-side value — a one-sided re-rep policy plus a lower-middle
+    * median is a systematic downward bias on exactly the queries the
+    * retry machinery touches. The averaged form is unbiased under
+    * either-direction extras and identical on odd counts. */
+  def medianOf(xs: Vector[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   /** The external-load signature that triggers an ADAPTIVE RE-REP: the
     * median is >3× the fastest rep AND some rep above that 3× line
     * carries near-zero GC for its excess (<10% of the extra wall time) —
@@ -54,16 +66,21 @@ object Bench {
     if (ok.size < 2) return false
     val ws = ok.map(_._1)
     val mn = ws.min
+    // deliberately the LOWER-middle (not the averaged medianOf): the
+    // trigger stays conservative — with only two surviving reps the
+    // lower-middle IS the min, so failed-rep patterns can never fire a
+    // re-rep on the strength of a single slow survivor
     val median = ws.sorted.apply((ws.size - 1) / 2)
     mn > 0.0 && median > 3.0 * mn &&
       ok.exists { case (w, gc) => w > 3.0 * mn && gc < 100.0 * (w - mn) }
   }
   val MaxExtraReps = 2
 
-  /** The adaptive re-rep loop, pure so the wiring is spec-testable with
-    * a scripted rep runner: append up to [[MaxExtraReps]] extra reps
-    * while the accumulated pattern still shows [[loadContended]]'s
-    * external-load signature. Returns (all reps in run order, extras
+  /** The adaptive re-rep step, pure so the wiring is spec-testable with
+    * a scripted rep runner: when the initial pattern shows
+    * [[loadContended]]'s external-load signature, append ALL
+    * [[MaxExtraReps]] extra reps (keeping the rep count odd — see the
+    * bias note inside). Returns (all reps in run order, extras
     * executed). Transient contention: extras come in fast and pull the
     * median back to the engine's number. Sustained contention: extras
     * stay slow, the median stays (honestly) high, and the suspect flag
@@ -72,10 +89,17 @@ object Bench {
                    runRep: () => (Double, Long)): (Vector[(Double, Long)], Int) = {
     var timed = initial
     var extras = 0
-    while (extras < MaxExtraReps &&
-           loadContended(timed.map(_._1), timed.map(_._2))) {
-      timed :+= runRep()
-      extras += 1
+    // Once the signature fires, run BOTH extras unconditionally (r10
+    // change): a stop-when-repaired loop added extras only on the slow
+    // side, so with an even rep count a single fast extra could flip the
+    // reported median to the minimum-side value — a systematic downward
+    // bias on exactly the retried queries. 3 initial + 2 extras = an odd
+    // count, where the median is one real rep, unambiguous either way.
+    if (loadContended(timed.map(_._1), timed.map(_._2))) {
+      while (extras < MaxExtraReps) {
+        timed :+= runRep()
+        extras += 1
+      }
     }
     (timed, extras)
   }

@@ -52,7 +52,11 @@ object KernelSvm {
         }.reduce(_ + _)
         lit(svAlphaY(j)) * exp(lit(-gamma) * sq)
       }
-      terms.reduce(_ + _) + lit(b)
+      // lit(b) is the FOLD SEED, not an appended term: a degenerate fit
+      // with zero support vectors (all-duplicate conflicting labels make
+      // η = 0 for every pair, so no α ever moves) must degrade to
+      // f(x) = b instead of throwing on an empty reduce
+      terms.foldLeft(lit(b))(_ + _)
     }
 
     /** Predicted label in the caller's {0.0, 1.0} coding. */
@@ -133,7 +137,16 @@ object KernelSvm {
     var b = 0.0
     val fArr = Array.fill(n)(0.0) // all α start at 0 ⇒ f = b = 0
     var passes = 0
-    while (passes < maxPasses) {
+    // hard cap on TOTAL sweeps: `passes` resets on any α change, so
+    // maxPasses alone only bounds consecutive no-change sweeps —
+    // numerically slow-converging data could spin the O(n²) sweep loop
+    // indefinitely. 100·maxPasses sweeps is far beyond practical
+    // convergence; hitting it leaves a (spec-auditable) kktViolations>0
+    // model rather than a hang.
+    val maxSweeps = 100 * maxPasses
+    var sweeps = 0
+    while (passes < maxPasses && sweeps < maxSweeps) {
+      sweeps += 1
       var changed = 0
       var i1 = 0
       while (i1 < n) {

@@ -72,6 +72,9 @@ object Pls {
     val yMean = mr.getDouble(p)
     // sklearn's zero-variance guard: a constant column scales by 1.0
     def std(i: Int): Double = {
+      // stddev_samp is NULL (not NaN) on a 1-row frame — check null
+      // BEFORE getDouble or the guard itself NPEs; null ≡ zero-variance
+      if (mr.isNullAt(p + 1 + i)) return 1.0
       val v = mr.getDouble(p + 1 + i)
       if (v > 0.0 && !v.isNaN) v else 1.0
     }

@@ -118,7 +118,9 @@ object CentroidDrift {
     * than the batch it replays — so a batch re-run after a mid-commit
     * crash chains against the same pre-batch state it saw the first time
     * (idempotent by construction, like the checkpointed sums feeding
-    * it). Snapshots older than the reloaded one are pruned on load. */
+    * it). Snapshots are pruned after every successful save (latest two
+    * kept) and again on load, so the stateDir stays O(1) however long
+    * the query runs. */
   def startAlerts(sums: DataFrame, minCos: Double,
                   sink: (DataFrame, Long) => Unit,
                   stateDir: Option[String] = None): StreamingQuery = {
@@ -149,13 +151,44 @@ object CentroidDrift {
   private def statePath(dir: String, batchId: Long) =
     s"$dir/state_$batchId.parquet"
 
-  /** Persist one batch's chaining state. Overwrite mode: a replayed
-    * batch rewrites the same deterministic snapshot. */
+  /** List existing snapshot (batchId, path) pairs, ascending by id.
+    * Listing goes through the Hadoop FileSystem API (the same layer the
+    * writes go through), so the durability path works on HDFS/S3A, not
+    * just the local filesystem. */
+  private def listSnapshots(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Array[(Long, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("state_") && n.endsWith(".parquet"))
+        n.stripPrefix("state_").stripSuffix(".parquet").toLongOption
+          .map(id => (id, st.getPath))
+      else None
+    }.sortBy(_._1)
+  }
+
+  /** Persist one batch's chaining state, then prune: a long-running
+    * query otherwise writes one snapshot per micro-batch and (pruning
+    * only on restart, as the first cut did) grows the stateDir without
+    * bound. Keeps this snapshot plus the newest strictly-older one —
+    * exactly what a replay of the NEXT batch after a mid-commit crash
+    * could still need. Overwrite mode: a replayed batch rewrites the
+    * same deterministic snapshot. */
   private[graft] def saveState(spark: org.apache.spark.sql.SparkSession,
                                dir: String, batchId: Long,
-                               rows: Array[Row], schema: StructType): Unit =
+                               rows: Array[Row], schema: StructType): Unit = {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .coalesce(1).write.mode("overwrite").parquet(statePath(dir, batchId))
+    val keep = listSnapshots(spark, dir).map(_._1)
+      .filter(_ != batchId).sorted.lastOption.toSet + batchId
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listSnapshots(spark, dir).collect {
+      case (id, path) if !keep.contains(id) => fs.delete(path, true)
+    }
+  }
 
   /** Load the newest persisted state with batchId < `beforeBatchId`
     * (empty when none exists) and prune older snapshots — only the
@@ -163,24 +196,15 @@ object CentroidDrift {
   private[graft] def loadState(spark: org.apache.spark.sql.SparkSession,
                                dir: String, beforeBatchId: Long,
                                schema: StructType): Array[Row] = {
-    val d = new java.io.File(dir)
-    val snaps = Option(d.listFiles()).getOrElse(Array.empty)
-      .flatMap { f =>
-        f.getName match {
-          case s if s.startsWith("state_") && s.endsWith(".parquet") =>
-            s.stripPrefix("state_").stripSuffix(".parquet").toLongOption
-              .filter(_ < beforeBatchId).map(id => (id, f))
-          case _ => None
-        }
-      }.sortBy(_._1)
+    val snaps = listSnapshots(spark, dir).filter(_._1 < beforeBatchId)
     if (snaps.isEmpty) Array.empty
     else {
-      snaps.dropRight(1).foreach { case (_, f) =>
-        org.apache.commons.io.FileUtils.deleteQuietly(f)
-      }
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      snaps.dropRight(1).foreach { case (_, p) => fs.delete(p, true) }
       // re-project to the caller's schema order: parquet round-trips
       // columns by name
-      spark.read.parquet(snaps.last._2.getPath)
+      spark.read.parquet(snaps.last._2.toString)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*).collect()
     }
   }

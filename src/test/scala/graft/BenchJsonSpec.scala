@@ -161,6 +161,15 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(tailQs.size === SparkEntry.queries.size)
   }
 
+  test("medianOf averages the middle pair on even counts (no minimum-side bias)") {
+    assert(Bench.medianOf(Vector(3.0)) === 3.0)
+    assert(Bench.medianOf(Vector(1.0, 2.0, 9.0)) === 2.0)
+    // the r9-ADVICE shape: one fast extra on a contended 3-rep pattern
+    // must NOT flip the median to the minimum side
+    assert(Bench.medianOf(Vector(21.6, 13.5, 0.88, 0.9)) === (0.9 + 13.5) / 2.0)
+    assert(Bench.medianOf(Vector(4.0, 2.0)) === 3.0)
+  }
+
   test("loadContended matches the external-load signature, not GC or clean runs") {
     // round-8 committed q28: 21.6/13.5/0.88 s with GC 0/241/0 ms — the
     // contended-box shape the adaptive re-rep exists for
@@ -188,9 +197,9 @@ class BenchJsonSpec extends AnyFunSuite {
     val (t1, e1) = Bench.adaptiveReps(
       Vector((21.6, 0L), (13.5, 241L), (0.88, 0L)),
       runner(Iterator((0.9, 5L), (0.91, 3L))))
-    // ONE extra is enough: the 4-rep median (lower-middle) is already
-    // the clean cost, so the loop stops without burning the second rep
-    assert(e1 === 1)
+    // BOTH extras run (r10: unconditional once triggered, keeping the
+    // rep count odd so the median is one real rep, no even-count bias)
+    assert(e1 === 2)
     val q1 = Bench.QueryTimes("q28", t1.map(_._1), t1.map(_._2), retried = e1)
     assert(q1.median < 1.0, s"median ${q1.median} should be the clean cost")
     assert(q1.suspect) // evidence of the dirty box is preserved

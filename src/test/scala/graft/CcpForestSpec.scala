@@ -347,6 +347,23 @@ class CcpForestSpec extends AnyFunSuite {
     rings.unpersist()
   }
 
+  test("degenerate kernel SVM (zero support vectors) scores as f(x)=b, no throw") {
+    // duplicate points with CONFLICTING labels: K is all-ones, so
+    // η = 2K₁₂ − K₁₁ − K₂₂ = 0 for every pair — no α ever moves, the
+    // fit ends with an empty support set, and scoring must degrade to
+    // the constant f(x) = b (r9 ADVICE: the reduce over SV terms threw
+    // UnsupportedOperationException here before the fold-seed fix)
+    val dup = Seq((1.0, 1.0, 0.0), (1.0, 1.0, 1.0), (1.0, 1.0, 0.0),
+      (1.0, 1.0, 1.0)).toDF("f1", "f2", "label")
+    val m = KernelSvm.fit(dup, "label", Seq("f1", "f2"), c = 1.0, gamma = 1.0)
+    assert(m.svX.isEmpty, s"expected zero SVs, got ${m.svX.length}")
+    val scored = m.transform(dup).select(col("decision"), col("prediction"))
+      .collect()
+    scored.foreach { r =>
+      assert(r.getDouble(0) == m.b && r.getDouble(1) == (if (m.b > 0) 1.0 else 0.0))
+    }
+  }
+
   test("unigram LM scoring: common-token docs outscore rare-token docs (q59)") {
     val lm = operators.TextOps.unigramLmScore(spark, sf).cache()
     // every doc: negative log-probs, min ≤ avg, token count matches the

@@ -518,6 +518,15 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(afterB2.length == 1 && afterB2.head.getTimestamp(1) == ts(1))
     assert(!new java.io.File(s"$dir/state_0.parquet").exists(),
       "older snapshots must be pruned on load")
+    // r10: pruning also happens on SAVE (a long-running query must not
+    // grow one snapshot dir entry per micro-batch) — after saving
+    // batches 2 and 3, only the latest two snapshots survive
+    CentroidDrift.saveState(spark, dir, 2L, s1.collect(), schema)
+    CentroidDrift.saveState(spark, dir, 3L, s1.collect(), schema)
+    val left = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("state_")).sorted
+    assert(left.sameElements(Array("state_2.parquet", "state_3.parquet")),
+      left.mkString(","))
   }
 
   test("streaming drift alert: injected spike fires exactly one alert") {

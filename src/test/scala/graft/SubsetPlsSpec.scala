@@ -221,6 +221,15 @@ class SubsetPlsSpec extends AnyFunSuite {
     val cg = Pls.fit(withConst, "y", Seq("f0") ++ feats3, nComponents = 2,
       scale = true)
     assert(cg.beta.forall(java.lang.Double.isFinite))
+    // 1-row frame + scale=true: stddev_samp is NULL (not NaN) there, so
+    // the guard must check isNullAt before getDouble (r9 ADVICE: this
+    // NPE'd). The fit still fails — X′y ≡ 0 after centering — but with
+    // the clear require() message, same as the unscaled path.
+    val oneRow = plsDf.limit(1)
+    val ex = intercept[IllegalArgumentException] {
+      Pls.fit(oneRow, "y", feats3, nComponents = 1, scale = true)
+    }
+    assert(ex.getMessage.contains("fully deflated"), ex.getMessage)
   }
 
   test("PLS transform adds a prediction column with near-OLS error (M20)") {
