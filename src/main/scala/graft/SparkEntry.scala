@@ -93,6 +93,7 @@ object SparkEntry {
     "q71_url_dedup"         -> Dedup.urlNormalizedDedup _,
     "q72_decontamination"   -> ((s: SparkSession, d: String) => Sampling.benchmarkDecontamination(s, d)),
     "q73_image_neardup"     -> ((s: SparkSession, d: String) => Multimodal.imageNearDupPairs(s, d)),
+    "q74_indexed_dedup3"    -> ((s: SparkSession, d: String) => DedupIndex.incrementalDedupIndexed3(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1473,7 +1474,17 @@ object SparkEntry {
     // (batch x vs corpus y) and 4dp-cosine rescored, losing precedence
     // to both lexical tiers. The vec_id↔doc_id identity carries the
     // split rule onto the embeddings side.
-    "q68_incremental_dedup3" -> ("""
+    "q68_incremental_dedup3" -> incrementalDedup3Sql,
+    // q74: the SAME verdicts computed through the STORED bucketed index
+    // (DedupIndex.incrementalDedupIndexed3) — write path + probe path
+    // gated end-to-end. The engine-side duality (indexed ≡ in-memory
+    // classifier) is spec-proven, so the oracle is q68's SQL verbatim:
+    // a q74/q68 verdict divergence would fail BOTH against this one
+    // definition rather than silently agreeing with itself.
+    "q74_indexed_dedup3" -> incrementalDedup3Sql,
+  )
+
+  private lazy val incrementalDedup3Sql: String = ("""
       WITH """ + minhashSigCtesSql + """,
       d AS (SELECT doc_id, md5(text) AS h,
               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 = 4) AS is_new
@@ -1526,6 +1537,5 @@ object SparkEntry {
       LEFT JOIN ex e ON e.doc_id = bd.doc_id
       LEFT JOIN near n ON n.doc_id = bd.doc_id
       LEFT JOIN emb m ON m.doc_id = bd.doc_id
-      WHERE bd.is_new ORDER BY bd.doc_id"""),
-  )
+      WHERE bd.is_new ORDER BY bd.doc_id""")
 }

@@ -153,4 +153,80 @@ object DedupIndex {
     Dedup.verdict3(batch.select(col("doc_id")), exact, near, emb)
       .orderBy(col("doc_id"))
   }
+
+  /** The zero-shuffle claim as an executable lint (shared by
+    * DedupIndexSpec and the q74 declared query): collect every
+    * ShuffleExchange whose ENTIRE leaf set is index-table scans — the
+    * corpus-sized operand moving when it never should. An exchange above
+    * a join legitimately contains batch leaves too, so those don't
+    * count. */
+  def indexShuffleOffenders(plan: org.apache.spark.sql.execution.SparkPlan,
+                            prefix: String): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def isIndexScan(f: FileSourceScanExec): Boolean =
+      f.relation.location.rootPaths.exists(_.toString.contains(prefix))
+    plan.collect {
+      case e: ShuffleExchangeExec =>
+        val leaves = e.collectLeaves()
+        val scans = leaves.collect { case f: FileSourceScanExec => f }
+        (e, leaves.size, scans)
+    }.collect { case (e, nLeaves, scans)
+        if nLeaves > 0 && scans.size == nLeaves && scans.forall(isIndexScan) =>
+      e.toString.take(500)
+    }
+  }
+
+  /** Build `mkFrame`'s physical plan under broadcast-disabled,
+    * non-adaptive confs (broadcasting the batch side would trivially
+    * satisfy the lint; AQE hides exchanges until runtime) and require
+    * zero index-side shuffles. Plan-only — nothing executes. Confs are
+    * restored before returning. */
+  def assertIndexNeverShuffled(s: SparkSession, prefix: String)
+                              (mkFrame: => DataFrame): Unit = {
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (c, _) => c -> s.conf.getOption(c) }
+    confs.foreach { case (c, v) => s.conf.set(c, v) }
+    try {
+      val offending = indexShuffleOffenders(
+        mkFrame.queryExecution.executedPlan, prefix)
+      require(offending.isEmpty,
+        s"the stored index is shuffled before ${offending.size} join(s):\n" +
+          offending.mkString("\n---\n"))
+    } finally prev.foreach {
+      case (c, Some(v)) => s.conf.set(c, v)
+      case (c, None)    => s.conf.unset(c)
+    }
+  }
+
+  /** q74 — the PRODUCTION deployment shape of q68, driver-gated
+    * end-to-end: project the corpus split into the three bucketed index
+    * tables ([[saveIndex]] — the write a real deployment pays once),
+    * then classify the SAME batch split against the STORED index
+    * ([[classifyNew3Indexed]]). Verdicts are row-identical to
+    * [[Dedup.incrementalDedup3]] (shared [[Dedup.verdict3]] precedence,
+    * proven by DedupIndexSpec), so q74's oracle IS q68's SQL — the
+    * driver now gates the stored-index code path, not just the suite.
+    * The 100-TB property rides INSIDE the query:
+    * [[assertIndexNeverShuffled]] lints the probe plan before the frame
+    * returns, so an oracle-green q74 certifies both the verdicts and
+    * the zero-index-side-exchange physical shape. */
+  def incrementalDedupIndexed3(s: SparkSession, dir: String,
+                               prefix: String = "graft_q74",
+                               buckets: Int = 8): DataFrame = {
+    import graft.sources.Tables
+    val docs = Tables.spreadTable(s, dir, "documents", col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val embs = Tables.spreadTable(s, dir, "embeddings", col("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val isNew = Sampling.hashBucket(col("doc_id"), 5) === 4
+    Seq(exactTable(prefix), bandTable(prefix), embTable(prefix))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    saveIndex(docs.filter(!isNew), embs.filter(!isNew), prefix, buckets)
+    assertIndexNeverShuffled(s, prefix) {
+      classifyNew3Indexed(s, docs.filter(isNew), embs.filter(isNew), prefix)
+    }
+    classifyNew3Indexed(s, docs.filter(isNew), embs.filter(isNew), prefix)
+  }
 }

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -40,22 +39,15 @@ class DedupIndexSpec extends AnyFunSuite {
     try {
       val indexed = DedupIndex.classifyNew3Indexed(spark, batch, batchEmb, prefix)
       val plan = indexed.queryExecution.executedPlan
-      // an index-table scan must never sit under a shuffle: flag any
-      // exchange whose ENTIRE leaf set is index-table scans (an exchange
-      // above a join legitimately contains batch leaves too)
+      // an index-table scan must never sit under a shuffle — the lint
+      // itself lives in DedupIndex (the q74 declared query runs the same
+      // code), the spec exercises it under the pinned confs
       def isIndexScan(f: FileSourceScanExec): Boolean =
         f.relation.location.rootPaths.exists(_.toString.contains(prefix))
-      val offending = plan.collect {
-        case e: ShuffleExchangeExec =>
-          val leaves = e.collectLeaves()
-          val scans = leaves.collect { case f: FileSourceScanExec => f }
-          (e, leaves.size, scans)
-      }.filter { case (_, nLeaves, scans) =>
-        nLeaves > 0 && scans.size == nLeaves && scans.forall(isIndexScan)
-      }
+      val offending = DedupIndex.indexShuffleOffenders(plan, prefix)
       assert(offending.isEmpty,
         s"the stored index is shuffled before ${offending.size} join(s):\n" +
-          offending.map(_._1.toString.take(500)).mkString("\n---\n"))
+          offending.mkString("\n---\n"))
       // the probes really are sort-merge joins over bucketed scans (not
       // some degenerate shape that never needed a distribution)
       val planStr = plan.toString
