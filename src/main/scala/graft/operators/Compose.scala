@@ -46,9 +46,20 @@ object Compose {
                           budget: Long = 2048,
                           threshold: Double = 0.5,
                           maxDocFreq: Long = 100): DataFrame =
+    // PIN the survivor token counts (|survivors| × 2 longs — tiny by
+    // construction) before handing them to the pack: the two-pass
+    // prefix scan evaluates its input THREE times (range-boundary
+    // sampling, per-partition totals, final pass), and each evaluation
+    // otherwise re-reads the heavyweight token-array cache and re-runs
+    // the drop-set anti join. One eager localCheckpoint turns those
+    // three passes into reads of a 2-column in-memory block — r10's
+    // answer to the q62 wall-clock drift (the plan was right, the
+    // repeated cache traffic was the cost).
     Packing.packSequencesCounts(
-      survivorsTokFor(documents, threshold, maxDocFreq, keepText = false)
-        .select(col("doc_id"), size(col("_t")).cast("long").as("_nt")),
+      Caches.register(
+        survivorsTokFor(documents, threshold, maxDocFreq, keepText = false)
+          .select(col("doc_id"), size(col("_t")).cast("long").as("_nt"))
+          .localCheckpoint()),
       budget)
 
   /** The surviving (doc_id, text) corpus after stages 1-3 — what a real
