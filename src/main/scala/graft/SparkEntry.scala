@@ -94,6 +94,7 @@ object SparkEntry {
     "q72_decontamination"   -> ((s: SparkSession, d: String) => Sampling.benchmarkDecontamination(s, d)),
     "q73_image_neardup"     -> ((s: SparkSession, d: String) => Multimodal.imageNearDupPairs(s, d)),
     "q74_indexed_dedup3"    -> ((s: SparkSession, d: String) => DedupIndex.incrementalDedupIndexed3(s, d)),
+    "q75_incremental_dedup4" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup4(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -232,6 +233,64 @@ object SparkEntry {
     s"((($a) % 4294967296) * $cl + (((($a) % 4294967296) * $ch + " +
       s"(($a) // 4294967296) * $cl) % 4294967296) * 4294967296) % 18446744073709551616"
   }
+
+  /** CTE chain replaying the q73 perceptual dHash purely from the
+    * fixture formulas (splitmix in HUGEINT for pattern params and
+    * per-pixel noise, the resolution-normalized triangle pattern, 9×8
+    * pooled block sums compared by integer cross-multiplication, 64-bit
+    * pack converted HUGEINT → signed BIGINT to match the engine's Long
+    * bit pattern, then the 8×8-bit banding). Ends in `ihs` (id, dhash)
+    * and `ibanded` (id, dhash, band, key) — shared by the q73 pair
+    * oracle and q75's incremental image tier, so the two oracles replay
+    * ONE hash definition. */
+  private def imageDHashCtes: String = s"""im AS (SELECT doc_id AS id,
+                    (doc_id % 8) * 16 + 32 AS w, (doc_id % 8) * 9 + 18 AS h,
+                    (doc_id // 3) % 21 AS base
+                  FROM documents WHERE doc_id % 3 = 0),
+      bb AS (SELECT DISTINCT base FROM im),
+      ${sqlMixCtes("pa", "bb", "base", "base * 3 + 1")},
+      ${sqlMixCtes("pb", "bb", "base", "base * 3 + 2")},
+      ${sqlMixCtes("pc", "bb", "base", "base * 3 + 3")},
+      pr AS (SELECT im.id, im.w, im.h,
+               1 + CAST(pa.z % 5 AS BIGINT) AS a,
+               1 + CAST(pb.z % 5 AS BIGINT) AS b,
+               CAST(pc.z % 512 AS BIGINT) AS c
+             FROM im
+             JOIN paz pa ON pa.base = im.base
+             JOIN pbz pb ON pb.base = im.base
+             JOIN pcz pc ON pc.base = im.base),
+      px0 AS (SELECT id, w, h, a, b, c,
+                unnest(generate_series(0, w - 1)) AS x FROM pr),
+      px AS (SELECT id, w, h, a, b, c, x,
+               unnest(generate_series(0, h - 1)) AS y FROM px0),
+      ${sqlMixCtes("n", "px", "id, w, h, a, b, c, x, y",
+                   "id * 1000003 + y * w + x")},
+      pv AS (SELECT id, w, h, x, y,
+               a * ((x * 512) // w) + b * ((y * 512) // h) + c +
+                 CAST(z % 4 AS BIGINT) AS arg
+             FROM nz),
+      gv AS (SELECT id, w, h, x, y,
+               CASE WHEN arg % 512 < 256 THEN arg % 512
+                    ELSE 511 - (arg % 512) END AS v
+             FROM pv),
+      bl AS (SELECT id, (x * 9) // w AS gx, (y * 8) // h AS gy,
+               CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+             FROM gv GROUP BY 1, 2, 3),
+      ibits AS (SELECT l.id, l.gy * 8 + l.gx AS k,
+                 CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
+               FROM bl l JOIN bl r
+                 ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+               WHERE l.gx < 8),
+      ihu AS (SELECT id, CAST(sum(CAST(bit AS HUGEINT) *
+                 (CAST(1 AS HUGEINT) << CAST(k AS INT))) AS HUGEINT) AS hraw
+             FROM ibits GROUP BY 1),
+      ihs AS (SELECT id,
+               CAST(CASE WHEN hraw >= 9223372036854775808
+                         THEN hraw - 18446744073709551616
+                         ELSE hraw END AS BIGINT) AS dhash
+             FROM ihu),
+      ibanded AS (SELECT id, dhash, b AS band, (dhash >> (b * 8)) & 255 AS key
+                 FROM ihs, (SELECT unnest(generate_series(0, 7)) AS b))"""
 
   /** CTE chain computing `mix(seedExpr)` stepwise into column `z` —
     * stepwise (not one inlined expression) because each mulmod references
@@ -1047,69 +1106,19 @@ object SparkEntry {
       ORDER BY en.eval_id""",
 
     // q73: the oracle replays the perceptual pipeline from the fixture
-    // formulas WITHOUT decoding (the q61/q63/q64 technique): splitmix in
-    // HUGEINT for the per-base pattern params and per-pixel noise, the
-    // resolution-normalized triangle pattern, 9x8 pooled block sums
-    // compared by integer cross-multiplication, 64-bit pack converted
-    // HUGEINT -> signed BIGINT to match the engine's Long bit pattern,
-    // then the same 8x8-bit banding and hamming filter.
+    // formulas WITHOUT decoding (the q61/q63/q64 technique) — the CTE
+    // chain lives in [[imageDHashCtes]] (shared with q75's image tier),
+    // ending in ihs (id, dhash) and ibanded (id, dhash, band, key).
     "q73_image_neardup" -> s"""
-      WITH im AS (SELECT doc_id AS id,
-                    (doc_id % 8) * 16 + 32 AS w, (doc_id % 8) * 9 + 18 AS h,
-                    (doc_id // 3) % 21 AS base
-                  FROM documents WHERE doc_id % 3 = 0),
-      bb AS (SELECT DISTINCT base FROM im),
-      ${sqlMixCtes("pa", "bb", "base", "base * 3 + 1")},
-      ${sqlMixCtes("pb", "bb", "base", "base * 3 + 2")},
-      ${sqlMixCtes("pc", "bb", "base", "base * 3 + 3")},
-      pr AS (SELECT im.id, im.w, im.h,
-               1 + CAST(pa.z % 5 AS BIGINT) AS a,
-               1 + CAST(pb.z % 5 AS BIGINT) AS b,
-               CAST(pc.z % 512 AS BIGINT) AS c
-             FROM im
-             JOIN paz pa ON pa.base = im.base
-             JOIN pbz pb ON pb.base = im.base
-             JOIN pcz pc ON pc.base = im.base),
-      px0 AS (SELECT id, w, h, a, b, c,
-                unnest(generate_series(0, w - 1)) AS x FROM pr),
-      px AS (SELECT id, w, h, a, b, c, x,
-               unnest(generate_series(0, h - 1)) AS y FROM px0),
-      ${sqlMixCtes("n", "px", "id, w, h, a, b, c, x, y",
-                   "id * 1000003 + y * w + x")},
-      pv AS (SELECT id, w, h, x, y,
-               a * ((x * 512) // w) + b * ((y * 512) // h) + c +
-                 CAST(z % 4 AS BIGINT) AS arg
-             FROM nz),
-      gv AS (SELECT id, w, h, x, y,
-               CASE WHEN arg % 512 < 256 THEN arg % 512
-                    ELSE 511 - (arg % 512) END AS v
-             FROM pv),
-      bl AS (SELECT id, (x * 9) // w AS gx, (y * 8) // h AS gy,
-               CAST(sum(v) AS BIGINT) AS s, count(*) AS n
-             FROM gv GROUP BY 1, 2, 3),
-      bits AS (SELECT l.id, l.gy * 8 + l.gx AS k,
-                 CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
-               FROM bl l JOIN bl r
-                 ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
-               WHERE l.gx < 8),
-      hu AS (SELECT id, CAST(sum(CAST(bit AS HUGEINT) *
-                 (CAST(1 AS HUGEINT) << CAST(k AS INT))) AS HUGEINT) AS hraw
-             FROM bits GROUP BY 1),
-      hs AS (SELECT id,
-               CAST(CASE WHEN hraw >= 9223372036854775808
-                         THEN hraw - 18446744073709551616
-                         ELSE hraw END AS BIGINT) AS dhash
-             FROM hu),
-      banded AS (SELECT id, dhash, b AS band, (dhash >> (b * 8)) & 255 AS key
-                 FROM hs, (SELECT unnest(generate_series(0, 7)) AS b)),
+      WITH $imageDHashCtes,
       cand AS (SELECT DISTINCT x.id AS img_a, y.id AS img_b
-               FROM banded x JOIN banded y
+               FROM ibanded x JOIN ibanded y
                  ON x.band = y.band AND x.key = y.key AND x.id < y.id)
       SELECT c.img_a, c.img_b,
              CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
       FROM cand c
-      JOIN hs a ON a.id = c.img_a
-      JOIN hs b ON b.id = c.img_b
+      JOIN ihs a ON a.id = c.img_a
+      JOIN ihs b ON b.id = c.img_b
       WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
       ORDER BY img_a, img_b""",
 
@@ -1482,9 +1491,42 @@ object SparkEntry {
     // a q74/q68 verdict divergence would fail BOTH against this one
     // definition rather than silently agreeing with itself.
     "q74_indexed_dedup3" -> incrementalDedup3Sql,
+    // q75: q68's three tiers + the perceptual IMAGE tier — the image
+    // CTEs are [[imageDHashCtes]] (q73's replay verbatim), banded
+    // DIRECTIONALLY (batch x vs corpus y) and hamming-rescored at ≤ 6,
+    // status `near_image` losing precedence to all lexical/semantic
+    // tiers.
+    "q75_incremental_dedup4" -> incrementalDedupTieredSql(withImage = true),
   )
 
-  private lazy val incrementalDedup3Sql: String = ("""
+  private lazy val incrementalDedup3Sql: String =
+    incrementalDedupTieredSql(withImage = false)
+
+  /** The q65/q68-family incremental-classifier oracle, parameterized by
+    * the image tier so q68/q74 (three tiers) and q75 (four tiers) share
+    * one scaffolding — a precedence or split-rule fix lands in every
+    * incremental oracle at once. */
+  private def incrementalDedupTieredSql(withImage: Boolean): String = {
+    val imgCtes = if (!withImage) "" else s""",
+      $imageDHashCtes,
+      imcand AS (SELECT DISTINCT x.id AS doc_id, y.id AS cid
+                 FROM ibanded x
+                 JOIN d dx ON dx.doc_id = x.id AND dx.is_new
+                 JOIN ibanded y ON x.band = y.band AND x.key = y.key
+                 JOIN d dy ON dy.doc_id = y.id AND NOT dy.is_new),
+      img AS (SELECT c.doc_id, min(c.cid) AS img_id
+              FROM imcand c
+              JOIN ihs a ON a.id = c.doc_id
+              JOIN ihs b ON b.id = c.cid
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+              GROUP BY 1)"""
+    val imgStatus =
+      if (withImage) "\n                  WHEN i.img_id IS NOT NULL THEN 'near_image'"
+      else ""
+    val imgJoin =
+      if (withImage) "\n      LEFT JOIN img i ON i.doc_id = bd.doc_id" else ""
+    val imgCoalesce = if (withImage) ", i.img_id" else ""
+    ("""
       WITH """ + minhashSigCtesSql + """,
       d AS (SELECT doc_id, md5(text) AS h,
               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 = 4) AS is_new
@@ -1526,16 +1568,17 @@ object SparkEntry {
               WHERE round(list_dot_product(a.v, b.v) /
                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                     4) >= 0.40
-              GROUP BY 1)
+              GROUP BY 1)""" + imgCtes + s"""
       SELECT bd.doc_id,
              CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
                   WHEN n.near_id IS NOT NULL THEN 'near'
-                  WHEN m.emb_id IS NOT NULL THEN 'near_embedding'
+                  WHEN m.emb_id IS NOT NULL THEN 'near_embedding'$imgStatus
                   ELSE 'new' END AS status,
-             coalesce(e.exact_id, n.near_id, m.emb_id) AS match_id
+             coalesce(e.exact_id, n.near_id, m.emb_id$imgCoalesce) AS match_id
       FROM d bd
       LEFT JOIN ex e ON e.doc_id = bd.doc_id
       LEFT JOIN near n ON n.doc_id = bd.doc_id
-      LEFT JOIN emb m ON m.doc_id = bd.doc_id
+      LEFT JOIN emb m ON m.doc_id = bd.doc_id$imgJoin
       WHERE bd.is_new ORDER BY bd.doc_id""")
+  }
 }

@@ -1040,6 +1040,74 @@ object Dedup {
           .otherwise("new").as("status"),
         coalesce(col("exact_id"), col("near_id"), col("emb_id")).as("match_id"))
 
+  /** Banded dHash rows (doc_id, band, key, dhash) — 8 bands × 8 bits
+    * over the 64-bit perceptual hash, the SAME q73 banding
+    * ([[sketchBandStructs]]), so the pair query, the incremental image
+    * tier and the stored-index bucket keys can't drift. The hash rides
+    * along so candidate generation and the hamming rescore are one
+    * join. */
+  private[graft] def imgBanded(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("dhash"),
+        explode(sketchBandStructs(col("dhash"), 64, 8)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.key").as("key"), col("dhash"))
+
+  /** Image tier: batch→corpus banded-dHash candidates rescored by exact
+    * Hamming distance ≤ `maxHamming`. Directional like every other tier
+    * (the corpus image index is never self-joined), and for
+    * maxHamming ≤ 7 the 8-band split is EXACT by pigeonhole (q73's
+    * argument), so this tier has zero recall trade. Inputs are
+    * (doc_id, dhash) frames; returns (doc_id, img_id = min matching
+    * corpus doc_id). */
+  private def imageTier(batchImg: DataFrame, corpusImg: DataFrame,
+                        maxHamming: Int): DataFrame =
+    imgBanded(batchImg).withColumnRenamed("dhash", "_da")
+      .join(imgBanded(corpusImg).select(col("band"), col("key"),
+        col("doc_id").as("_cid"), col("dhash").as("_db")), Seq("band", "key"))
+      .filter(bit_count(col("_da").bitwiseXOR(col("_db"))) <= maxHamming)
+      .groupBy(col("doc_id")).agg(min(col("_cid")).as("img_id"))
+
+  /** Four-tier classifier: [[classifyNew3]]'s tiers plus the PERCEPTUAL
+    * IMAGE tier — a batch document whose text, minhash signature and
+    * embedding all look novel can still carry a near-duplicate image
+    * payload (re-hosted photos, resized thumbnails, recompressed
+    * scans). Precedence exact > near > near_embedding > near_image >
+    * new; a doc with no image row simply can't match the image tier. */
+  private[graft] def classifyNew4(batch: DataFrame, corpus: DataFrame,
+                                  batchEmb: DataFrame, corpusEmb: DataFrame,
+                                  batchImg: DataFrame, corpusImg: DataFrame,
+                                  k: Int = 12, bands: Int = 4,
+                                  estThreshold: Double = 0.5,
+                                  cosThreshold: Double = 0.40,
+                                  bits: Int = 32, embBands: Int = 8,
+                                  maxHamming: Int = 6): DataFrame =
+    verdict4(batch.select(col("doc_id")),
+      exactTier(batch, corpus),
+      nearTier(batch, corpus, k, bands, estThreshold),
+      embeddingTier(batchEmb, corpusEmb, cosThreshold, bits, embBands),
+      imageTier(batchImg, corpusImg, maxHamming))
+      .orderBy(col("doc_id"))
+
+  /** [[verdict3]] extended with the image tier (lowest match
+    * precedence) — shared by the in-memory and stored-index four-tier
+    * classifiers. */
+  private[graft] def verdict4(batchIds: DataFrame, exact: DataFrame,
+                              near: DataFrame, emb: DataFrame,
+                              img: DataFrame): DataFrame =
+    batchIds
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(emb, Seq("doc_id"), "left")
+      .join(img, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .when(col("emb_id").isNotNull, "near_embedding")
+          .when(col("img_id").isNotNull, "near_image")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_id"), col("near_id"), col("emb_id"),
+          col("img_id")).as("match_id"))
+
   /** q68 — three-tier INCREMENTAL dedup: q65's exact + MinHash tiers
     * plus an EMBEDDING tier. A batch document that is neither a content
     * copy nor a lexical near-dup of the corpus can still be a SEMANTIC
@@ -1093,4 +1161,67 @@ object Dedup {
       embSketchProjection(newEmb, bits, dim),
       embSketchProjection(corpusEmb, bits, dim),
       k, bands, estThreshold, cosThreshold, bits, embBands)
+
+  /** q75 — FOUR-tier incremental dedup: q68's exact + MinHash +
+    * embedding tiers plus the PERCEPTUAL IMAGE tier (q73's dHash family
+    * run batch→corpus): a day's crawl batch is checked against the
+    * stored corpus on content hash, lexical shingles, embedding cosine
+    * AND image perceptual hash, completing the modality matrix for the
+    * day-over-day ingest shape. Split rule, thresholds, and oracle
+    * technique follow q68; the image side exists only for the q73 image
+    * family (doc_id % 3 = 0), and images hash per-partition — PNG bytes
+    * never shuffle, only the (id, 8-byte dHash) index rows do.
+    *
+    * Scale shape on top of q68's: the image index is one more pure
+    * per-row corpus projection; its band join stays batch-directional
+    * (candidate volume |batch|-proportional) and EXACT for
+    * maxHamming ≤ 7 by the q73 pigeonhole argument. Production: persist
+    * the corpus side as [[DedupIndex]]'s `_img` bucketed table — the
+    * probe then runs with zero index-side shuffle like the other three
+    * tiers (plan-asserted in DedupIndexSpec). */
+  def incrementalDedup4(s: SparkSession, dir: String, k: Int = 12,
+                        bands: Int = 4, estThreshold: Double = 0.5,
+                        cosThreshold: Double = 0.40, bits: Int = 32,
+                        embBands: Int = 8, dim: Int = 64,
+                        maxHamming: Int = 6): DataFrame = {
+    val isNew = Sampling.hashBucket(col("doc_id"), 5) === 4
+    val base = Caches.track(
+      hashSigProjection(docsSpread(s, dir), k).withColumn("_new", isNew))
+    val embBase = Caches.track(
+      embSketchProjection(
+        Tables.spreadTable(s, dir, "embeddings", col("vec_id"))
+          .select(col("vec_id").as("doc_id"), col("embedding")), bits, dim)
+        .withColumn("_new", isNew))
+    val imgBase = Caches.track(
+      Multimodal.imageDHashes(s, dir)
+        .select(col("media_id").as("doc_id"), col("dhash"))
+        .withColumn("_new", isNew))
+    classifyNew4(
+      base.filter(col("_new")).drop("_new"),
+      base.filter(!col("_new")).drop("_new"),
+      embBase.filter(col("_new")).drop("_new"),
+      embBase.filter(!col("_new")).drop("_new"),
+      imgBase.filter(col("_new")).drop("_new"),
+      imgBase.filter(!col("_new")).drop("_new"),
+      k, bands, estThreshold, cosThreshold, bits, embBands, maxHamming)
+  }
+
+  /** [[incrementalDedup4]] over caller frames — the library entry for
+    * production four-tier ingest: (doc_id, text) batch/corpus, their
+    * (doc_id, embedding) sides, and their (doc_id, dhash) image-hash
+    * sides (a real pipeline computes the hashes with
+    * [[Multimodal.imageDHashesFor]] over its media payloads). */
+  def incrementalDedupFor4(newDocs: DataFrame, corpus: DataFrame,
+                           newEmb: DataFrame, corpusEmb: DataFrame,
+                           newImg: DataFrame, corpusImg: DataFrame,
+                           k: Int = 12, bands: Int = 4,
+                           estThreshold: Double = 0.5,
+                           cosThreshold: Double = 0.40, bits: Int = 32,
+                           embBands: Int = 8, dim: Int = 64,
+                           maxHamming: Int = 6): DataFrame =
+    classifyNew4(hashSigProjection(newDocs, k), hashSigProjection(corpus, k),
+      embSketchProjection(newEmb, bits, dim),
+      embSketchProjection(corpusEmb, bits, dim),
+      newImg, corpusImg,
+      k, bands, estThreshold, cosThreshold, bits, embBands, maxHamming)
 }

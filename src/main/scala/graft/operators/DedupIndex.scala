@@ -43,6 +43,7 @@ object DedupIndex {
   def exactTable(prefix: String): String = s"${prefix}_exact"
   def bandTable(prefix: String): String = s"${prefix}_band"
   def embTable(prefix: String): String = s"${prefix}_emb"
+  def imgTable(prefix: String): String = s"${prefix}_img"
 
   /** Banded minhash rows with the signature riding along. */
   private[graft] def bandedSig(proj: DataFrame, k: Int, bands: Int): DataFrame =
@@ -113,6 +114,25 @@ object DedupIndex {
       .mode(SaveMode.Append).saveAsTable(embTable(prefix))
   }
 
+  /** Four-tier durable refresh: [[appendNew]]'s three tables plus the
+    * `_img` tier — the day's `new` survivors' banded dHash rows land
+    * with the same bucket spec as [[saveImgIndex]]. The verdict frame
+    * is pinned ONCE here (it reads the index tables — see
+    * [[appendNew]]'s materialization note) and the pinned copy feeds
+    * both the three-tier append and the image append. */
+  def appendNew4(batchDocs: DataFrame, batchEmb: DataFrame,
+                 batchImg: DataFrame, verdicts: DataFrame, prefix: String,
+                 buckets: Int = 8, k: Int = 12, bands: Int = 4,
+                 bits: Int = 32, dim: Int = 64, embBands: Int = 8): Unit = {
+    val pinned = verdicts.localCheckpoint()
+    appendNew(batchDocs, batchEmb, pinned, prefix, buckets,
+      k, bands, bits, dim, embBands)
+    val newIds = pinned.filter(col("status") === "new").select("doc_id")
+    Dedup.imgBanded(batchImg.join(newIds, Seq("doc_id")))
+      .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .mode(SaveMode.Append).saveAsTable(imgTable(prefix))
+  }
+
   /** q68's three-tier classifier against the STORED index: identical
     * verdicts to [[Dedup.classifyNew3]] (shared [[Dedup.verdict3]]
     * precedence), but every tier probes a bucketed table on its bucket
@@ -123,6 +143,21 @@ object DedupIndex {
                           estThreshold: Double = 0.5,
                           cosThreshold: Double = 0.40, bits: Int = 32,
                           dim: Int = 64, embBands: Int = 8): DataFrame = {
+    val (exact, near, emb) = indexedTiers(s, batch, batchEmb, prefix,
+      k, bands, estThreshold, cosThreshold, bits, dim, embBands)
+    Dedup.verdict3(batch.select(col("doc_id")), exact, near, emb)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The three stored-index tier probes as separate frames — shared by
+    * the three- and four-tier indexed classifiers so adding a tier
+    * never re-runs (or re-states) the others. */
+  private def indexedTiers(s: SparkSession, batch: DataFrame,
+                           batchEmb: DataFrame, prefix: String,
+                           k: Int, bands: Int, estThreshold: Double,
+                           cosThreshold: Double, bits: Int,
+                           dim: Int, embBands: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorFunctions.dotNative
     val bproj = Dedup.hashSigProjection(batch, k)
     val beproj = Dedup.embSketchProjection(batchEmb, bits, dim)
@@ -150,7 +185,43 @@ object DedupIndex {
         round(dotNative(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 4))
       .filter(col("_cos") >= cosThreshold)
       .groupBy(col("doc_id")).agg(min(col("_cid")).as("emb_id"))
-    Dedup.verdict3(batch.select(col("doc_id")), exact, near, emb)
+    (exact, near, emb)
+  }
+
+  /** Write the PERCEPTUAL IMAGE tier's bucketed index table — q75's
+    * `_img` sibling of the three [[saveIndex]] tables: banded dHash
+    * rows (doc_id, band, key, dhash), bucketed (and bucket-sorted) on
+    * the (band, key) probe key. The dhash rides on the banded row (the
+    * same denormalization trade as `_band`/`_emb`: 8× an 8-byte value),
+    * so candidate generation and the hamming rescore are one probe
+    * join. `corpusImg` is (doc_id, dhash) — a production pipeline
+    * computes it with [[Multimodal.imageDHashesFor]] at ingest. */
+  def saveImgIndex(corpusImg: DataFrame, prefix: String,
+                   buckets: Int = 8): Unit =
+    Dedup.imgBanded(corpusImg)
+      .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .mode(SaveMode.Overwrite).saveAsTable(imgTable(prefix))
+
+  /** q75's four-tier classifier against the STORED index: identical
+    * verdicts to [[Dedup.classifyNew4]] (shared [[Dedup.verdict4]]
+    * precedence), every tier probing its bucketed table with zero
+    * index-side exchange. `batchImg` is (doc_id, dhash). */
+  def classifyNew4Indexed(s: SparkSession, batch: DataFrame,
+                          batchEmb: DataFrame, batchImg: DataFrame,
+                          prefix: String,
+                          k: Int = 12, bands: Int = 4,
+                          estThreshold: Double = 0.5,
+                          cosThreshold: Double = 0.40, bits: Int = 32,
+                          dim: Int = 64, embBands: Int = 8,
+                          maxHamming: Int = 6): DataFrame = {
+    val (exact, near, emb) = indexedTiers(s, batch, batchEmb, prefix,
+      k, bands, estThreshold, cosThreshold, bits, dim, embBands)
+    val img = Dedup.imgBanded(batchImg).withColumnRenamed("dhash", "_da")
+      .join(s.table(imgTable(prefix)).select(col("band"), col("key"),
+        col("doc_id").as("_cid"), col("dhash").as("_db")), Seq("band", "key"))
+      .filter(bit_count(col("_da").bitwiseXOR(col("_db"))) <= maxHamming)
+      .groupBy(col("doc_id")).agg(min(col("_cid")).as("img_id"))
+    Dedup.verdict4(batch.select(col("doc_id")), exact, near, emb, img)
       .orderBy(col("doc_id"))
   }
 

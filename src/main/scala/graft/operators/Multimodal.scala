@@ -541,6 +541,36 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** (media_id, dhash) for every q73-family image id in `dir` — the
+    * perceptual image INDEX projection, factored out so the pair query
+    * (q73), the incremental classifier's image tier (q75) and the
+    * stored-index path all share ONE hash definition. Encode + decode +
+    * hash run in one per-partition pass: the payload is born and dies
+    * inside the task; only (id, 8-byte hash) ever moves. */
+  def imageDHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    imageDHashesFor(s, graft.sources.Tables.spread(
+      graft.sources.Tables(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(3)) === 0),
+      col("doc_id")).as[Long])
+  }
+
+  /** [[imageDHashes]] over ANY id set (a real deployment maps its media
+    * catalog here and swaps [[MediaCodec.pngNearFor]] for a fetch). */
+  def imageDHashesFor(s: SparkSession,
+                      ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    import s.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val bytes = MediaCodec.pngNearFor(id) // the camera
+        val img = ImageIO.read(new ByteArrayInputStream(bytes)) // bytes alone
+        require(img != null, s"media_id=$id: undecodable PNG")
+        (id, MediaCodec.dHash64(img))
+      }
+    }.toDF("media_id", "dhash")
+  }
+
   /** q73 — PERCEPTUAL image near-dup pairs: dedup extended to the
     * image modality. Each image id's real PNG payload (the q73 fixture
     * family, [[MediaCodec.pngNearFor]]) is DECODED FROM BYTES ALONE,
@@ -562,22 +592,7 @@ object Multimodal {
     * decoding, exactly like q61/q63/q64. */
   def imageNearDupPairs(s: SparkSession, dir: String,
                         maxHamming: Int = 6): DataFrame = {
-    import s.implicits._
-    val ids = graft.sources.Tables.spread(
-      graft.sources.Tables(s, dir, "documents")
-        .select(col("doc_id"))
-        .filter(pmod(col("doc_id"), lit(3)) === 0),
-      col("doc_id")).as[Long]
-    // encode + decode + hash in one per-partition pass: the payload is
-    // born and dies inside the task; only (id, hash) ever moves
-    val hashes = Caches.track(ids.mapPartitions { it =>
-      it.map { id =>
-        val bytes = MediaCodec.pngNearFor(id) // the camera
-        val img = ImageIO.read(new ByteArrayInputStream(bytes)) // bytes alone
-        require(img != null, s"media_id=$id: undecodable PNG")
-        (id, MediaCodec.dHash64(img))
-      }
-    }.toDF("media_id", "dhash"))
+    val hashes = Caches.track(imageDHashes(s, dir))
     val banded = hashes.select(col("media_id"), col("dhash"),
         explode(Dedup.sketchBandStructs(col("dhash"), 64, 8)).as("b"))
       .select(col("media_id"), col("dhash"),

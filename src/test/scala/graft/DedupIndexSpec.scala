@@ -16,7 +16,7 @@ class DedupIndexSpec extends AnyFunSuite {
 
   private def dropAll(): Unit =
     Seq(DedupIndex.exactTable(prefix), DedupIndex.bandTable(prefix),
-      DedupIndex.embTable(prefix))
+      DedupIndex.embTable(prefix), DedupIndex.imgTable(prefix))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   test("indexed three-tier classify: zero index-side exchange, verdicts ≡ in-memory") {
@@ -63,6 +63,49 @@ class DedupIndexSpec extends AnyFunSuite {
           if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
       assert(rows(indexed) == rows(expected),
         "indexed classify must equal the in-memory three-tier classifier")
+      operators.Caches.release()
+      spark.catalog.clearCache()
+    } finally {
+      prev.foreach {
+        case (c, Some(v)) => spark.conf.set(c, v)
+        case (c, None)    => spark.conf.unset(c)
+      }
+      dropAll()
+    }
+  }
+
+  test("four-tier indexed classify: zero index-side exchange, verdicts ≡ in-memory (q75)") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val embs = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val imgs = graft.operators.Multimodal.imageDHashes(spark, sf)
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    val isNew = Sampling.hashBucket(col("doc_id"), 5) === 4
+    dropAll()
+    DedupIndex.saveIndex(docs.filter(!isNew), embs.filter(!isNew), prefix,
+      buckets = 4)
+    DedupIndex.saveImgIndex(imgs.filter(!isNew), prefix, buckets = 4)
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val indexed = DedupIndex.classifyNew4Indexed(spark,
+        docs.filter(isNew), embs.filter(isNew), imgs.filter(isNew), prefix)
+      val offending = DedupIndex.indexShuffleOffenders(
+        indexed.queryExecution.executedPlan, prefix)
+      assert(offending.isEmpty,
+        s"the stored index is shuffled before ${offending.size} join(s):\n" +
+          offending.mkString("\n---\n"))
+      val expected = Dedup.incrementalDedup4(spark, sf)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(rows(indexed) == rows(expected),
+        "indexed four-tier classify must equal the in-memory classifier")
+      assert(rows(indexed).exists(_._2 == "near_image"),
+        "fixture must exercise the image tier (else this test proves nothing)")
       operators.Caches.release()
       spark.catalog.clearCache()
     } finally {
@@ -134,6 +177,50 @@ class DedupIndexSpec extends AnyFunSuite {
         assert(ddl.contains("Num Buckets") || ddl.contains("bucket"),
           s"$t lost its bucket spec after append")
       }
+    } finally dropAll()
+  }
+
+  test("appendNew4: appended image rows catch a perceptual dup next day") {
+    import spark.implicits._
+    val (bits, dim, embBands) = (8, 4, 4)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpusEmb = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("doc_id", "embedding")
+    val corpusImg = Seq((1L, 0x0F0F0F0FL)).toDF("doc_id", "dhash")
+    // batch 1: novel text, orthogonal embedding, UNRELATED image
+    val b1 = Seq((11L, "one two three four five six seven")).toDF("doc_id", "text")
+    val b1e = Seq((11L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("doc_id", "embedding")
+    val b1i = Seq((11L, 0x123456789ABCDEFL)).toDF("doc_id", "dhash")
+    // batch 2: novel text/embedding again, but its image is 1 bit off
+    // batch 1's — only the APPENDED image rows can catch it
+    val b2 = Seq((20L, "eight nine ten eleven twelve thirteen")).toDF("doc_id", "text")
+    val b2e = Seq((20L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("doc_id", "embedding")
+    val b2i = Seq((20L, 0x123456789ABCDEEL)).toDF("doc_id", "dhash")
+    dropAll()
+    try {
+      DedupIndex.saveIndex(corpus, corpusEmb, prefix, buckets = 4,
+        bits = bits, dim = dim, embBands = embBands)
+      DedupIndex.saveImgIndex(corpusImg, prefix, buckets = 4)
+      val v1 = DedupIndex.classifyNew4Indexed(spark, b1, b1e, b1i, prefix,
+        bits = bits, dim = dim, embBands = embBands).localCheckpoint()
+      assert(verdicts(v1) == Set((11L, "new", None)))
+      DedupIndex.appendNew4(b1, b1e, b1i, v1, prefix, buckets = 4,
+        bits = bits, dim = dim, embBands = embBands)
+      val v2 = DedupIndex.classifyNew4Indexed(spark, b2, b2e, b2i, prefix,
+        bits = bits, dim = dim, embBands = embBands)
+      assert(verdicts(v2) == Set((20L, "near_image", Some(11L))),
+        "the appended image index must catch the perceptual dup")
+      // duality vs the in-memory four-tier one-shot over corpus ∪ batch1
+      val oneShot = Dedup.incrementalDedupFor4(
+        b2, corpus.unionByName(b1),
+        b2e, corpusEmb.unionByName(b1e),
+        b2i, corpusImg.unionByName(b1i),
+        bits = bits, embBands = embBands, dim = dim)
+      assert(verdicts(v2) == verdicts(oneShot))
     } finally dropAll()
   }
 }
