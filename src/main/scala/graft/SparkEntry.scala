@@ -95,6 +95,7 @@ object SparkEntry {
     "q73_image_neardup"     -> ((s: SparkSession, d: String) => Multimodal.imageNearDupPairs(s, d)),
     "q74_indexed_dedup3"    -> ((s: SparkSession, d: String) => DedupIndex.incrementalDedupIndexed3(s, d)),
     "q75_incremental_dedup4" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup4(s, d)),
+    "q76_audio_neardup"     -> ((s: SparkSession, d: String) => Multimodal.audioNearDupPairs(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1491,6 +1492,74 @@ object SparkEntry {
     // a q74/q68 verdict divergence would fail BOTH against this one
     // definition rather than silently agreeing with itself.
     "q74_indexed_dedup3" -> incrementalDedup3Sql,
+    // q76: the perceptual AUDIO pair oracle — replays the microphone
+    // formula (sum of two duration-normalized triangle waves + per-
+    // sample noise), pools raw PCM onto 65 time blocks, compares
+    // adjacent block means by integer cross-multiplication, packs the
+    // 64 differential bits HUGEINT → signed BIGINT, then the same
+    // 8×8-bit banding and hamming ≤ 4 filter as the engine.
+    "q76_audio_neardup" -> s"""
+      WITH au AS (SELECT doc_id AS id, (doc_id % 60) * 80 + 800 AS n,
+                    (doc_id // 3) % 17 AS base
+                  FROM documents WHERE doc_id % 3 = 1),
+      ab AS (SELECT DISTINCT base FROM au),
+      ${sqlMixCtes("qa", "ab", "base", "base * 5 + 1")},
+      ${sqlMixCtes("qb", "ab", "base", "base * 5 + 2")},
+      ${sqlMixCtes("qc", "ab", "base", "base * 5 + 3")},
+      ${sqlMixCtes("qd", "ab", "base", "base * 5 + 4")},
+      apr AS (SELECT au.id, au.n,
+                2 + CAST(qa.z % 8 AS BIGINT) AS a,
+                2 + CAST(qb.z % 8 AS BIGINT) AS b,
+                CAST(qc.z % 512 AS BIGINT) AS c,
+                CAST(qd.z % 512 AS BIGINT) AS d
+              FROM au
+              JOIN qaz qa ON qa.base = au.base
+              JOIN qbz qb ON qb.base = au.base
+              JOIN qcz qc ON qc.base = au.base
+              JOIN qdz qd ON qd.base = au.base),
+      at0 AS (SELECT id, n, a, b, c, d,
+                unnest(generate_series(0, n - 1)) AS t FROM apr),
+      ${sqlMixCtes("an", "at0", "id, n, a, b, c, d, t",
+                   "id * 1000003 + t")},
+      sv AS (SELECT id, n, t,
+               a * ((t * 512) // n) + c + CAST(z % 4 AS BIGINT) AS arg1,
+               b * ((t * 512) // n) + d AS arg2
+             FROM anz),
+      pcm AS (SELECT id, n, t,
+                ((CASE WHEN arg1 % 512 < 256 THEN arg1 % 512
+                       ELSE 511 - (arg1 % 512) END) +
+                 (CASE WHEN arg2 % 512 < 256 THEN arg2 % 512
+                       ELSE 511 - (arg2 % 512) END) - 255) * 64 AS s
+              FROM sv),
+      abl AS (SELECT id, (t * 65) // n AS blk,
+                CAST(sum(s) AS BIGINT) AS sm, count(*) AS cnt
+              FROM pcm GROUP BY 1, 2),
+      abits AS (SELECT l.id, l.blk AS k,
+                  CASE WHEN r.sm * l.cnt > l.sm * r.cnt THEN 1 ELSE 0 END AS bit
+                FROM abl l JOIN abl r
+                  ON r.id = l.id AND r.blk = l.blk + 1
+                WHERE l.blk < 64),
+      ahu AS (SELECT id, CAST(sum(CAST(bit AS HUGEINT) *
+                 (CAST(1 AS HUGEINT) << CAST(k AS INT))) AS HUGEINT) AS hraw
+              FROM abits GROUP BY 1),
+      ahs AS (SELECT id,
+                CAST(CASE WHEN hraw >= 9223372036854775808
+                          THEN hraw - 18446744073709551616
+                          ELSE hraw END AS BIGINT) AS afp
+              FROM ahu),
+      abanded AS (SELECT id, afp, b AS band, (afp >> (b * 8)) & 255 AS key
+                  FROM ahs, (SELECT unnest(generate_series(0, 7)) AS b)),
+      acand AS (SELECT DISTINCT x.id AS clip_a, y.id AS clip_b
+                FROM abanded x JOIN abanded y
+                  ON x.band = y.band AND x.key = y.key AND x.id < y.id)
+      SELECT c.clip_a, c.clip_b,
+             CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+      FROM acand c
+      JOIN ahs a ON a.id = c.clip_a
+      JOIN ahs b ON b.id = c.clip_b
+      WHERE bit_count(xor(a.afp, b.afp)) <= 4
+      ORDER BY clip_a, clip_b""",
+
     // q75: q68's three tiers + the perceptual IMAGE tier — the image
     // CTEs are [[imageDHashCtes]] (q73's replay verbatim), banded
     // DIRECTIONALLY (batch x vs corpus y) and hamming-rescored at ≤ 6,

@@ -216,6 +216,87 @@ object Multimodal {
       hash
     }
 
+    // ---- q76 fixture: perceptual near-dup audio family ----
+    // Same-base clips share ONE duration-normalized waveform (a sum of
+    // two triangle waves over u = t·512/n — the argument spans the same
+    // range at every clip length, so the POOLED 65-block profile is
+    // duration-invariant up to integer discretization) plus per-sample
+    // ±3 argument noise per clip id. Same base ⇒ fingerprint hamming
+    // ~0-4 across ANY durations; different base ⇒ different
+    // frequency/phase params ⇒ uncorrelated differential bits. All
+    // integer arithmetic on the unsigned mix value, mirrored
+    // digit-for-digit in the q76 DuckDB oracle.
+    def nearDupAudioBase(id: Long): Long = (id / 3) % 17
+
+    /** PCM sample t of clip `id` with n total samples — the q76
+      * microphone formula (public: the spec's brute-force twin and the
+      * oracle both replay it). */
+    def nearDupSample(id: Long, n: Int, t: Int): Int = {
+      val base = nearDupAudioBase(id)
+      // frequencies 2..9: measured across the whole sf0.01 family, this
+      // range puts every same-base pair at fingerprint hamming ≤ 2 and
+      // every cross-base pair at ≥ 5 — slower waves (1..5) produce
+      // low-entropy differential bits whose long runs let unrelated
+      // bases collide under small phase offsets
+      val a = 2 + java.lang.Long.remainderUnsigned(mix(base * 5 + 1), 8)
+      val b = 2 + java.lang.Long.remainderUnsigned(mix(base * 5 + 2), 8)
+      val c = java.lang.Long.remainderUnsigned(mix(base * 5 + 3), 512)
+      val d = java.lang.Long.remainderUnsigned(mix(base * 5 + 4), 512)
+      val noise = java.lang.Long.remainderUnsigned(mix(id * 1000003L + t), 4)
+      val u = t.toLong * 512 / n
+      val v = triWave(a * u + c + noise) + triWave(b * u + d)
+      (v - 255) * 64
+    }
+
+    /** Real WAV bytes for the near-dup family (same RIFF writer as
+      * [[wavFor]]). */
+    def wavNearFor(id: Long): Array[Byte] = {
+      val n = wavSamples(id)
+      val dataSize = n * 2
+      val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1)
+      bb.putInt(WavRate); bb.putInt(WavRate * 2)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+      var t = 0
+      while (t < n) { bb.putShort(nearDupSample(id, n, t).toShort); t += 1 }
+      bb.array
+    }
+
+    /** 64-bit temporal difference fingerprint ("chromaprint-lite") of a
+      * PCM array: average-pool the RAW samples onto 65 time blocks
+      * (t→block t·65/n — no empty blocks for n ≥ 65), bit i = 1 iff
+      * mean(block i+1) > mean(block i), compared by integer
+      * CROSS-MULTIPLICATION (counts are positive, so s₂·n₁ > s₁·n₂
+      * orders the means exactly even for signed sums) — [[dHash64]]'s
+      * differential-coding idea applied along time, duration-invariant
+      * the same way dHash is resolution-invariant, and exactly
+      * replayable in SQL without floats. */
+    def audioFingerprint64(samples: Array[Int]): Long = {
+      val n = samples.length
+      require(n >= 65, s"fingerprint needs >= 65 samples, got $n")
+      val sums = new Array[Long](65)
+      val counts = new Array[Long](65)
+      var t = 0
+      while (t < n) {
+        val blk = (t.toLong * 65 / n).toInt
+        sums(blk) += samples(t)
+        counts(blk) += 1
+        t += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (sums(i + 1) * counts(i) > sums(i) * counts(i + 1))
+          hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+
     case class Decoded(width: Int, height: Int, durationMs: Int,
                        nFrames: Int, features: Array[Float])
 
@@ -264,7 +345,13 @@ object Multimodal {
     /** Real RIFF chunk walk: finds fmt/data wherever they sit (not a
       * fixed-44-byte-offset assumption), derives duration from the data
       * size and block align, features from the PCM samples. */
-    def decodeWav(bytes: Array[Byte], dim: Int): Decoded = {
+    /** Validated RIFF/WAVE header walk, shared by [[decodeWav]] and
+      * [[pcmSamples]]: (rate, channels, blockAlign, dataOff, dataSize).
+      * Walks until BOTH chunks are found — RIFF permits data before
+      * fmt, so stopping at the first data chunk would reject legal
+      * files. Skips clamp to the buffer end; a truncated chunk reaches
+      * the named require, not an anonymous ByteBuffer throw. */
+    private[operators] def wavHeader(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       def fourcc(): String = {
         val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
@@ -274,10 +361,6 @@ object Multimodal {
       require(fourcc() == "WAVE", "not a WAVE file")
       var rate = 0; var blockAlign = 0; var channels = 0
       var dataOff = -1; var dataSize = 0
-      // walk until BOTH chunks are found: RIFF permits data before fmt,
-      // so stopping at the first data chunk would reject legal files.
-      // Skips clamp to the buffer end — a truncated chunk must reach
-      // the named require below, not throw from ByteBuffer.position.
       def skip(body: Int): Unit =
         bb.position(math.min(bb.limit(), bb.position() + body + (body & 1)))
       while (bb.remaining() >= 8 && (dataOff < 0 || rate == 0)) {
@@ -304,6 +387,22 @@ object Multimodal {
       require(dataOff.toLong + dataSize <= bytes.length,
         s"WAV data chunk overruns payload: off=$dataOff size=$dataSize " +
           s"file=${bytes.length}")
+      (rate, channels, blockAlign, dataOff, dataSize)
+    }
+
+    /** The raw 16-bit PCM samples of a WAV payload — the audio
+      * fingerprint's input (decode-from-bytes-alone, like every codec
+      * here). */
+    def pcmSamples(bytes: Array[Byte]): Array[Int] = {
+      val (_, _, blockAlign, dataOff, dataSize) = wavHeader(bytes)
+      val n = dataSize / blockAlign
+      val view = ByteBuffer.wrap(bytes, dataOff, dataSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      Array.tabulate(n)(i => view.getShort(dataOff + i * blockAlign).toInt)
+    }
+
+    def decodeWav(bytes: Array[Byte], dim: Int): Decoded = {
+      val (rate, channels, blockAlign, dataOff, dataSize) = wavHeader(bytes)
       val nSamples = dataSize / blockAlign
       val durationMs = (nSamples.toLong * 1000L / rate).toInt
       var sum = 0.0; var sum2 = 0.0; var zc = 0; var prev = 0; var maxAbs = 0
@@ -605,6 +704,59 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("img_a"), col("img_b"))
+  }
+
+  /** (media_id, afp) perceptual audio fingerprints for every
+    * q76-family clip id in `dir` (the audio modality slot doc_id % 3 =
+    * 1, matching [[mediaFromDocuments]]'s kind assignment) — encode +
+    * decode + fingerprint in one per-partition pass, WAV bytes never
+    * shuffle. */
+  def audioFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.spread(
+      graft.sources.Tables(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(3)) === 1),
+      col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = MediaCodec.wavNearFor(id) // the microphone
+          (id, MediaCodec.audioFingerprint64(
+            MediaCodec.pcmSamples(bytes))) // bytes alone
+        }
+      }.toDF("media_id", "afp")
+  }
+
+  /** q76 — PERCEPTUAL audio near-dup pairs: the q73 shape applied to
+    * the audio modality. Each clip's real WAV payload
+    * ([[MediaCodec.wavNearFor]]) is decoded from bytes alone
+    * ([[MediaCodec.pcmSamples]]), reduced to the 64-bit temporal
+    * difference fingerprint ([[MediaCodec.audioFingerprint64]] —
+    * robust to re-sampling/duration changes the way dHash is robust to
+    * resizes), banded 8×8 bits, and pairs with Hamming distance ≤
+    * `maxHamming` are emitted.
+    *
+    * Scale shape = q73's verbatim: per-partition decode (only the
+    * 8-byte fingerprint moves), band-keyed candidate join (never
+    * all-pairs), and for maxHamming ≤ 7 the 8-band split is EXACT by
+    * pigeonhole — the spec proves equality with the brute-force O(n²)
+    * scan. The oracle replays the whole path from the fixture formulas
+    * in integer SQL. */
+  def audioNearDupPairs(s: SparkSession, dir: String,
+                        maxHamming: Int = 4): DataFrame = {
+    val fps = Caches.track(audioFingerprints(s, dir))
+    val banded = fps.select(col("media_id"), col("afp"),
+        explode(Dedup.sketchBandStructs(col("afp"), 64, 8)).as("b"))
+      .select(col("media_id"), col("afp"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("clip_a"), col("b.media_id").as("clip_b"),
+        bit_count(col("a.afp").bitwiseXOR(col("b.afp")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("clip_a"), col("clip_b"))
   }
 
   /** q64 — audio feature audit: [[extractFeatures]] over the real WAV

@@ -309,6 +309,41 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"only $sameBase/${got.size} pairs share a pattern base")
   }
 
+  test("audio near-dup: banding ≡ brute force, duration-invariant, base-precise (q76)") {
+    import graft.operators.Multimodal.MediaCodec
+    val spark2 = spark
+    import spark2.implicits._
+    val got = operators.Multimodal.audioNearDupPairs(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    operators.Caches.release()
+    spark.catalog.clearCache()
+    // driver brute force through the SAME microphone → decode →
+    // fingerprint path
+    val clipIds = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id").as[Long].collect().filter(_ % 3 == 1).sorted
+    val fps = clipIds.map(id => id -> MediaCodec.audioFingerprint64(
+      MediaCodec.pcmSamples(MediaCodec.wavNearFor(id)))).toMap
+    val brute = (for {
+      a <- clipIds; b <- clipIds if a < b
+      hd = java.lang.Long.bitCount(fps(a) ^ fps(b)) if hd <= 4
+    } yield (a, b, hd.toLong)).toSet
+    assert(brute.nonEmpty, "fixture must contain perceptual near-dups")
+    // 8 disjoint bytes + hamming ≤ 4 < 8 ⇒ pigeonhole: the banded join
+    // is EXACT — full equality, no recall slack
+    assert(got == brute,
+      s"banded-only=${got -- brute} brute-only=${brute -- got}")
+    // duration invariance: pairs span DIFFERENT clip lengths (id mod 60
+    // drives the sample count) — the pooled fingerprint, not the raw
+    // PCM, matches
+    assert(got.exists { case (a, b, _) => a % 60 != b % 60 },
+      "expected near-dup pairs across different durations")
+    // precision: waveform-base groups dominate the pair set
+    val sameBase = got.count { case (a, b, _) =>
+      MediaCodec.nearDupAudioBase(a) == MediaCodec.nearDupAudioBase(b) }
+    assert(sameBase.toDouble / got.size > 0.9,
+      s"only $sameBase/${got.size} pairs share a waveform base")
+  }
+
   test("streaming decontamination ≡ batch hits under any chunking (q72 twin)") {
     import graft.streaming.Decontamination
     import graft.functions.TextFunctions.tokens
