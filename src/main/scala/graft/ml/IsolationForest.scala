@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *    `when` chains would blow past the JVM's 64KB method limit and fall
   *    out of codegen anyway — a closed-over array walk is the faster
   *    form at this operator's shape.
-  * Semantic delta vs sklearn: subsamples are disjoint slices of one
-  * hash-ordered pool (reproducible, join-stable — the Sampling.scala
-  * doctrine) rather than fresh Bernoulli draws per tree.
+  * Subsampling (r10, closing the recorded delta): per-tree INDEPENDENT
+  * exact-ψ draws without replacement via hash-rank sampling — a
+  * Bernoulli pre-filter bounds the single-scan collect, then each tree
+  * keeps its ψ smallest per-tree ranks. Matches the paper's per-tree
+  * sampling semantics while staying deterministic by row content (the
+  * Sampling.scala doctrine).
   */
 object IsolationForest {
 
@@ -84,28 +87,55 @@ object IsolationForest {
     val need = nTrees.toLong * sampleSize
     require(need <= Int.MaxValue,
       s"nTrees * sampleSize = $need overflows the Int limit() bound; " +
-        "shrink one of them (the pool is driver-collected by design)")
-    // deterministic bounded pool: hash-rank rows, keep the first
-    // nTrees·ψ — ONE scan + a TakeOrderedAndProject of `need` rows, never
-    // a full sort materialization
+        "shrink one of them (the samples are driver-collected by design)")
     val keyed = df.select(features.map(c => col(c).cast("double")): _*)
       .na.drop()
-    val pool = keyed
-      .withColumn("_rk", xxhash64(features.map(col): _*))
-      .orderBy(col("_rk"))
-      .limit(need.toInt)
-      .drop("_rk")
+    val n = keyed.count()
+    require(n > 1, "isolation forest needs ≥ 2 complete rows")
+    // PER-TREE independent subsamples (the paper's sampling semantics,
+    // r10 — previously disjoint slices of one hash-ordered pool): each
+    // row computes a per-tree rank rk(t) = xxhash64(features…, t, seed)
+    // mod 2³⁰ and keeps tree t iff rk(t) clears a Bernoulli threshold
+    // ~1.3·ψ/n — ONE scan emitting ~1.3·nTrees·ψ (tree, row, rank)
+    // rows in expectation, never an n×nTrees explode. The driver then
+    // takes each tree's ψ SMALLEST ranks, so the final sample is an
+    // exact-ψ uniform draw WITHOUT replacement per tree, independent
+    // across trees (hash-rank sampling), deterministic by row CONTENT
+    // like every split rule in this engine. n ≤ ψ degenerates to every
+    // tree seeing all rows — sklearn's max_samples=min(ψ,n) behavior.
+    val M = 1L << 30
+    val pKeep = math.min(1.0, 1.3 * sampleSize / n)
+    val thresh = math.max(1L, (M * pKeep).toLong)
+    val rankFor = (t: Column) => pmod(
+      xxhash64((features.map(col) :+ t :+ lit(seed)): _*), lit(M))
+    val treeArms = filter(
+      transform(sequence(lit(0), lit(nTrees - 1)),
+        t => struct(t.as("t"), rankFor(t).as("rk"))),
+      s => s.getField("rk") < lit(thresh))
+    // hard collect bound (4× the expectation): duplicate-heavy data
+    // hash-ties whole row groups through the threshold together, and an
+    // unbounded collect must never reach the driver. Truncation beyond
+    // the cap drops (arbitrary) excess rows of such ties only.
+    val cap = math.min(Int.MaxValue.toLong, 4L * need).toInt
+    val kept = keyed
+      .withColumn("_arms", treeArms)
+      .filter(size(col("_arms")) > 0)
+      .select(explode(col("_arms")).as("_a"),
+        array(features.map(col): _*).as("_x"))
+      .select(col("_a.t").as("_t"), col("_a.rk").as("_rk"), col("_x"))
+      .limit(cap)
       .collect()
-      .map(r => Array.tabulate(features.size)(r.getDouble))
-    require(pool.length > 1, "isolation forest needs ≥ 2 complete rows")
+    val byTree = kept.groupBy(_.getInt(0))
     val rnd = new java.util.SplittableRandom(seed)
     val trees = (0 until nTrees).map { t =>
-      // disjoint slice when the pool is big enough, else a seeded
-      // with-replacement draw from what there is
-      val slice =
-        if (pool.length >= need) pool.slice(t * sampleSize, (t + 1) * sampleSize)
-        else Array.fill(sampleSize)(pool(rnd.nextInt(pool.length)))
-      grow(slice, rnd, maxDepth = math.ceil(
+      val rows = byTree.getOrElse(t, Array.empty)
+        .sortBy(r => (r.getLong(1), r.getSeq[Double](2).mkString(",")))
+        .take(sampleSize)
+        .map(r => r.getSeq[Double](2).toArray)
+      require(rows.length > 1,
+        s"tree $t drew ${rows.length} rows — Bernoulli undersample this " +
+          "extreme indicates degenerate (near-constant) feature data")
+      grow(rows, rnd, maxDepth = math.ceil(
         math.log(sampleSize.toDouble) / math.log(2.0)).toInt)
     }
     IForestModel(trees, sampleSize, features)
