@@ -1052,6 +1052,32 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.key").as("key"), col("dhash"))
 
+  /** (band, key) structs partitioning a 64-bit hash into 8 bands of
+    * STRIDE-INTERLEAVED bits — band b holds bits {b, b+8, …, b+56}.
+    * Still a disjoint 8-partition, so the hamming-≤7 pigeonhole
+    * exactness argument is identical to [[sketchBandStructs]]'s; the
+    * difference is purely candidate VOLUME for hashes whose adjacent
+    * bits are correlated. The q76 audio fingerprint codes adjacent
+    * time blocks differentially, so its bits come in runs — contiguous
+    * byte bands then agree far above the uniform 2⁻⁸ rate (the 10×
+    * soak measured ~5.7× the analytic bound), while stride-8 sampling
+    * picks near-independent distant bits and restores it. */
+  private[graft] def interleavedBandStructs(hash: Column): Column =
+    array((0 until 8).map { bd =>
+      val key = (0 until 8).map { j =>
+        shiftright(hash, bd + 8 * j).bitwiseAND(lit(1L)) * lit(1L << j)
+      }.reduce(_ + _)
+      struct(lit(bd).as("band"), key.as("key"))
+    }: _*)
+
+  /** [[imgBanded]]'s audio twin: banded rows of a (doc_id, afp)
+    * fingerprint frame under the interleaved banding. */
+  private[graft] def afpBanded(fps: DataFrame): DataFrame =
+    fps.select(col("doc_id"), col("afp"),
+        explode(interleavedBandStructs(col("afp"))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.key").as("key"), col("afp"))
+
   /** Image tier: batch→corpus banded-dHash candidates rescored by exact
     * Hamming distance ≤ `maxHamming`. Directional like every other tier
     * (the corpus image index is never self-joined), and for

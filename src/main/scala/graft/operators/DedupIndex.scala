@@ -216,14 +216,23 @@ object DedupIndex {
                           maxHamming: Int = 6): DataFrame = {
     val (exact, near, emb) = indexedTiers(s, batch, batchEmb, prefix,
       k, bands, estThreshold, cosThreshold, bits, dim, embBands)
-    val img = Dedup.imgBanded(batchImg).withColumnRenamed("dhash", "_da")
+    Dedup.verdict4(batch.select(col("doc_id")), exact, near, emb,
+      imgProbe(s, batchImg, prefix, maxHamming))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The image-tier probe alone, against the stored `_img` table:
+    * (doc_id, img_id = min corpus image within `maxHamming`). Shared
+    * by [[classifyNew4Indexed]] and the streaming image-dedup twin
+    * ([[graft.streaming.ImageDedup]]) so the probe join can't drift
+    * between batch and continuous ingest. */
+  def imgProbe(s: SparkSession, batchImg: DataFrame, prefix: String,
+               maxHamming: Int = 6): DataFrame =
+    Dedup.imgBanded(batchImg).withColumnRenamed("dhash", "_da")
       .join(s.table(imgTable(prefix)).select(col("band"), col("key"),
         col("doc_id").as("_cid"), col("dhash").as("_db")), Seq("band", "key"))
       .filter(bit_count(col("_da").bitwiseXOR(col("_db"))) <= maxHamming)
       .groupBy(col("doc_id")).agg(min(col("_cid")).as("img_id"))
-    Dedup.verdict4(batch.select(col("doc_id")), exact, near, emb, img)
-      .orderBy(col("doc_id"))
-  }
 
   /** The zero-shuffle claim as an executable lint (shared by
     * DedupIndexSpec and the q74 declared query): collect every

@@ -33,6 +33,12 @@ import graft.sources.Tables
   *    document ≤ `bands` at BOTH scales. (A raw 1×-vs-10× ratio would
   *    be misleading here: the planted cross-copy twins are TRUE matches,
   *    and true-match candidates rightly grow with planted dup mass.)
+  *  - r10: q71 URL groups ≤ 10^1.5 (one hash shuffle, ~linear output);
+  *    q72 WALL ≤ 10^1.5 (hit rows are planted cross-copy leakage —
+  *    INFO); q73/q76 perceptual band candidates ≤ 2× the analytic
+  *    bound (true pairs + C(n,2)·bands/2^bits) at both scales — the
+  *    "8 independent byte buckets" model itself, which caught q76's
+  *    run-correlated bits and forced the interleaved banding.
   * Output sizes (q26 verified pairs, q51 labels, q62 sequences) are
   * printed for eyeballing but not gated — they track the planted data,
   * not the engine's join shapes.
@@ -87,6 +93,28 @@ object SoakScale {
         .join(banded(corpus).as("y"), Seq("band", "key"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct().count()
+    }
+    sc.release(); n
+  }
+
+  /** Distinct band-sharing (a, b) pairs of a (doc_id, dhash)-shaped
+    * 64-bit hash frame under the 8×8-bit banding — the candidate stage
+    * of q73 (images) and q76 (audio). The hash column must be named
+    * `dhash` ([[Dedup.imgBanded]]'s contract). */
+  def hashBandCandidateCount(hashes: DataFrame): Long =
+    bandedCandidateCount(Dedup.imgBanded(hashes))
+
+  /** [[hashBandCandidateCount]] under q76's stride-interleaved audio
+    * banding (the hash column must be named `afp`). */
+  def afpBandCandidateCount(fps: DataFrame): Long =
+    bandedCandidateCount(Dedup.afpBanded(fps))
+
+  private def bandedCandidateCount(bandedPlan: DataFrame): Long = {
+    val (n, sc) = Caches.scope {
+      val banded = Caches.track(bandedPlan)
+      banded.as("a").join(banded.as("b"), Seq("band", "key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
     }
     sc.release(); n
   }
@@ -148,7 +176,8 @@ object SoakScale {
     // one file; an unspread 1× side would serialize every measurement and
     // corrupt the 1×-vs-10× comparison)
     val base = Caches.track(
-      Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
         .repartition(32, col("doc_id")))
     def copyDF(c: Int): DataFrame =
       if (c == 0) base
@@ -156,7 +185,8 @@ object SoakScale {
         (col("doc_id") + lit(c * 1000000L)).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           (t, i) => when(i % 3 === 0, concat(lit(s"cp${c % 5}x"), t)).otherwise(t)))
-          .as("text"))
+          .as("text"),
+        col("source"))
     // materialized once so every measurement reads identical bytes and no
     // timing includes the corpus synthesis
     val corpus10 = Caches.track(
@@ -242,6 +272,117 @@ object SoakScale {
     }
     scoped("q65 classify @1x")(Dedup.incrementalDedupFor(b1, co1).count())
     scoped("q65 classify @10x")(Dedup.incrementalDedupFor(b10, co10).count())
+
+    // --- r10: q71 canonical-URL dedup — pure per-row normalize + ONE
+    // hash shuffle; output groups must track corpus size ~linearly
+    def urlGroups(df: DataFrame): Long = {
+      val (n, sc) = Caches.scope {
+        Dedup.urlNormalizedDedupFor(
+          df.select(col("doc_id"), Dedup.syntheticUrl.as("url"))).count()
+      }
+      sc.release(); n
+    }
+    val u1 = scoped("q71 url groups @1x")(urlGroups(base))
+    val u10 = scoped("q71 url groups @10x")(urlGroups(corpus10))
+    check("q71-url-groups", u1, u10)
+
+    // --- r10: q72 decontamination — eval gram index broadcast, train
+    // gram stream never shuffles. HIT rows are TRUE planted leakage
+    // here, not engine fan-out: the per-copy eval split puts a doc's
+    // exact cross-copy twin (copies c and c+5 share a tag) on the train
+    // side whenever the hash marks only one of them eval, so every such
+    // split is a guaranteed full-document hit and hit volume grows with
+    // planted dup mass (measured ~87× — the q26-verified-pairs
+    // situation, INFO not gate). The engine claim that CAN be gated is
+    // wall: the broadcast-probe shape must stay ~linear in the train
+    // stream (a shuffle sneaking in would show super-linear wall).
+    def deconHits(df: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val (n, sc) = Caches.scope {
+        import graft.functions.TextFunctions.tokens
+        val g = Caches.track(df
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 8)
+          .withColumn("_eval",
+            graft.operators.Sampling.hashBucket(col("doc_id"), 10) === 0))
+        graft.operators.Sampling.contaminationHits(
+          g.filter(!col("_eval")).select(col("doc_id"), col("t")),
+          graft.operators.Sampling.benchmarkGramIndex(
+            g.filter(col("_eval")).select(col("doc_id"), col("t")))).count()
+      }
+      sc.release(); (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (d1, dw1) = scoped("q72 hit rows @1x")(deconHits(base))
+    val (d10, dw10) = scoped("q72 hit rows @10x")(deconHits(corpus10))
+    info("q72-contamination-hits", d1, d10) // planted cross-copy leakage
+    val wallRatio = dw10 / math.max(dw1, 1e-9)
+    val wallOk = wallRatio <= gate
+    if (!wallOk) failures += 1
+    println(f"[soak] RATIO q72-wall                   ${dw1}%.2f -> ${dw10}%.2f s (${wallRatio}%.2fx, gate ${gate}%.1fx) ${if (wallOk) "PASS" else "FAIL"}")
+
+    // --- r10: q73/q76 perceptual band joins. Copy offsets shift ids by
+    // c·10⁶ ≡ c (mod 3), so every copy contributes its own third of ids
+    // to each modality slot: media counts grow 10× but with the SAME
+    // planted 21/17-base structure, so TRUE pairs grow ~quadratically
+    // in planted dup mass — a raw ratio gate would punish the fixture,
+    // not the engine. The engine claim
+    // to pin is the banding math itself: candidates never exceed
+    //   2 × (true pairs + C(n,2) · bands/2^bits)
+    // — the analytic random-collision bound (8 byte-bands ⇒ ~8/256 of
+    // uncorrelated pairs share a band) plus the planted dup mass. A
+    // blowup beyond that factor-2 slack means the banding stopped
+    // behaving like 8 independent byte buckets. At 100-TB image counts
+    // the production tuning is wider band keys (e.g. 4×16 bits, exact
+    // for hamming ≤ 3) — documented in SCALE.md; the bound form is the
+    // same.
+    def bandGate(name: String, nMedia: Long, cands: Long, truePairs: Long): Unit = {
+      val bound = 2.0 * (truePairs + nMedia.toDouble * (nMedia - 1) / 2.0 * 8.0 / 256.0)
+      val ok = cands <= bound
+      if (!ok) failures += 1
+      println(f"[soak] RATIO $name%-26s $cands%12d cand (≤ ${bound}%12.0f analytic bound; true=$truePairs) ${if (ok) "PASS" else "FAIL"}")
+    }
+    import spark.implicits._
+    def mediaIds(df: DataFrame, slot: Int): org.apache.spark.sql.Dataset[Long] =
+      df.select(col("doc_id")).filter(pmod(col("doc_id"), lit(3)) === slot)
+        .as[Long]
+    def imgPairs(df: DataFrame): (Long, Long, Long) = {
+      val ids = mediaIds(df, 0)
+      val n = ids.count()
+      val hashes = Caches.track(
+        graft.operators.Multimodal.imageDHashesFor(spark, ids)
+          .select(col("media_id").as("doc_id"), col("dhash")))
+      val cands = hashBandCandidateCount(hashes)
+      val truePairs = hashes.as("a").join(hashes.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= 6)
+        .count() // brute force is fine at soak scale; candidates are the claim
+      (n, cands, truePairs)
+    }
+    def audioPairs(df: DataFrame): (Long, Long, Long) = {
+      val ids = mediaIds(df, 1)
+      val n = ids.count()
+      val fps = Caches.track(ids.mapPartitions { it =>
+        import graft.operators.Multimodal.MediaCodec
+        it.map(id => (id, MediaCodec.audioFingerprint64(
+          MediaCodec.pcmSamples(MediaCodec.wavNearFor(id)))))
+      }.toDF("doc_id", "afp"))
+      val cands = afpBandCandidateCount(fps)
+      val truePairs = fps.as("a").join(fps.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.afp").bitwiseXOR(col("b.afp"))) <= 4)
+        .count()
+      (n, cands, truePairs)
+    }
+    val (in1, ic1, it1) = scoped("q73 img band cands @1x")(imgPairs(base))
+    val (in10, ic10, it10) = scoped("q73 img band cands @10x")(imgPairs(corpus10))
+    println(s"[soak] q73 images: $in1 -> $in10; true pairs $it1 -> $it10")
+    bandGate("q73-img-cands @1x", in1, ic1, it1)
+    bandGate("q73-img-cands @10x", in10, ic10, it10)
+    val (an1, ac1, at1) = scoped("q76 audio band cands @1x")(audioPairs(base))
+    val (an10, ac10, at10) = scoped("q76 audio band cands @10x")(audioPairs(corpus10))
+    println(s"[soak] q76 clips: $an1 -> $an10; true pairs $at1 -> $at10")
+    bandGate("q76-audio-cands @1x", an1, ac1, at1)
+    bandGate("q76-audio-cands @10x", an10, ac10, at10)
 
     // --- connected-components mechanics: planted chains (q51/q70's
     // engine). Two gates beyond candidate volume:

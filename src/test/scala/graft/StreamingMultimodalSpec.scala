@@ -309,6 +309,57 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"only $sameBase/${got.size} pairs share a pattern base")
   }
 
+  test("streaming image dedup ≡ batch classify under any chunking (q75 twin)") {
+    import graft.streaming.ImageDedup
+    import graft.operators.{DedupIndex, Multimodal, Sampling}
+    val spark2 = spark
+    import spark2.implicits._
+    val prefix = "graft_imgtwin"
+    def dropAll(): Unit = spark.sql(
+      s"DROP TABLE IF EXISTS ${DedupIndex.imgTable(prefix)}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_imgstream").toString
+    val all = Multimodal.imageDHashes(spark, sf)
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    val isNew = Sampling.hashBucket(col("doc_id"), 5) === 4
+    dropAll()
+    try {
+      // corpus = bases 0..10 only: batch images of bases 11..20 have no
+      // corpus twin and must come back `new` (else the duality is
+      // vacuously all-near_image on this dense fixture)
+      DedupIndex.saveImgIndex(
+        all.filter(!isNew && expr("(doc_id div 3) % 21 < 11")),
+        prefix, buckets = 4)
+      // the feed: the batch split's REAL PNG payloads, written as 3
+      // file chunks so maxFilesPerTrigger replays them as 3 micro-batches
+      val batchIds = all.filter(isNew).select("doc_id").as[Long]
+      batchIds.mapPartitions { it =>
+        it.map(id => (id, Multimodal.MediaCodec.pngNearFor(id)))
+      }.toDF("doc_id", "bytes")
+        .withColumn("_chunk", pmod(col("doc_id"), lit(3)))
+        .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
+      val schema = spark.read.parquet(s"$dir/feed").schema
+      val got = scala.collection.mutable.ListBuffer.empty[(Long, String, Option[Long])]
+      val q = ImageDedup.start(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/feed"),
+        prefix,
+        (v, _) => got ++= v.collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      try q.processAllAvailable() finally q.stop()
+      // duality: chunked streaming verdicts ≡ the one-shot batch classify
+      val expected = ImageDedup.classify(spark,
+          all.filter(isNew), prefix).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(got.toSet == expected,
+        s"stream-only=${got.toSet -- expected} batch-only=${expected -- got.toSet}")
+      assert(expected.exists(_._2 == "near_image") && expected.exists(_._2 == "new"),
+        "fixture must exercise both verdicts or the duality is vacuous")
+      operators.Caches.release()
+      spark.catalog.clearCache()
+    } finally dropAll()
+  }
+
   test("audio near-dup: banding ≡ brute force, duration-invariant, base-precise (q76)") {
     import graft.operators.Multimodal.MediaCodec
     val spark2 = spark
