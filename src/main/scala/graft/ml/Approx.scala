@@ -311,9 +311,8 @@ object Approx {
     * observation (± t·s·√(1+h)) — h is the same hat diagonal the
     * influence surface uses, so this is the identical two-scan shape:
     * one moment pass, one RSS pass, then pure column arithmetic. The
-    * t critical value uses the Cornish-Fisher expansion around the
-    * normal quantile (exact to ~1e-9 for the df ≥ 30 any distributed
-    * dataset has; documented approximation below that). */
+    * t critical value is EXACT at any df ([[tQuantile]] — incomplete-
+    * beta CDF inversion, r10). */
   def olsIntervals(df: DataFrame, labelCol: String, features: Seq[String],
                    level: Double = 0.95): DataFrame = {
     require(level > 0 && level < 1, s"level in (0,1), got $level")
@@ -334,16 +333,123 @@ object Approx {
     out.drop("_h")
   }
 
-  /** Student-t upper quantile via the Cornish-Fisher/Peiser expansion of
-    * the normal quantile — |err| < 1e-8 for df ≥ 30, < 1e-3 at df = 5
-    * (adequate: every distributed regression has df ≫ 30; recorded
-    * approximation). */
+  /** Student-t upper quantile, EXACT (r10 — previously the
+    * Cornish-Fisher expansion, |err| < 1e-8 only for df ≥ 30): invert
+    * the exact CDF t ↦ 1 − I_{df/(df+t²)}(df/2, ½)/2 by Newton with
+    * the analytic pdf, seeded by the Cornish-Fisher estimate and
+    * safeguarded by bisection (the Numerical-Recipes bracketing
+    * pattern). Agreement with 40-digit mpmath references is < 1e-12
+    * relative across df 1..100 (spec-pinned), so `olsIntervals`
+    * matches statsmodels at ANY df, not just the df ≥ 30 a
+    * distributed dataset has. */
   def tQuantile(p: Double, df: Double): Double = {
+    require(p > 0 && p < 1 && df > 0, s"need p in (0,1), df > 0; got $p, $df")
+    if (p == 0.5) return 0.0
+    if (p < 0.5) return -tQuantile(1.0 - p, df)
+    def cdf(t: Double): Double =
+      if (t >= 0) 1.0 - 0.5 * regIncompleteBeta(df / 2, 0.5, df / (df + t * t))
+      else 0.5 * regIncompleteBeta(df / 2, 0.5, df / (df + t * t))
+    // log pdf: −log B(df/2, ½) − ½log df − (df+1)/2 · log(1 + t²/df)
+    val logNorm = logGamma((df + 1) / 2) - logGamma(df / 2) -
+      logGamma(0.5) - 0.5 * math.log(df)
+    def pdf(t: Double): Double =
+      math.exp(logNorm - (df + 1) / 2 * math.log1p(t * t / df))
+    // Cornish-Fisher seed (exactly the old estimate)
     val z = invNormalCdf(p)
     val z3 = z * z * z; val z5 = z3 * z * z; val z7 = z5 * z * z
-    z + (z3 + z) / (4 * df) +
+    var t = z + (z3 + z) / (4 * df) +
       (5 * z5 + 16 * z3 + 3 * z) / (96 * df * df) +
       (3 * z7 + 19 * z5 + 17 * z3 - 15 * z) / (384 * df * df * df)
+    // bracket the root, then Newton with bisection fallback
+    var lo = 0.0
+    var hi = math.max(1.0, 2 * math.abs(t))
+    while (cdf(hi) < p) hi *= 2
+    if (t <= lo || t >= hi) t = (lo + hi) / 2
+    var i = 0
+    while (i < 100) {
+      val err = cdf(t) - p
+      if (err > 0) hi = t else lo = t
+      val d = pdf(t)
+      val step = if (d > 0) err / d else 0.0
+      val next = t - step
+      t = if (d > 0 && next > lo && next < hi) next else (lo + hi) / 2
+      if (math.abs(step) < 1e-14 * (1 + math.abs(t)) && hi - lo < 1e-12 * (1 + math.abs(t)))
+        return t
+      i += 1
+    }
+    t
+  }
+
+  /** log Γ via the Lanczos approximation (g = 7, 9 coefficients —
+    * |rel err| < 1e-15 on the positive reals). */
+  def logGamma(x: Double): Double = {
+    val g = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * x)) - logGamma(1.0 - x)
+    else {
+      val xx = x - 1.0
+      var a = g(0)
+      val t = xx + 7.5
+      var i = 1
+      while (i < 9) { a += g(i) / (xx + i); i += 1 }
+      0.5 * math.log(2 * math.Pi) + (xx + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** Regularized incomplete beta I_x(a, b) via the Lentz continued
+    * fraction (converges fastest for x < (a+1)/(a+b+2); the symmetric
+    * complement covers the rest). */
+  def regIncompleteBeta(a: Double, b: Double, x: Double): Double = {
+    require(x >= 0 && x <= 1, s"x in [0,1], got $x")
+    if (x == 0.0) return 0.0
+    if (x == 1.0) return 1.0
+    // pick the side where the fraction converges fast; the complement
+    // goes STRAIGHT to the ladder (not through this entry again —
+    // rounding at the threshold can otherwise flip-flop the two
+    // symmetric recursive calls forever)
+    if (x < (a + 1) / (a + b + 2)) betaCf(a, b, x)
+    else 1.0 - betaCf(b, a, 1.0 - x)
+  }
+
+  /** x^a(1−x)^b/(a·B(a,b)) · Lentz continued fraction — only valid on
+    * the fast-converging side; [[regIncompleteBeta]] routes. */
+  private def betaCf(a: Double, b: Double, x: Double): Double = {
+    val front = math.exp(a * math.log(x) + b * math.log1p(-x) +
+      logGamma(a + b) - logGamma(a) - logGamma(b))
+    // modified Lentz on the standard even/odd coefficient ladder
+    val tiny = 1e-300
+    var c = 1.0
+    var d = 1.0 - (a + b) * x / (a + 1)
+    if (math.abs(d) < tiny) d = tiny
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    while (m <= 300) {
+      val m2 = 2 * m
+      // even step: d_{2m} = m(b−m)x / ((a+2m−1)(a+2m))
+      var num = m * (b - m) * x / ((a + m2 - 1) * (a + m2))
+      d = 1.0 + num * d
+      if (math.abs(d) < tiny) d = tiny
+      c = 1.0 + num / c
+      if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      h *= d * c
+      // odd step: d_{2m+1} = −(a+m)(a+b+m)x / ((a+2m)(a+2m+1))
+      num = -(a + m) * (a + b + m) * x / ((a + m2) * (a + m2 + 1))
+      d = 1.0 + num * d
+      if (math.abs(d) < tiny) d = tiny
+      c = 1.0 + num / c
+      if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < 1e-15) return front * h / a
+      m += 1
+    }
+    front * h / a // converged within tolerance for all practical (a,b,x)
   }
 
   /** Shared OLS sufficient statistics: ONE aggregation pass collects the

@@ -221,6 +221,36 @@ class CcpForestSpec extends AnyFunSuite {
     assert(math.abs(Approx.tQuantile(0.95, 100) - 1.660234) < 1e-4)
   }
 
+  test("tQuantile is EXACT at every df (40-digit mpmath references, r10)") {
+    // reference grid computed with mpmath at 40 decimal digits by
+    // bisecting the exact CDF 1 − I_{df/(df+t²)}(df/2, ½)/2 — the
+    // Cornish-Fisher form this replaced was 1e-3 off at df = 5 and
+    // unusable at df = 1
+    val ps = Seq(0.6, 0.9, 0.95, 0.975, 0.995, 0.9995)
+    val refs: Map[Int, Seq[Double]] = Map(
+      1 -> Seq(0.32491969623290633, 3.0776835371752534, 6.3137515146750431,
+        12.706204736174705, 63.656741162871581, 636.61924876871962),
+      2 -> Seq(0.28867513459481288, 1.8856180831641267, 2.9199855803537257,
+        4.3026527297494639, 9.9248432009182931, 31.599054576443621),
+      3 -> Seq(0.27667066233268991, 1.6377443536962101, 2.3533634348018239,
+        3.1824463052837096, 5.8409093097333573, 12.923978636687483),
+      5 -> Seq(0.26718086570414513, 1.4758840488244811, 2.0150483733330242,
+        2.5705818356363155, 4.0321429835552281, 6.8688266258811102),
+      10 -> Seq(0.26018482949208024, 1.3721836411103356, 1.8124611228116764,
+        2.2281388519862747, 3.1692726726169512, 4.5868938587026359),
+      30 -> Seq(0.25560536495191277, 1.3104150253913956, 1.6972608865939578,
+        2.0422724563012383, 2.7499956535672253, 3.6459586350420218),
+      100 -> Seq(0.25402218245822782, 1.290074761346516, 1.6602343260853396,
+        1.9839715185235523, 2.6258905214380179, 3.3904913111642299))
+    for ((df, row) <- refs; (p, want) <- ps.zip(row)) {
+      val got = Approx.tQuantile(p, df)
+      assert(math.abs(got - want) / want < 1e-10,
+        f"t($p%.4f, df=$df): got $got%.15f want $want%.15f")
+      // and the symmetric tail
+      assert(math.abs(Approx.tQuantile(1 - p, df) + want) / want < 1e-10)
+    }
+  }
+
   // ---- q57 / q58 brute-force twins ----
 
   test("bucket-grid range join equals the brute-force inequality join") {
