@@ -96,6 +96,7 @@ object SparkEntry {
     "q74_indexed_dedup3"    -> ((s: SparkSession, d: String) => DedupIndex.incrementalDedupIndexed3(s, d)),
     "q75_incremental_dedup4" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup4(s, d)),
     "q76_audio_neardup"     -> ((s: SparkSession, d: String) => Multimodal.audioNearDupPairs(s, d)),
+    "q77_video_neardup"     -> ((s: SparkSession, d: String) => Multimodal.videoNearDupPairs(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1559,6 +1560,76 @@ object SparkEntry {
       JOIN ahs b ON b.id = c.clip_b
       WHERE bit_count(xor(a.afp, b.afp)) <= 4
       ORDER BY clip_a, clip_b""",
+
+    // q77: the perceptual VIDEO pair oracle — replays the camera
+    // formula (q73's spatial triangle pattern rendered into every RAWV
+    // frame with per-(id, frame, pixel) noise), accumulates EVERY
+    // frame's red channel onto the 9×8 grid (counts = pixels × frames,
+    // so the frame average lives in the cross-multiplication — no
+    // division anywhere), packs the 64 bits HUGEINT → signed BIGINT,
+    // then the same 8×8-bit banding and hamming ≤ 6 filter.
+    "q77_video_neardup" -> s"""
+      WITH vv AS (SELECT doc_id AS id,
+                    (doc_id % 4) * 8 + 16 AS w, (doc_id % 4) * 6 + 12 AS h,
+                    (doc_id % 30) + 2 AS nf,
+                    (doc_id // 3) % 13 AS base
+                  FROM documents WHERE doc_id % 3 = 2),
+      vb AS (SELECT DISTINCT base FROM vv),
+      ${sqlMixCtes("wa", "vb", "base", "base * 7 + 1")},
+      ${sqlMixCtes("wb", "vb", "base", "base * 7 + 2")},
+      ${sqlMixCtes("wc", "vb", "base", "base * 7 + 3")},
+      vpr AS (SELECT vv.id, vv.w, vv.h, vv.nf,
+                1 + CAST(wa.z % 5 AS BIGINT) AS a,
+                1 + CAST(wb.z % 5 AS BIGINT) AS b,
+                CAST(wc.z % 512 AS BIGINT) AS c
+              FROM vv
+              JOIN waz wa ON wa.base = vv.base
+              JOIN wbz wb ON wb.base = vv.base
+              JOIN wcz wc ON wc.base = vv.base),
+      vx0 AS (SELECT id, w, h, nf, a, b, c,
+                unnest(generate_series(0, w - 1)) AS x FROM vpr),
+      vx1 AS (SELECT id, w, h, nf, a, b, c, x,
+                unnest(generate_series(0, h - 1)) AS y FROM vx0),
+      vpx AS (SELECT id, w, h, nf, a, b, c, x, y,
+                unnest(generate_series(0, nf - 1)) AS f FROM vx1),
+      ${sqlMixCtes("vn", "vpx", "id, w, h, nf, a, b, c, x, y, f",
+                   "id * 1000003 + f * 131071 + y * w + x")},
+      vpv AS (SELECT id, w, h, x, y,
+                a * ((x * 512) // w) + b * ((y * 512) // h) + c +
+                  CAST(z % 4 AS BIGINT) AS arg
+              FROM vnz),
+      vgv AS (SELECT id, w, h, x, y,
+                (CASE WHEN arg % 512 < 256 THEN arg % 512
+                      ELSE 511 - (arg % 512) END) // 2 AS v
+              FROM vpv),
+      vbl AS (SELECT id, (x * 9) // w AS gx, (y * 8) // h AS gy,
+                CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+              FROM vgv GROUP BY 1, 2, 3),
+      vbits AS (SELECT l.id, l.gy * 8 + l.gx AS k,
+                  CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
+                FROM vbl l JOIN vbl r
+                  ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+                WHERE l.gx < 8),
+      vhu AS (SELECT id, CAST(sum(CAST(bit AS HUGEINT) *
+                 (CAST(1 AS HUGEINT) << CAST(k AS INT))) AS HUGEINT) AS hraw
+              FROM vbits GROUP BY 1),
+      vhs AS (SELECT id,
+                CAST(CASE WHEN hraw >= 9223372036854775808
+                          THEN hraw - 18446744073709551616
+                          ELSE hraw END AS BIGINT) AS dhash
+              FROM vhu),
+      vbanded AS (SELECT id, dhash, b AS band, (dhash >> (b * 8)) & 255 AS key
+                  FROM vhs, (SELECT unnest(generate_series(0, 7)) AS b)),
+      vcand AS (SELECT DISTINCT x.id AS vid_a, y.id AS vid_b
+                FROM vbanded x JOIN vbanded y
+                  ON x.band = y.band AND x.key = y.key AND x.id < y.id)
+      SELECT c.vid_a, c.vid_b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      FROM vcand c
+      JOIN vhs a ON a.id = c.vid_a
+      JOIN vhs b ON b.id = c.vid_b
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+      ORDER BY vid_a, vid_b""",
 
     // q75: q68's three tiers + the perceptual IMAGE tier — the image
     // CTEs are [[imageDHashCtes]] (q73's replay verbatim), banded

@@ -216,6 +216,98 @@ object Multimodal {
       hash
     }
 
+    // ---- q77 fixture: perceptual near-dup video family ----
+    // Same-base videos share ONE resolution-normalized SPATIAL pattern
+    // (the q73 triangle family over u = x·512/w, v = y·512/h) rendered
+    // into every frame with per-(id, frame, pixel) ±3 argument noise.
+    // Frame-AVERAGING cancels the noise, so the pooled hash is
+    // invariant to resolution AND frame count — the two axes the RAWV
+    // geometry varies (id mod 4 drives w/h, id mod 30 drives nframes).
+    def nearDupVideoBase(id: Long): Long = (id / 3) % 13
+
+    /** Grayscale value of pixel (x, y) of frame `f` of video `id` —
+      * the q77 camera formula (public: spec twin + oracle replay). */
+    def nearDupVideoPixel(id: Long, w: Int, h: Int, f: Int,
+                          x: Int, y: Int): Int = {
+      val base = nearDupVideoBase(id)
+      val a = 1 + java.lang.Long.remainderUnsigned(mix(base * 7 + 1), 5)
+      val b = 1 + java.lang.Long.remainderUnsigned(mix(base * 7 + 2), 5)
+      val c = java.lang.Long.remainderUnsigned(mix(base * 7 + 3), 512)
+      val noise = java.lang.Long.remainderUnsigned(
+        mix(id * 1000003L + f.toLong * 131071L + y.toLong * w + x), 4)
+      triWave(a * (x.toLong * 512 / w) + b * (y.toLong * 512 / h) + c + noise) / 2
+    }
+
+    /** Real RAWV bytes for the near-dup family (same container as
+      * [[rawvFor]]; gray frames r=g=b). */
+    def rawvNearFor(id: Long): Array[Byte] = {
+      val w = videoWidth(id); val h = videoHeight(id); val nf = videoFrames(id)
+      val bb = ByteBuffer.allocate(20 + nf * w * h * 3)
+      bb.put("RAWV".getBytes("US-ASCII"))
+      bb.putInt(w); bb.putInt(h); bb.putInt(VideoFps); bb.putInt(nf)
+      var f = 0
+      while (f < nf) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = nearDupVideoPixel(id, w, h, f, x, y).toByte
+            bb.put(v); bb.put(v); bb.put(v)
+            x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      bb.array
+    }
+
+    /** 64-bit perceptual hash of a RAWV payload: accumulate the RED
+      * channel of EVERY frame onto the 9×8 spatial grid (block count =
+      * pixels-in-block × nframes), then [[dHash64]]'s adjacent-block
+      * cross-multiplied comparisons. Division-free — the frame average
+      * lives implicitly in the counts — so the DuckDB oracle replays it
+      * in pure integer SQL, and the hash is invariant to resolution and
+      * frame count by the same pooling argument as dHash. */
+    def vHash64(bytes: Array[Byte]): Long = {
+      val (w, h, _, nf) = rawvHeader(bytes)
+      require(w >= 9 && h >= 8, s"vHash needs >= 9x8 pixels, got ${w}x$h")
+      require(nf >= 1, "vHash needs >= 1 frame")
+      val sums = Array.ofDim[Long](9, 8)
+      val counts = Array.ofDim[Long](9, 8)
+      val frameSz = w * h * 3
+      var f = 0
+      while (f < nf) {
+        val off = 20 + f * frameSz
+        var y = 0
+        while (y < h) {
+          val gy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val gx = x * 9 / w
+            sums(gx)(gy) += bytes(off + (y * w + x) * 3) & 0xff
+            counts(gx)(gy) += 1
+            x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      var hash = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (sums(gx + 1)(gy) * counts(gx)(gy) >
+              sums(gx)(gy) * counts(gx + 1)(gy))
+            hash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
+    }
+
     // ---- q76 fixture: perceptual near-dup audio family ----
     // Same-base clips share ONE duration-normalized waveform (a sum of
     // two triangle waves over u = t·512/n — the argument spans the same
@@ -704,6 +796,51 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("img_a"), col("img_b"))
+  }
+
+  /** (media_id, dhash) perceptual video hashes for every q77-family
+    * video id in `dir` (the video modality slot doc_id % 3 = 2) —
+    * encode + decode + hash in one per-partition pass, RAWV payloads
+    * never shuffle. */
+  def videoHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.spread(
+      graft.sources.Tables(s, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(3)) === 2),
+      col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = MediaCodec.rawvNearFor(id) // the camera
+          (id, MediaCodec.vHash64(bytes)) // bytes alone
+        }
+      }.toDF("media_id", "dhash")
+  }
+
+  /** q77 — PERCEPTUAL video near-dup pairs, completing the modality
+    * trio (q73 images, q76 audio): each video's RAWV payload is decoded
+    * from bytes alone, every frame accumulated onto the 9×8 spatial
+    * grid ([[MediaCodec.vHash64]] — frame-averaging cancels per-frame
+    * noise, so the hash is invariant to BOTH resolution and frame
+    * count), banded 8×8 bits like q73 (spatial-pattern bits, so the
+    * contiguous banding's collision rate is dHash-like — soak-gated
+    * against the analytic bound), pairs at Hamming ≤ `maxHamming`.
+    * Scale shape and exactness argument are q73's verbatim. */
+  def videoNearDupPairs(s: SparkSession, dir: String,
+                        maxHamming: Int = 6): DataFrame = {
+    val hashes = Caches.track(videoHashes(s, dir))
+    val banded = hashes.select(col("media_id"), col("dhash"),
+        explode(Dedup.sketchBandStructs(col("dhash"), 64, 8)).as("b"))
+      .select(col("media_id"), col("dhash"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("vid_a"), col("b.media_id").as("vid_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("vid_a"), col("vid_b"))
   }
 
   /** (media_id, afp) perceptual audio fingerprints for every

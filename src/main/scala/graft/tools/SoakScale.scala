@@ -378,6 +378,25 @@ object SoakScale {
     println(s"[soak] q73 images: $in1 -> $in10; true pairs $it1 -> $it10")
     bandGate("q73-img-cands @1x", in1, ic1, it1)
     bandGate("q73-img-cands @10x", in10, ic10, it10)
+    def videoPairs(df: DataFrame): (Long, Long, Long) = {
+      val ids = mediaIds(df, 2)
+      val n = ids.count()
+      val hashes = Caches.track(ids.mapPartitions { it =>
+        import graft.operators.Multimodal.MediaCodec
+        it.map(id => (id, MediaCodec.vHash64(MediaCodec.rawvNearFor(id))))
+      }.toDF("doc_id", "dhash"))
+      val cands = hashBandCandidateCount(hashes)
+      val truePairs = hashes.as("a").join(hashes.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= 6)
+        .count()
+      (n, cands, truePairs)
+    }
+    val (vn1, vc1, vt1) = scoped("q77 video band cands @1x")(videoPairs(base))
+    val (vn10, vc10, vt10) = scoped("q77 video band cands @10x")(videoPairs(corpus10))
+    println(s"[soak] q77 videos: $vn1 -> $vn10; true pairs $vt1 -> $vt10")
+    bandGate("q77-video-cands @1x", vn1, vc1, vt1)
+    bandGate("q77-video-cands @10x", vn10, vc10, vt10)
     val (an1, ac1, at1) = scoped("q76 audio band cands @1x")(audioPairs(base))
     val (an10, ac10, at10) = scoped("q76 audio band cands @10x")(audioPairs(corpus10))
     println(s"[soak] q76 clips: $an1 -> $an10; true pairs $at1 -> $at10")

@@ -360,6 +360,40 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally dropAll()
   }
 
+  test("video near-dup: banding ≡ brute force, dims/frame-count-invariant, base-precise (q77)") {
+    import graft.operators.Multimodal.MediaCodec
+    val spark2 = spark
+    import spark2.implicits._
+    val got = operators.Multimodal.videoNearDupPairs(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    operators.Caches.release()
+    spark.catalog.clearCache()
+    // driver brute force through the SAME camera → decode → hash path
+    val vidIds = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id").as[Long].collect().filter(_ % 3 == 2).sorted
+    val hashes = vidIds.map(id =>
+      id -> MediaCodec.vHash64(MediaCodec.rawvNearFor(id))).toMap
+    val brute = (for {
+      a <- vidIds; b <- vidIds if a < b
+      hd = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if hd <= 6
+    } yield (a, b, hd.toLong)).toSet
+    assert(brute.nonEmpty, "fixture must contain perceptual near-dups")
+    // 8 disjoint bytes + hamming ≤ 6 < 8 ⇒ pigeonhole: exact
+    assert(got == brute,
+      s"banded-only=${got -- brute} brute-only=${brute -- got}")
+    // invariance: pairs span different resolutions (id mod 4) AND
+    // different frame counts (id mod 30)
+    assert(got.exists { case (a, b, _) => a % 4 != b % 4 },
+      "expected near-dup pairs across different resolutions")
+    assert(got.exists { case (a, b, _) => a % 30 != b % 30 },
+      "expected near-dup pairs across different frame counts")
+    // precision: pattern-base groups dominate the pair set
+    val sameBase = got.count { case (a, b, _) =>
+      MediaCodec.nearDupVideoBase(a) == MediaCodec.nearDupVideoBase(b) }
+    assert(sameBase.toDouble / got.size > 0.9,
+      s"only $sameBase/${got.size} pairs share a pattern base")
+  }
+
   test("audio near-dup: banding ≡ brute force, duration-invariant, base-precise (q76)") {
     import graft.operators.Multimodal.MediaCodec
     val spark2 = spark
