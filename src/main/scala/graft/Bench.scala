@@ -199,16 +199,25 @@ object Bench {
       "short query keys (qNN prefixes) must be unique")
     val qs = results.map(q => s"\"${short(q.name)}\":${ms3(q.median)}")
       .mkString("{", ",", "}")
-    val suspects = results.filter(_.suspect).map(q => s"\"${short(q.name)}\"")
-      .mkString("[", ",", "]")
-    val retried = results.filter(_.retried > 0).map(q => s"\"${short(q.name)}\"")
-      .mkString("[", ",", "]")
+    // flag lists are CAPPED at 15 names (r10: at 78 queries the
+    // all-flagged worst case pushed the line past the 2000-char tail) —
+    // the accompanying *_n count always carries the true total, and the
+    // FULL lists ride in the full line + bench_full.json. Real runs
+    // flag a handful; a run with >15 suspects is dirty enough that the
+    // count alone tells the story.
+    val CapN = 15
+    def capped(names: Seq[String]): (Int, String) =
+      (names.size,
+        names.take(CapN).map(n => s"\"$n\"").mkString("[", ",", "]"))
+    val (nSus, suspects) = capped(results.filter(_.suspect).map(q => short(q.name)))
+    val (nRet, retried) = capped(results.filter(_.retried > 0).map(q => short(q.name)))
     val total = results.collect { case q if q.median >= 0 => q.median }.sum
     // no stat/reps here — the driver contract needs metric/value/unit/
     // queries/sf and every byte pushes the worst case toward the
     // 2000-char tail window; the full line carries the rest
     s"""{"metric":"total","unit":"sec","queries":$qs""" +
-      s""","suspect":$suspects,"retried":$retried""" +
+      s""","suspect_n":$nSus,"suspect":$suspects""" +
+      s""","retried_n":$nRet,"retried":$retried""" +
       s""","sf":"$sfDir","value":${ms3(total)}}"""
   }
 

@@ -97,6 +97,7 @@ object SparkEntry {
     "q75_incremental_dedup4" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup4(s, d)),
     "q76_audio_neardup"     -> ((s: SparkSession, d: String) => Multimodal.audioNearDupPairs(s, d)),
     "q77_video_neardup"     -> ((s: SparkSession, d: String) => Multimodal.videoNearDupPairs(s, d)),
+    "q78_incremental_dedup6" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup6(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -293,6 +294,119 @@ object SparkEntry {
              FROM ihu),
       ibanded AS (SELECT id, dhash, b AS band, (dhash >> (b * 8)) & 255 AS key
                  FROM ihs, (SELECT unnest(generate_series(0, 7)) AS b))"""
+
+  /** CTE chain replaying the q76 audio fingerprint from the fixture
+    * formulas (microphone waveform, 65-block pooling, differential
+    * bits), ending in `ahs` (id, afp) and `abanded` (id, afp, band,
+    * key) — shared by the q76 pair oracle and q78's audio tier. The
+    * oracle bands CONTIGUOUS bytes even though the engine interleaves:
+    * any exact 8-partition is pigeonhole-complete, so the final
+    * hamming filter makes the outputs identical. */
+  private def audioFpCtes: String = s"""au AS (SELECT doc_id AS id, (doc_id % 60) * 80 + 800 AS n,
+                    (doc_id // 3) % 17 AS base
+                  FROM documents WHERE doc_id % 3 = 1),
+      ab AS (SELECT DISTINCT base FROM au),
+      ${sqlMixCtes("qa", "ab", "base", "base * 5 + 1")},
+      ${sqlMixCtes("qb", "ab", "base", "base * 5 + 2")},
+      ${sqlMixCtes("qc", "ab", "base", "base * 5 + 3")},
+      ${sqlMixCtes("qd", "ab", "base", "base * 5 + 4")},
+      apr AS (SELECT au.id, au.n,
+                2 + CAST(qa.z % 8 AS BIGINT) AS a,
+                2 + CAST(qb.z % 8 AS BIGINT) AS b,
+                CAST(qc.z % 512 AS BIGINT) AS c,
+                CAST(qd.z % 512 AS BIGINT) AS d
+              FROM au
+              JOIN qaz qa ON qa.base = au.base
+              JOIN qbz qb ON qb.base = au.base
+              JOIN qcz qc ON qc.base = au.base
+              JOIN qdz qd ON qd.base = au.base),
+      at0 AS (SELECT id, n, a, b, c, d,
+                unnest(generate_series(0, n - 1)) AS t FROM apr),
+      ${sqlMixCtes("an", "at0", "id, n, a, b, c, d, t",
+                   "id * 1000003 + t")},
+      sv AS (SELECT id, n, t,
+               a * ((t * 512) // n) + c + CAST(z % 4 AS BIGINT) AS arg1,
+               b * ((t * 512) // n) + d AS arg2
+             FROM anz),
+      pcm AS (SELECT id, n, t,
+                ((CASE WHEN arg1 % 512 < 256 THEN arg1 % 512
+                       ELSE 511 - (arg1 % 512) END) +
+                 (CASE WHEN arg2 % 512 < 256 THEN arg2 % 512
+                       ELSE 511 - (arg2 % 512) END) - 255) * 64 AS s
+              FROM sv),
+      abl AS (SELECT id, (t * 65) // n AS blk,
+                CAST(sum(s) AS BIGINT) AS sm, count(*) AS cnt
+              FROM pcm GROUP BY 1, 2),
+      abits AS (SELECT l.id, l.blk AS k,
+                  CASE WHEN r.sm * l.cnt > l.sm * r.cnt THEN 1 ELSE 0 END AS bit
+                FROM abl l JOIN abl r
+                  ON r.id = l.id AND r.blk = l.blk + 1
+                WHERE l.blk < 64),
+      ahu AS (SELECT id, CAST(sum(CAST(bit AS HUGEINT) *
+                 (CAST(1 AS HUGEINT) << CAST(k AS INT))) AS HUGEINT) AS hraw
+              FROM abits GROUP BY 1),
+      ahs AS (SELECT id,
+                CAST(CASE WHEN hraw >= 9223372036854775808
+                          THEN hraw - 18446744073709551616
+                          ELSE hraw END AS BIGINT) AS afp
+              FROM ahu),
+      abanded AS (SELECT id, afp, b AS band, (afp >> (b * 8)) & 255 AS key
+                  FROM ahs, (SELECT unnest(generate_series(0, 7)) AS b))"""
+
+  /** CTE chain replaying the q77 video hash (frame-accumulated 9×8
+    * grid), ending in `vhs` (id, dhash) and `vbanded` — shared by the
+    * q77 pair oracle and q78's video tier. */
+  private def videoHashCtes: String = s"""vv AS (SELECT doc_id AS id,
+                    (doc_id % 4) * 8 + 16 AS w, (doc_id % 4) * 6 + 12 AS h,
+                    (doc_id % 30) + 2 AS nf,
+                    (doc_id // 3) % 13 AS base
+                  FROM documents WHERE doc_id % 3 = 2),
+      vb AS (SELECT DISTINCT base FROM vv),
+      ${sqlMixCtes("wa", "vb", "base", "base * 7 + 1")},
+      ${sqlMixCtes("wb", "vb", "base", "base * 7 + 2")},
+      ${sqlMixCtes("wc", "vb", "base", "base * 7 + 3")},
+      vpr AS (SELECT vv.id, vv.w, vv.h, vv.nf,
+                1 + CAST(wa.z % 5 AS BIGINT) AS a,
+                1 + CAST(wb.z % 5 AS BIGINT) AS b,
+                CAST(wc.z % 512 AS BIGINT) AS c
+              FROM vv
+              JOIN waz wa ON wa.base = vv.base
+              JOIN wbz wb ON wb.base = vv.base
+              JOIN wcz wc ON wc.base = vv.base),
+      vx0 AS (SELECT id, w, h, nf, a, b, c,
+                unnest(generate_series(0, w - 1)) AS x FROM vpr),
+      vx1 AS (SELECT id, w, h, nf, a, b, c, x,
+                unnest(generate_series(0, h - 1)) AS y FROM vx0),
+      vpx AS (SELECT id, w, h, nf, a, b, c, x, y,
+                unnest(generate_series(0, nf - 1)) AS f FROM vx1),
+      ${sqlMixCtes("vn", "vpx", "id, w, h, nf, a, b, c, x, y, f",
+                   "id * 1000003 + f * 131071 + y * w + x")},
+      vpv AS (SELECT id, w, h, x, y,
+                a * ((x * 512) // w) + b * ((y * 512) // h) + c +
+                  CAST(z % 4 AS BIGINT) AS arg
+              FROM vnz),
+      vgv AS (SELECT id, w, h, x, y,
+                (CASE WHEN arg % 512 < 256 THEN arg % 512
+                      ELSE 511 - (arg % 512) END) // 2 AS v
+              FROM vpv),
+      vbl AS (SELECT id, (x * 9) // w AS gx, (y * 8) // h AS gy,
+                CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+              FROM vgv GROUP BY 1, 2, 3),
+      vbits AS (SELECT l.id, l.gy * 8 + l.gx AS k,
+                  CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
+                FROM vbl l JOIN vbl r
+                  ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+                WHERE l.gx < 8),
+      vhu AS (SELECT id, CAST(sum(CAST(bit AS HUGEINT) *
+                 (CAST(1 AS HUGEINT) << CAST(k AS INT))) AS HUGEINT) AS hraw
+              FROM vbits GROUP BY 1),
+      vhs AS (SELECT id,
+                CAST(CASE WHEN hraw >= 9223372036854775808
+                          THEN hraw - 18446744073709551616
+                          ELSE hraw END AS BIGINT) AS dhash
+              FROM vhu),
+      vbanded AS (SELECT id, dhash, b AS band, (dhash >> (b * 8)) & 255 AS key
+                  FROM vhs, (SELECT unnest(generate_series(0, 7)) AS b))"""
 
   /** CTE chain computing `mix(seedExpr)` stepwise into column `z` —
     * stepwise (not one inlined expression) because each mulmod references
@@ -1500,56 +1614,7 @@ object SparkEntry {
     // 64 differential bits HUGEINT → signed BIGINT, then the same
     // 8×8-bit banding and hamming ≤ 4 filter as the engine.
     "q76_audio_neardup" -> s"""
-      WITH au AS (SELECT doc_id AS id, (doc_id % 60) * 80 + 800 AS n,
-                    (doc_id // 3) % 17 AS base
-                  FROM documents WHERE doc_id % 3 = 1),
-      ab AS (SELECT DISTINCT base FROM au),
-      ${sqlMixCtes("qa", "ab", "base", "base * 5 + 1")},
-      ${sqlMixCtes("qb", "ab", "base", "base * 5 + 2")},
-      ${sqlMixCtes("qc", "ab", "base", "base * 5 + 3")},
-      ${sqlMixCtes("qd", "ab", "base", "base * 5 + 4")},
-      apr AS (SELECT au.id, au.n,
-                2 + CAST(qa.z % 8 AS BIGINT) AS a,
-                2 + CAST(qb.z % 8 AS BIGINT) AS b,
-                CAST(qc.z % 512 AS BIGINT) AS c,
-                CAST(qd.z % 512 AS BIGINT) AS d
-              FROM au
-              JOIN qaz qa ON qa.base = au.base
-              JOIN qbz qb ON qb.base = au.base
-              JOIN qcz qc ON qc.base = au.base
-              JOIN qdz qd ON qd.base = au.base),
-      at0 AS (SELECT id, n, a, b, c, d,
-                unnest(generate_series(0, n - 1)) AS t FROM apr),
-      ${sqlMixCtes("an", "at0", "id, n, a, b, c, d, t",
-                   "id * 1000003 + t")},
-      sv AS (SELECT id, n, t,
-               a * ((t * 512) // n) + c + CAST(z % 4 AS BIGINT) AS arg1,
-               b * ((t * 512) // n) + d AS arg2
-             FROM anz),
-      pcm AS (SELECT id, n, t,
-                ((CASE WHEN arg1 % 512 < 256 THEN arg1 % 512
-                       ELSE 511 - (arg1 % 512) END) +
-                 (CASE WHEN arg2 % 512 < 256 THEN arg2 % 512
-                       ELSE 511 - (arg2 % 512) END) - 255) * 64 AS s
-              FROM sv),
-      abl AS (SELECT id, (t * 65) // n AS blk,
-                CAST(sum(s) AS BIGINT) AS sm, count(*) AS cnt
-              FROM pcm GROUP BY 1, 2),
-      abits AS (SELECT l.id, l.blk AS k,
-                  CASE WHEN r.sm * l.cnt > l.sm * r.cnt THEN 1 ELSE 0 END AS bit
-                FROM abl l JOIN abl r
-                  ON r.id = l.id AND r.blk = l.blk + 1
-                WHERE l.blk < 64),
-      ahu AS (SELECT id, CAST(sum(CAST(bit AS HUGEINT) *
-                 (CAST(1 AS HUGEINT) << CAST(k AS INT))) AS HUGEINT) AS hraw
-              FROM abits GROUP BY 1),
-      ahs AS (SELECT id,
-                CAST(CASE WHEN hraw >= 9223372036854775808
-                          THEN hraw - 18446744073709551616
-                          ELSE hraw END AS BIGINT) AS afp
-              FROM ahu),
-      abanded AS (SELECT id, afp, b AS band, (afp >> (b * 8)) & 255 AS key
-                  FROM ahs, (SELECT unnest(generate_series(0, 7)) AS b)),
+      WITH $audioFpCtes,
       acand AS (SELECT DISTINCT x.id AS clip_a, y.id AS clip_b
                 FROM abanded x JOIN abanded y
                   ON x.band = y.band AND x.key = y.key AND x.id < y.id)
@@ -1569,57 +1634,7 @@ object SparkEntry {
     // division anywhere), packs the 64 bits HUGEINT → signed BIGINT,
     // then the same 8×8-bit banding and hamming ≤ 6 filter.
     "q77_video_neardup" -> s"""
-      WITH vv AS (SELECT doc_id AS id,
-                    (doc_id % 4) * 8 + 16 AS w, (doc_id % 4) * 6 + 12 AS h,
-                    (doc_id % 30) + 2 AS nf,
-                    (doc_id // 3) % 13 AS base
-                  FROM documents WHERE doc_id % 3 = 2),
-      vb AS (SELECT DISTINCT base FROM vv),
-      ${sqlMixCtes("wa", "vb", "base", "base * 7 + 1")},
-      ${sqlMixCtes("wb", "vb", "base", "base * 7 + 2")},
-      ${sqlMixCtes("wc", "vb", "base", "base * 7 + 3")},
-      vpr AS (SELECT vv.id, vv.w, vv.h, vv.nf,
-                1 + CAST(wa.z % 5 AS BIGINT) AS a,
-                1 + CAST(wb.z % 5 AS BIGINT) AS b,
-                CAST(wc.z % 512 AS BIGINT) AS c
-              FROM vv
-              JOIN waz wa ON wa.base = vv.base
-              JOIN wbz wb ON wb.base = vv.base
-              JOIN wcz wc ON wc.base = vv.base),
-      vx0 AS (SELECT id, w, h, nf, a, b, c,
-                unnest(generate_series(0, w - 1)) AS x FROM vpr),
-      vx1 AS (SELECT id, w, h, nf, a, b, c, x,
-                unnest(generate_series(0, h - 1)) AS y FROM vx0),
-      vpx AS (SELECT id, w, h, nf, a, b, c, x, y,
-                unnest(generate_series(0, nf - 1)) AS f FROM vx1),
-      ${sqlMixCtes("vn", "vpx", "id, w, h, nf, a, b, c, x, y, f",
-                   "id * 1000003 + f * 131071 + y * w + x")},
-      vpv AS (SELECT id, w, h, x, y,
-                a * ((x * 512) // w) + b * ((y * 512) // h) + c +
-                  CAST(z % 4 AS BIGINT) AS arg
-              FROM vnz),
-      vgv AS (SELECT id, w, h, x, y,
-                (CASE WHEN arg % 512 < 256 THEN arg % 512
-                      ELSE 511 - (arg % 512) END) // 2 AS v
-              FROM vpv),
-      vbl AS (SELECT id, (x * 9) // w AS gx, (y * 8) // h AS gy,
-                CAST(sum(v) AS BIGINT) AS s, count(*) AS n
-              FROM vgv GROUP BY 1, 2, 3),
-      vbits AS (SELECT l.id, l.gy * 8 + l.gx AS k,
-                  CASE WHEN r.s * l.n > l.s * r.n THEN 1 ELSE 0 END AS bit
-                FROM vbl l JOIN vbl r
-                  ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
-                WHERE l.gx < 8),
-      vhu AS (SELECT id, CAST(sum(CAST(bit AS HUGEINT) *
-                 (CAST(1 AS HUGEINT) << CAST(k AS INT))) AS HUGEINT) AS hraw
-              FROM vbits GROUP BY 1),
-      vhs AS (SELECT id,
-                CAST(CASE WHEN hraw >= 9223372036854775808
-                          THEN hraw - 18446744073709551616
-                          ELSE hraw END AS BIGINT) AS dhash
-              FROM vhu),
-      vbanded AS (SELECT id, dhash, b AS band, (dhash >> (b * 8)) & 255 AS key
-                  FROM vhs, (SELECT unnest(generate_series(0, 7)) AS b)),
+      WITH $videoHashCtes,
       vcand AS (SELECT DISTINCT x.id AS vid_a, y.id AS vid_b
                 FROM vbanded x JOIN vbanded y
                   ON x.band = y.band AND x.key = y.key AND x.id < y.id)
@@ -1637,16 +1652,28 @@ object SparkEntry {
     // status `near_image` losing precedence to all lexical/semantic
     // tiers.
     "q75_incremental_dedup4" -> incrementalDedupTieredSql(withImage = true),
+    // q78: all six tiers — the image/audio/video CTE chains are the
+    // q73/q76/q77 replays verbatim, each banded DIRECTIONALLY through
+    // the is_new flags and rescored at its modality's measured
+    // threshold; precedence near_image > near_audio > near_video after
+    // the three text/semantic tiers.
+    "q78_incremental_dedup6" -> incrementalDedupTieredSql(
+      withImage = true, withAudio = true, withVideo = true),
   )
 
   private lazy val incrementalDedup3Sql: String =
     incrementalDedupTieredSql(withImage = false)
 
   /** The q65/q68-family incremental-classifier oracle, parameterized by
-    * the image tier so q68/q74 (three tiers) and q75 (four tiers) share
-    * one scaffolding — a precedence or split-rule fix lands in every
-    * incremental oracle at once. */
-  private def incrementalDedupTieredSql(withImage: Boolean): String = {
+    * the perceptual tiers so q68/q74 (three tiers), q75 (four) and q78
+    * (six — audio + video too) share one scaffolding — a precedence or
+    * split-rule fix lands in every incremental oracle at once. Each
+    * perceptual tier is the same shape: its media-family CTE chain, a
+    * DIRECTIONAL banded candidate join through the is_new flags, and a
+    * min-corpus-id rescore at that modality's measured threshold. */
+  private def incrementalDedupTieredSql(withImage: Boolean,
+                                        withAudio: Boolean = false,
+                                        withVideo: Boolean = false): String = {
     val imgCtes = if (!withImage) "" else s""",
       $imageDHashCtes,
       imcand AS (SELECT DISTINCT x.id AS doc_id, y.id AS cid
@@ -1660,12 +1687,48 @@ object SparkEntry {
               JOIN ihs b ON b.id = c.cid
               WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
               GROUP BY 1)"""
+    val afpCtes = if (!withAudio) "" else s""",
+      $audioFpCtes,
+      afcand AS (SELECT DISTINCT x.id AS doc_id, y.id AS cid
+                 FROM abanded x
+                 JOIN d dx ON dx.doc_id = x.id AND dx.is_new
+                 JOIN abanded y ON x.band = y.band AND x.key = y.key
+                 JOIN d dy ON dy.doc_id = y.id AND NOT dy.is_new),
+      afpm AS (SELECT c.doc_id, min(c.cid) AS afp_id
+               FROM afcand c
+               JOIN ahs a ON a.id = c.doc_id
+               JOIN ahs b ON b.id = c.cid
+               WHERE bit_count(xor(a.afp, b.afp)) <= 4
+               GROUP BY 1)"""
+    val vidCtes = if (!withVideo) "" else s""",
+      $videoHashCtes,
+      vidcand AS (SELECT DISTINCT x.id AS doc_id, y.id AS cid
+                  FROM vbanded x
+                  JOIN d dx ON dx.doc_id = x.id AND dx.is_new
+                  JOIN vbanded y ON x.band = y.band AND x.key = y.key
+                  JOIN d dy ON dy.doc_id = y.id AND NOT dy.is_new),
+      vidm AS (SELECT c.doc_id, min(c.cid) AS vid_id
+               FROM vidcand c
+               JOIN vhs a ON a.id = c.doc_id
+               JOIN vhs b ON b.id = c.cid
+               WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+               GROUP BY 1)"""
     val imgStatus =
-      if (withImage) "\n                  WHEN i.img_id IS NOT NULL THEN 'near_image'"
-      else ""
+      (if (withImage) "\n                  WHEN i.img_id IS NOT NULL THEN 'near_image'"
+       else "") +
+      (if (withAudio) "\n                  WHEN af.afp_id IS NOT NULL THEN 'near_audio'"
+       else "") +
+      (if (withVideo) "\n                  WHEN vd.vid_id IS NOT NULL THEN 'near_video'"
+       else "")
     val imgJoin =
-      if (withImage) "\n      LEFT JOIN img i ON i.doc_id = bd.doc_id" else ""
-    val imgCoalesce = if (withImage) ", i.img_id" else ""
+      (if (withImage) "\n      LEFT JOIN img i ON i.doc_id = bd.doc_id" else "") +
+      (if (withAudio) "\n      LEFT JOIN afpm af ON af.doc_id = bd.doc_id" else "") +
+      (if (withVideo) "\n      LEFT JOIN vidm vd ON vd.doc_id = bd.doc_id" else "")
+    val imgCoalesce =
+      (if (withImage) ", i.img_id" else "") +
+      (if (withAudio) ", af.afp_id" else "") +
+      (if (withVideo) ", vd.vid_id" else "")
+    val imgCtesAll = imgCtes + afpCtes + vidCtes
     ("""
       WITH """ + minhashSigCtesSql + """,
       d AS (SELECT doc_id, md5(text) AS h,
@@ -1708,7 +1771,7 @@ object SparkEntry {
               WHERE round(list_dot_product(a.v, b.v) /
                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                     4) >= 0.40
-              GROUP BY 1)""" + imgCtes + s"""
+              GROUP BY 1)""" + imgCtesAll + s"""
       SELECT bd.doc_id,
              CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
                   WHEN n.near_id IS NOT NULL THEN 'near'

@@ -1029,16 +1029,10 @@ object Dedup {
     * drift between deployment shapes. */
   private[graft] def verdict3(batchIds: DataFrame, exact: DataFrame,
                               near: DataFrame, emb: DataFrame): DataFrame =
-    batchIds
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
-      .join(emb, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("exact_id").isNotNull, "exact")
-          .when(col("near_id").isNotNull, "near")
-          .when(col("emb_id").isNotNull, "near_embedding")
-          .otherwise("new").as("status"),
-        coalesce(col("exact_id"), col("near_id"), col("emb_id")).as("match_id"))
+    verdictTiers(batchIds, Seq(
+      ("exact", "exact_id", exact),
+      ("near", "near_id", near),
+      ("near_embedding", "emb_id", emb)))
 
   /** Banded dHash rows (doc_id, band, key, dhash) — 8 bands × 8 bits
     * over the 64-bit perceptual hash, the SAME q73 banding
@@ -1086,12 +1080,24 @@ object Dedup {
     * (doc_id, dhash) frames; returns (doc_id, img_id = min matching
     * corpus doc_id). */
   private def imageTier(batchImg: DataFrame, corpusImg: DataFrame,
-                        maxHamming: Int): DataFrame =
+                        maxHamming: Int, out: String = "img_id"): DataFrame =
     imgBanded(batchImg).withColumnRenamed("dhash", "_da")
       .join(imgBanded(corpusImg).select(col("band"), col("key"),
         col("doc_id").as("_cid"), col("dhash").as("_db")), Seq("band", "key"))
       .filter(bit_count(col("_da").bitwiseXOR(col("_db"))) <= maxHamming)
-      .groupBy(col("doc_id")).agg(min(col("_cid")).as("img_id"))
+      .groupBy(col("doc_id")).agg(min(col("_cid")).as(out))
+
+  /** Audio tier: the image tier's shape over the q76 fingerprint with
+    * its stride-interleaved banding ([[afpBanded]]) and measured
+    * threshold. Inputs are (doc_id, afp) frames; returns
+    * (doc_id, afp_id). */
+  private def audioTier(batchAfp: DataFrame, corpusAfp: DataFrame,
+                        maxHamming: Int): DataFrame =
+    afpBanded(batchAfp).withColumnRenamed("afp", "_da")
+      .join(afpBanded(corpusAfp).select(col("band"), col("key"),
+        col("doc_id").as("_cid"), col("afp").as("_db")), Seq("band", "key"))
+      .filter(bit_count(col("_da").bitwiseXOR(col("_db"))) <= maxHamming)
+      .groupBy(col("doc_id")).agg(min(col("_cid")).as("afp_id"))
 
   /** Four-tier classifier: [[classifyNew3]]'s tiers plus the PERCEPTUAL
     * IMAGE tier — a batch document whose text, minhash signature and
@@ -1114,25 +1120,35 @@ object Dedup {
       imageTier(batchImg, corpusImg, maxHamming))
       .orderBy(col("doc_id"))
 
+  /** GENERIC tier fold (r10): left-join each tier's (doc_id, <idCol>)
+    * frame onto the batch ids and fold status/match_id in DECLARED
+    * ORDER — the single precedence definition every classifier shape
+    * (in-memory, stored-index, streaming) derives from. `tiers` is an
+    * ordered (status, idCol, frame) list, highest precedence first. */
+  private[graft] def verdictTiers(batchIds: DataFrame,
+                                  tiers: Seq[(String, String, DataFrame)]): DataFrame = {
+    val joined = tiers.foldLeft(batchIds) { case (acc, (_, _, frame)) =>
+      acc.join(frame, Seq("doc_id"), "left")
+    }
+    val status = tiers.foldRight(lit("new")) { case ((st, idCol, _), rest) =>
+      when(col(idCol).isNotNull, st).otherwise(rest)
+    }
+    joined.select(col("doc_id"), status.as("status"),
+      coalesce(tiers.map { case (_, idCol, _) => col(idCol) }: _*)
+        .as("match_id"))
+  }
+
   /** [[verdict3]] extended with the image tier (lowest match
     * precedence) — shared by the in-memory and stored-index four-tier
     * classifiers. */
   private[graft] def verdict4(batchIds: DataFrame, exact: DataFrame,
                               near: DataFrame, emb: DataFrame,
                               img: DataFrame): DataFrame =
-    batchIds
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
-      .join(emb, Seq("doc_id"), "left")
-      .join(img, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("exact_id").isNotNull, "exact")
-          .when(col("near_id").isNotNull, "near")
-          .when(col("emb_id").isNotNull, "near_embedding")
-          .when(col("img_id").isNotNull, "near_image")
-          .otherwise("new").as("status"),
-        coalesce(col("exact_id"), col("near_id"), col("emb_id"),
-          col("img_id")).as("match_id"))
+    verdictTiers(batchIds, Seq(
+      ("exact", "exact_id", exact),
+      ("near", "near_id", near),
+      ("near_embedding", "emb_id", emb),
+      ("near_image", "img_id", img)))
 
   /** q68 — three-tier INCREMENTAL dedup: q65's exact + MinHash tiers
     * plus an EMBEDDING tier. A batch document that is neither a content
@@ -1230,6 +1246,63 @@ object Dedup {
       imgBase.filter(col("_new")).drop("_new"),
       imgBase.filter(!col("_new")).drop("_new"),
       k, bands, estThreshold, cosThreshold, bits, embBands, maxHamming)
+  }
+
+  /** q78 — SIX-tier incremental dedup: the COMPLETE modality matrix at
+    * ingest. q75's four tiers plus perceptual AUDIO (q76's fingerprint,
+    * interleaved bands, measured threshold 4) and perceptual VIDEO
+    * (q77's frame-averaged hash) — a day's crawl batch is classified
+    * against the stored corpus on content hash, lexical shingles,
+    * embedding cosine, image dHash, audio fingerprint AND video hash in
+    * ONE pass. Precedence (one [[verdictTiers]] fold): exact > near >
+    * near_embedding > near_image > near_audio > near_video > new —
+    * text evidence beats semantic beats perceptual, and within
+    * perceptual the modality slots are DISJOINT here anyway (id mod 3
+    * fixes each doc's media kind), so the ordering is a documented
+    * convention, not a semantics risk. Every perceptual tier is the
+    * same batch-directional banded join; every scale argument of
+    * q73/q76/q77 carries over unchanged. */
+  def incrementalDedup6(s: SparkSession, dir: String, k: Int = 12,
+                        bands: Int = 4, estThreshold: Double = 0.5,
+                        cosThreshold: Double = 0.40, bits: Int = 32,
+                        embBands: Int = 8, dim: Int = 64,
+                        maxHamming: Int = 6, audioMaxHamming: Int = 4,
+                        videoMaxHamming: Int = 6): DataFrame = {
+    val isNew = Sampling.hashBucket(col("doc_id"), 5) === 4
+    val base = Caches.track(
+      hashSigProjection(docsSpread(s, dir), k).withColumn("_new", isNew))
+    val embBase = Caches.track(
+      embSketchProjection(
+        Tables.spreadTable(s, dir, "embeddings", col("vec_id"))
+          .select(col("vec_id").as("doc_id"), col("embedding")), bits, dim)
+        .withColumn("_new", isNew))
+    val imgBase = Caches.track(
+      Multimodal.imageDHashes(s, dir)
+        .select(col("media_id").as("doc_id"), col("dhash"))
+        .withColumn("_new", isNew))
+    val afpBase = Caches.track(
+      Multimodal.audioFingerprints(s, dir)
+        .select(col("media_id").as("doc_id"), col("afp"))
+        .withColumn("_new", isNew))
+    val vidBase = Caches.track(
+      Multimodal.videoHashes(s, dir)
+        .select(col("media_id").as("doc_id"), col("dhash"))
+        .withColumn("_new", isNew))
+    def nw(df: DataFrame) = df.filter(col("_new")).drop("_new")
+    def cp(df: DataFrame) = df.filter(!col("_new")).drop("_new")
+    verdictTiers(nw(base).select(col("doc_id")), Seq(
+      ("exact", "exact_id", exactTier(nw(base), cp(base))),
+      ("near", "near_id",
+        nearTier(nw(base), cp(base), k, bands, estThreshold)),
+      ("near_embedding", "emb_id",
+        embeddingTier(nw(embBase), cp(embBase), cosThreshold, bits, embBands)),
+      ("near_image", "img_id",
+        imageTier(nw(imgBase), cp(imgBase), maxHamming)),
+      ("near_audio", "afp_id",
+        audioTier(nw(afpBase), cp(afpBase), audioMaxHamming)),
+      ("near_video", "vid_id",
+        imageTier(nw(vidBase), cp(vidBase), videoMaxHamming, out = "vid_id"))))
+      .orderBy(col("doc_id"))
   }
 
   /** [[incrementalDedup4]] over caller frames — the library entry for

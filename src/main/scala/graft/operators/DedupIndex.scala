@@ -45,6 +45,20 @@ object DedupIndex {
   def embTable(prefix: String): String = s"${prefix}_emb"
   def imgTable(prefix: String): String = s"${prefix}_img"
 
+  /** Drop a managed index table AND any leftover warehouse location: a
+    * fresh session's in-memory catalog doesn't know about a previous
+    * JVM's managed-table directory, so `DROP TABLE IF EXISTS` no-ops
+    * and the next CTAS fails with LOCATION_ALREADY_EXISTS. Every
+    * rebuild path (q74's declared query, the specs) drops through
+    * here. */
+  def dropTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Banded minhash rows with the signature riding along. */
   private[graft] def bandedSig(proj: DataFrame, k: Int, bands: Int): DataFrame =
     proj.filter(col("sig").isNotNull)
@@ -302,7 +316,7 @@ object DedupIndex {
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val isNew = Sampling.hashBucket(col("doc_id"), 5) === 4
     Seq(exactTable(prefix), bandTable(prefix), embTable(prefix))
-      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(dropTable(s, _))
     saveIndex(docs.filter(!isNew), embs.filter(!isNew), prefix, buckets)
     assertIndexNeverShuffled(s, prefix) {
       classifyNew3Indexed(s, docs.filter(isNew), embs.filter(isNew), prefix)

@@ -17,7 +17,7 @@ class DedupIndexSpec extends AnyFunSuite {
   private def dropAll(): Unit =
     Seq(DedupIndex.exactTable(prefix), DedupIndex.bandTable(prefix),
       DedupIndex.embTable(prefix), DedupIndex.imgTable(prefix))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(DedupIndex.dropTable(spark, _))
 
   test("indexed three-tier classify: zero index-side exchange, verdicts ≡ in-memory") {
     val docs = graft.sources.Tables(spark, sf, "documents")

@@ -785,4 +785,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       "the fixture must contain real URL duplicates to collapse")
     r.unpersist()
   }
+
+  test("verdictTiers: declared order IS precedence, match_id follows it (q78)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    def tier(c: String, rows: (Long, Long)*) =
+      rows.toDF("doc_id", c)
+    // doc 1 matches ALL tiers → highest wins; doc 2 only the middle;
+    // doc 3 only the lowest; doc 4 none → new with null match_id
+    val v = operators.Dedup.verdictTiers(ids, Seq(
+      ("exact", "exact_id", tier("exact_id", 1L -> 10L)),
+      ("near_audio", "afp_id", tier("afp_id", 1L -> 20L, 2L -> 21L)),
+      ("near_video", "vid_id", tier("vid_id", 1L -> 30L, 3L -> 31L))))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(v == Set(
+      (1L, "exact", Some(10L)),
+      (2L, "near_audio", Some(21L)),
+      (3L, "near_video", Some(31L)),
+      (4L, "new", None)))
+    // and the six-tier classifier exercises every declared status at
+    // this SF (the oracle proves values; this pins non-vacuity)
+    val statuses = operators.Dedup.incrementalDedup6(spark, sf)
+      .select("status").distinct().as[String].collect().toSet
+    operators.Caches.release()
+    spark.catalog.clearCache()
+    assert(Set("near", "near_embedding", "near_image", "near_audio",
+      "near_video").subsetOf(statuses), s"got $statuses")
+  }
 }

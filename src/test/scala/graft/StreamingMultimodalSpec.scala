@@ -315,8 +315,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val spark2 = spark
     import spark2.implicits._
     val prefix = "graft_imgtwin"
-    def dropAll(): Unit = spark.sql(
-      s"DROP TABLE IF EXISTS ${DedupIndex.imgTable(prefix)}")
+    def dropAll(): Unit =
+      DedupIndex.dropTable(spark, DedupIndex.imgTable(prefix))
     val dir = java.nio.file.Files.createTempDirectory("graft_imgstream").toString
     val all = Multimodal.imageDHashes(spark, sf)
       .select(col("media_id").as("doc_id"), col("dhash"))
