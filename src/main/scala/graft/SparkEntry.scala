@@ -98,6 +98,7 @@ object SparkEntry {
     "q76_audio_neardup"     -> ((s: SparkSession, d: String) => Multimodal.audioNearDupPairs(s, d)),
     "q77_video_neardup"     -> ((s: SparkSession, d: String) => Multimodal.videoNearDupPairs(s, d)),
     "q78_incremental_dedup6" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup6(s, d)),
+    "q79_indexed_dedup6"    -> ((s: SparkSession, d: String) => DedupIndex.incrementalDedupIndexed6(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1657,9 +1658,15 @@ object SparkEntry {
     // the is_new flags and rescored at its modality's measured
     // threshold; precedence near_image > near_audio > near_video after
     // the three text/semantic tiers.
-    "q78_incremental_dedup6" -> incrementalDedupTieredSql(
-      withImage = true, withAudio = true, withVideo = true),
+    "q78_incremental_dedup6" -> incrementalDedup6Sql,
+    // q79: q78's verdicts through the STORED six-table index (q74's
+    // pattern) — oracle is q78's SQL by the spec-proven duality.
+    "q79_indexed_dedup6" -> incrementalDedup6Sql,
   )
+
+  private lazy val incrementalDedup6Sql: String =
+    incrementalDedupTieredSql(withImage = true, withAudio = true,
+      withVideo = true)
 
   private lazy val incrementalDedup3Sql: String =
     incrementalDedupTieredSql(withImage = false)

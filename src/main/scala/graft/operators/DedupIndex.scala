@@ -242,11 +242,114 @@ object DedupIndex {
     * between batch and continuous ingest. */
   def imgProbe(s: SparkSession, batchImg: DataFrame, prefix: String,
                maxHamming: Int = 6): DataFrame =
-    Dedup.imgBanded(batchImg).withColumnRenamed("dhash", "_da")
-      .join(s.table(imgTable(prefix)).select(col("band"), col("key"),
-        col("doc_id").as("_cid"), col("dhash").as("_db")), Seq("band", "key"))
+    bandedProbe(s, Dedup.imgBanded(batchImg).withColumnRenamed("dhash", "_da"),
+      imgTable(prefix), "dhash", maxHamming, "img_id")
+
+  /** One perceptual probe against a stored banded table: the batch side
+    * arrives pre-banded with its hash as `_da`; the table's hash column
+    * (`hashCol`) rides on its banded rows, so candidates + hamming
+    * rescore are one join. Shared by the image/audio/video probes. */
+  private def bandedProbe(s: SparkSession, batchBanded: DataFrame,
+                          table: String, hashCol: String,
+                          maxHamming: Int, out: String): DataFrame =
+    batchBanded
+      .join(s.table(table).select(col("band"), col("key"),
+        col("doc_id").as("_cid"), col(hashCol).as("_db")), Seq("band", "key"))
       .filter(bit_count(col("_da").bitwiseXOR(col("_db"))) <= maxHamming)
-      .groupBy(col("doc_id")).agg(min(col("_cid")).as("img_id"))
+      .groupBy(col("doc_id")).agg(min(col("_cid")).as(out))
+
+  def afpTable(prefix: String): String = s"${prefix}_afp"
+  def vidTable(prefix: String): String = s"${prefix}_vid"
+
+  /** Audio-tier probe against the stored `_afp` table (q76's
+    * interleaved banding): (doc_id, afp_id). */
+  def afpProbe(s: SparkSession, batchAfp: DataFrame, prefix: String,
+               maxHamming: Int = 4): DataFrame =
+    bandedProbe(s, Dedup.afpBanded(batchAfp).withColumnRenamed("afp", "_da"),
+      afpTable(prefix), "afp", maxHamming, "afp_id")
+
+  /** Video-tier probe against the stored `_vid` table: (doc_id,
+    * vid_id). The video hash uses the image banding (spatial bits). */
+  def vidProbe(s: SparkSession, batchVid: DataFrame, prefix: String,
+               maxHamming: Int = 6): DataFrame =
+    bandedProbe(s, Dedup.imgBanded(batchVid).withColumnRenamed("dhash", "_da"),
+      vidTable(prefix), "dhash", maxHamming, "vid_id")
+
+  /** Write the audio and video perceptual index tables ([[saveImgIndex]]'s
+    * siblings; same bucket spec and denormalization trade). */
+  def saveAfpIndex(corpusAfp: DataFrame, prefix: String,
+                   buckets: Int = 8): Unit =
+    Dedup.afpBanded(corpusAfp)
+      .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .mode(SaveMode.Overwrite).saveAsTable(afpTable(prefix))
+
+  def saveVidIndex(corpusVid: DataFrame, prefix: String,
+                   buckets: Int = 8): Unit =
+    Dedup.imgBanded(corpusVid)
+      .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .mode(SaveMode.Overwrite).saveAsTable(vidTable(prefix))
+
+  /** q78's six-tier classifier against the STORED index: identical
+    * verdicts to [[Dedup.incrementalDedup6]] (one [[Dedup.verdictTiers]]
+    * precedence), every tier probing its bucketed table with zero
+    * index-side exchange. */
+  def classifyNew6Indexed(s: SparkSession, batch: DataFrame,
+                          batchEmb: DataFrame, batchImg: DataFrame,
+                          batchAfp: DataFrame, batchVid: DataFrame,
+                          prefix: String,
+                          k: Int = 12, bands: Int = 4,
+                          estThreshold: Double = 0.5,
+                          cosThreshold: Double = 0.40, bits: Int = 32,
+                          dim: Int = 64, embBands: Int = 8,
+                          maxHamming: Int = 6, audioMaxHamming: Int = 4,
+                          videoMaxHamming: Int = 6): DataFrame = {
+    val (exact, near, emb) = indexedTiers(s, batch, batchEmb, prefix,
+      k, bands, estThreshold, cosThreshold, bits, dim, embBands)
+    Dedup.verdictTiers(batch.select(col("doc_id")), Seq(
+      ("exact", "exact_id", exact),
+      ("near", "near_id", near),
+      ("near_embedding", "emb_id", emb),
+      ("near_image", "img_id", imgProbe(s, batchImg, prefix, maxHamming)),
+      ("near_audio", "afp_id", afpProbe(s, batchAfp, prefix, audioMaxHamming)),
+      ("near_video", "vid_id", vidProbe(s, batchVid, prefix, videoMaxHamming))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q79 — q74's driver-gated deployment shape extended to the FULL
+    * six-tier matrix: build all six bucketed index tables from the
+    * corpus split, classify the batch against the STORE, with the
+    * zero-index-side-shuffle lint running inside the declared query.
+    * Verdicts are row-identical to [[Dedup.incrementalDedup6]] by the
+    * shared [[Dedup.verdictTiers]] fold (spec-proven), so the oracle is
+    * q78's SQL. */
+  def incrementalDedupIndexed6(s: SparkSession, dir: String,
+                               prefix: String = "graft_q79",
+                               buckets: Int = 8): DataFrame = {
+    import graft.sources.Tables
+    val docs = Tables.spreadTable(s, dir, "documents", col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val embs = Tables.spreadTable(s, dir, "embeddings", col("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val imgs = Multimodal.imageDHashes(s, dir)
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    val afps = Multimodal.audioFingerprints(s, dir)
+      .select(col("media_id").as("doc_id"), col("afp"))
+    val vids = Multimodal.videoHashes(s, dir)
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    val isNew = Sampling.hashBucket(col("doc_id"), 5) === 4
+    Seq(exactTable(prefix), bandTable(prefix), embTable(prefix),
+      imgTable(prefix), afpTable(prefix), vidTable(prefix))
+      .foreach(dropTable(s, _))
+    saveIndex(docs.filter(!isNew), embs.filter(!isNew), prefix, buckets)
+    saveImgIndex(imgs.filter(!isNew), prefix, buckets)
+    saveAfpIndex(afps.filter(!isNew), prefix, buckets)
+    saveVidIndex(vids.filter(!isNew), prefix, buckets)
+    def run() = classifyNew6Indexed(s, docs.filter(isNew),
+      embs.filter(isNew), imgs.filter(isNew), afps.filter(isNew),
+      vids.filter(isNew), prefix)
+    assertIndexNeverShuffled(s, prefix)(run())
+    run()
+  }
 
   /** The zero-shuffle claim as an executable lint (shared by
     * DedupIndexSpec and the q74 declared query): collect every

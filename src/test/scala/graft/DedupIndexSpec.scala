@@ -16,7 +16,8 @@ class DedupIndexSpec extends AnyFunSuite {
 
   private def dropAll(): Unit =
     Seq(DedupIndex.exactTable(prefix), DedupIndex.bandTable(prefix),
-      DedupIndex.embTable(prefix), DedupIndex.imgTable(prefix))
+      DedupIndex.embTable(prefix), DedupIndex.imgTable(prefix),
+      DedupIndex.afpTable(prefix), DedupIndex.vidTable(prefix))
       .foreach(DedupIndex.dropTable(spark, _))
 
   test("indexed three-tier classify: zero index-side exchange, verdicts ≡ in-memory") {
@@ -106,6 +107,58 @@ class DedupIndexSpec extends AnyFunSuite {
         "indexed four-tier classify must equal the in-memory classifier")
       assert(rows(indexed).exists(_._2 == "near_image"),
         "fixture must exercise the image tier (else this test proves nothing)")
+      operators.Caches.release()
+      spark.catalog.clearCache()
+    } finally {
+      prev.foreach {
+        case (c, Some(v)) => spark.conf.set(c, v)
+        case (c, None)    => spark.conf.unset(c)
+      }
+      dropAll()
+    }
+  }
+
+  test("six-tier indexed classify: zero index-side exchange, verdicts ≡ in-memory (q78/q79)") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val embs = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val imgs = graft.operators.Multimodal.imageDHashes(spark, sf)
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    val afps = graft.operators.Multimodal.audioFingerprints(spark, sf)
+      .select(col("media_id").as("doc_id"), col("afp"))
+    val vids = graft.operators.Multimodal.videoHashes(spark, sf)
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    val isNew = Sampling.hashBucket(col("doc_id"), 5) === 4
+    dropAll()
+    DedupIndex.saveIndex(docs.filter(!isNew), embs.filter(!isNew), prefix,
+      buckets = 4)
+    DedupIndex.saveImgIndex(imgs.filter(!isNew), prefix, buckets = 4)
+    DedupIndex.saveAfpIndex(afps.filter(!isNew), prefix, buckets = 4)
+    DedupIndex.saveVidIndex(vids.filter(!isNew), prefix, buckets = 4)
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val indexed = DedupIndex.classifyNew6Indexed(spark,
+        docs.filter(isNew), embs.filter(isNew), imgs.filter(isNew),
+        afps.filter(isNew), vids.filter(isNew), prefix)
+      val offending = DedupIndex.indexShuffleOffenders(
+        indexed.queryExecution.executedPlan, prefix)
+      assert(offending.isEmpty,
+        s"the stored index is shuffled before ${offending.size} join(s):\n" +
+          offending.mkString("\n---\n"))
+      val expected = Dedup.incrementalDedup6(spark, sf)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(rows(indexed) == rows(expected),
+        "indexed six-tier classify must equal the in-memory classifier")
+      Seq("near_image", "near_audio", "near_video").foreach { st =>
+        assert(rows(indexed).exists(_._2 == st),
+          s"fixture must exercise the $st tier")
+      }
       operators.Caches.release()
       spark.catalog.clearCache()
     } finally {
