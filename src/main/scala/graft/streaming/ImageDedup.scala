@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.{Dedup, DedupIndex, Multimodal}
@@ -56,13 +56,10 @@ object ImageDedup {
     * verbatim by each micro-batch and any batch audit. */
   def classify(s: SparkSession, imgHashes: DataFrame, prefix: String,
                maxHamming: Int = 6): DataFrame =
-    imgHashes.select(col("doc_id"))
-      .join(DedupIndex.imgProbe(s, imgHashes, prefix, maxHamming),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("img_id").isNotNull, "near_image")
-          .otherwise("new").as("status"),
-        coalesce(col("img_id"), lit(null).cast("long")).as("match_id"))
+    // the single-tier instance of the shared verdict fold — one
+    // precedence definition across every classifier shape
+    Dedup.verdictTiers(imgHashes.select(col("doc_id")), Seq(("near_image",
+      "img_id", DedupIndex.imgProbe(s, imgHashes, prefix, maxHamming))))
 
   /** Start classifying `newImages` (a streaming (doc_id, bytes) frame)
     * against the stored `_img` index. Each micro-batch's verdicts are

@@ -360,6 +360,70 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally dropAll()
   }
 
+  test("streaming audio+video dedup ≡ batch classify under any chunking (q78 twins)") {
+    import graft.streaming.MediaDedup
+    import graft.operators.{DedupIndex, Multimodal, Sampling}
+    val spark2 = spark
+    import spark2.implicits._
+    val prefix = "graft_avtwin"
+    def dropAll(): Unit = Seq(DedupIndex.afpTable(prefix),
+      DedupIndex.vidTable(prefix)).foreach(DedupIndex.dropTable(spark, _))
+    val dir = java.nio.file.Files.createTempDirectory("graft_avstream").toString
+    val afps = Multimodal.audioFingerprints(spark, sf)
+      .select(col("media_id").as("doc_id"), col("afp"))
+    val vids = Multimodal.videoHashes(spark, sf)
+      .select(col("media_id").as("doc_id"), col("dhash"))
+    val isNew = Sampling.hashBucket(col("doc_id"), 5) === 4
+    dropAll()
+    try {
+      // corpus = half the waveform/pattern bases, so some batch media
+      // come back `new` (the ImageDedup-twin non-vacuity trick)
+      DedupIndex.saveAfpIndex(
+        afps.filter(!isNew && expr("(doc_id div 3) % 17 < 9")), prefix,
+        buckets = 4)
+      DedupIndex.saveVidIndex(
+        vids.filter(!isNew && expr("(doc_id div 3) % 13 < 7")), prefix,
+        buckets = 4)
+      def collectVerdicts(v: org.apache.spark.sql.DataFrame) =
+        v.collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      // ---- audio twin: real WAV bytes streamed in 3 file chunks ----
+      afps.filter(isNew).select("doc_id").as[Long].mapPartitions { it =>
+        it.map(id => (id, Multimodal.MediaCodec.wavNearFor(id)))
+      }.toDF("doc_id", "bytes")
+        .withColumn("_chunk", pmod(col("doc_id"), lit(3)))
+        .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/wav")
+      val aGot = scala.collection.mutable.ListBuffer.empty[(Long, String, Option[Long])]
+      val aq = MediaDedup.startAudio(
+        spark.readStream.schema(spark.read.parquet(s"$dir/wav").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/wav"),
+        prefix, (v, _) => aGot ++= collectVerdicts(v))
+      try aq.processAllAvailable() finally aq.stop()
+      val aExpected = collectVerdicts(
+        MediaDedup.classifyAudio(afps.filter(isNew), prefix)).toSet
+      assert(aGot.toSet == aExpected)
+      assert(aExpected.exists(_._2 == "near_audio") && aExpected.exists(_._2 == "new"))
+      // ---- video twin: real RAWV bytes, same chunked replay ----
+      vids.filter(isNew).select("doc_id").as[Long].mapPartitions { it =>
+        it.map(id => (id, Multimodal.MediaCodec.rawvNearFor(id)))
+      }.toDF("doc_id", "bytes")
+        .withColumn("_chunk", pmod(col("doc_id"), lit(3)))
+        .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/rawv")
+      val vGot = scala.collection.mutable.ListBuffer.empty[(Long, String, Option[Long])]
+      val vq = MediaDedup.startVideo(
+        spark.readStream.schema(spark.read.parquet(s"$dir/rawv").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/rawv"),
+        prefix, (v, _) => vGot ++= collectVerdicts(v))
+      try vq.processAllAvailable() finally vq.stop()
+      val vExpected = collectVerdicts(
+        MediaDedup.classifyVideo(vids.filter(isNew), prefix)).toSet
+      assert(vGot.toSet == vExpected)
+      assert(vExpected.exists(_._2 == "near_video") && vExpected.exists(_._2 == "new"))
+      operators.Caches.release()
+      spark.catalog.clearCache()
+    } finally dropAll()
+  }
+
   test("video near-dup: banding ≡ brute force, dims/frame-count-invariant, base-precise (q77)") {
     import graft.operators.Multimodal.MediaCodec
     val spark2 = spark
