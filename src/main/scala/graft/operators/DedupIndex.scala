@@ -84,12 +84,15 @@ object DedupIndex {
                 bits: Int = 32, dim: Int = 64, embBands: Int = 8): Unit = {
     val proj = Dedup.hashSigProjection(corpus, k)
     proj.select(col("doc_id"), col("_h"))
+      .repartition(buckets, col("_h"))
       .write.bucketBy(buckets, "_h").sortBy("_h")
       .mode(SaveMode.Overwrite).saveAsTable(exactTable(prefix))
     bandedSig(proj, k, bands)
+      .repartition(buckets, col("band"), col("key"))
       .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
       .mode(SaveMode.Overwrite).saveAsTable(bandTable(prefix))
     bandedEmb(Dedup.embSketchProjection(corpusEmb, bits, dim), bits, embBands)
+      .repartition(buckets, col("band"), col("key"))
       .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
       .mode(SaveMode.Overwrite).saveAsTable(embTable(prefix))
   }
@@ -117,13 +120,16 @@ object DedupIndex {
     val proj = Dedup.hashSigProjection(
       batchDocs.join(newIds, Seq("doc_id")), k)
     proj.select(col("doc_id"), col("_h"))
+      .repartition(buckets, col("_h"))
       .write.bucketBy(buckets, "_h").sortBy("_h")
       .mode(SaveMode.Append).saveAsTable(exactTable(prefix))
     bandedSig(proj, k, bands)
+      .repartition(buckets, col("band"), col("key"))
       .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
       .mode(SaveMode.Append).saveAsTable(bandTable(prefix))
     bandedEmb(Dedup.embSketchProjection(
         batchEmb.join(newIds, Seq("doc_id")), bits, dim), bits, embBands)
+      .repartition(buckets, col("band"), col("key"))
       .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
       .mode(SaveMode.Append).saveAsTable(embTable(prefix))
   }
@@ -143,8 +149,31 @@ object DedupIndex {
       k, bands, bits, dim, embBands)
     val newIds = pinned.filter(col("status") === "new").select("doc_id")
     Dedup.imgBanded(batchImg.join(newIds, Seq("doc_id")))
+      .repartition(buckets, col("band"), col("key"))
       .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
       .mode(SaveMode.Append).saveAsTable(imgTable(prefix))
+  }
+
+  /** Six-tier durable refresh: [[appendNew4]] plus the `_afp` and
+    * `_vid` tiers — the day's `new` survivors become probe-able by
+    * every modality tomorrow, no table rebuild. */
+  def appendNew6(batchDocs: DataFrame, batchEmb: DataFrame,
+                 batchImg: DataFrame, batchAfp: DataFrame,
+                 batchVid: DataFrame, verdicts: DataFrame, prefix: String,
+                 buckets: Int = 8, k: Int = 12, bands: Int = 4,
+                 bits: Int = 32, dim: Int = 64, embBands: Int = 8): Unit = {
+    val pinned = verdicts.localCheckpoint()
+    appendNew4(batchDocs, batchEmb, batchImg, pinned, prefix, buckets,
+      k, bands, bits, dim, embBands)
+    val newIds = pinned.filter(col("status") === "new").select("doc_id")
+    Dedup.afpBanded(batchAfp.join(newIds, Seq("doc_id")))
+      .repartition(buckets, col("band"), col("key"))
+      .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .mode(SaveMode.Append).saveAsTable(afpTable(prefix))
+    Dedup.imgBanded(batchVid.join(newIds, Seq("doc_id")))
+      .repartition(buckets, col("band"), col("key"))
+      .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .mode(SaveMode.Append).saveAsTable(vidTable(prefix))
   }
 
   /** q68's three-tier classifier against the STORED index: identical
@@ -213,6 +242,7 @@ object DedupIndex {
   def saveImgIndex(corpusImg: DataFrame, prefix: String,
                    buckets: Int = 8): Unit =
     Dedup.imgBanded(corpusImg)
+      .repartition(buckets, col("band"), col("key"))
       .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
       .mode(SaveMode.Overwrite).saveAsTable(imgTable(prefix))
 
@@ -280,12 +310,14 @@ object DedupIndex {
   def saveAfpIndex(corpusAfp: DataFrame, prefix: String,
                    buckets: Int = 8): Unit =
     Dedup.afpBanded(corpusAfp)
+      .repartition(buckets, col("band"), col("key"))
       .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
       .mode(SaveMode.Overwrite).saveAsTable(afpTable(prefix))
 
   def saveVidIndex(corpusVid: DataFrame, prefix: String,
                    buckets: Int = 8): Unit =
     Dedup.imgBanded(corpusVid)
+      .repartition(buckets, col("band"), col("key"))
       .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
       .mode(SaveMode.Overwrite).saveAsTable(vidTable(prefix))
 
@@ -326,27 +358,40 @@ object DedupIndex {
                                prefix: String = "graft_q79",
                                buckets: Int = 8): DataFrame = {
     import graft.sources.Tables
+    import s.implicits._
     val docs = Tables.spreadTable(s, dir, "documents", col("doc_id"))
       .select(col("doc_id"), col("text"))
     val embs = Tables.spreadTable(s, dir, "embeddings", col("vec_id"))
       .select(col("vec_id").as("doc_id"), col("embedding"))
-    val imgs = Multimodal.imageDHashes(s, dir)
-      .select(col("media_id").as("doc_id"), col("dhash"))
-    val afps = Multimodal.audioFingerprints(s, dir)
-      .select(col("media_id").as("doc_id"), col("afp"))
-    val vids = Multimodal.videoHashes(s, dir)
-      .select(col("media_id").as("doc_id"), col("dhash"))
     val isNew = Sampling.hashBucket(col("doc_id"), 5) === 4
+    // media sides: filter ids by modality slot AND split side BEFORE
+    // the decode pass — hashing everything and filtering after would
+    // encode+decode every payload twice per run (once for the save
+    // action, once for the probe)
+    def mediaIds(slot: Int, newSide: Boolean) = Tables.spread(
+      docs.select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(3)) === slot &&
+          (if (newSide) isNew else !isNew)),
+      col("doc_id")).as[Long]
+    def imgSide(newSide: Boolean) =
+      Multimodal.imageDHashesFor(s, mediaIds(0, newSide))
+        .select(col("media_id").as("doc_id"), col("dhash"))
+    def afpSide(newSide: Boolean) =
+      Multimodal.audioFingerprintsFor(s, mediaIds(1, newSide))
+        .select(col("media_id").as("doc_id"), col("afp"))
+    def vidSide(newSide: Boolean) =
+      Multimodal.videoHashesFor(s, mediaIds(2, newSide))
+        .select(col("media_id").as("doc_id"), col("dhash"))
     Seq(exactTable(prefix), bandTable(prefix), embTable(prefix),
       imgTable(prefix), afpTable(prefix), vidTable(prefix))
       .foreach(dropTable(s, _))
     saveIndex(docs.filter(!isNew), embs.filter(!isNew), prefix, buckets)
-    saveImgIndex(imgs.filter(!isNew), prefix, buckets)
-    saveAfpIndex(afps.filter(!isNew), prefix, buckets)
-    saveVidIndex(vids.filter(!isNew), prefix, buckets)
+    saveImgIndex(imgSide(false), prefix, buckets)
+    saveAfpIndex(afpSide(false), prefix, buckets)
+    saveVidIndex(vidSide(false), prefix, buckets)
     def run() = classifyNew6Indexed(s, docs.filter(isNew),
-      embs.filter(isNew), imgs.filter(isNew), afps.filter(isNew),
-      vids.filter(isNew), prefix)
+      embs.filter(isNew), imgSide(true), afpSide(true), vidSide(true),
+      prefix)
     assertIndexNeverShuffled(s, prefix)(run())
     run()
   }

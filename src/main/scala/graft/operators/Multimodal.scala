@@ -804,17 +804,24 @@ object Multimodal {
     * never shuffle. */
   def videoHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.sources.Tables.spread(
+    videoHashesFor(s, graft.sources.Tables.spread(
       graft.sources.Tables(s, dir, "documents")
         .select(col("doc_id"))
         .filter(pmod(col("doc_id"), lit(3)) === 2),
-      col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val bytes = MediaCodec.rawvNearFor(id) // the camera
-          (id, MediaCodec.vHash64(bytes)) // bytes alone
-        }
-      }.toDF("media_id", "dhash")
+      col("doc_id")).as[Long])
+  }
+
+  /** [[videoHashes]] over ANY id set (the q79 split-before-decode
+    * entry). */
+  def videoHashesFor(s: SparkSession,
+                     ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    import s.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val bytes = MediaCodec.rawvNearFor(id) // the camera
+        (id, MediaCodec.vHash64(bytes)) // bytes alone
+      }
+    }.toDF("media_id", "dhash")
   }
 
   /** q77 — PERCEPTUAL video near-dup pairs, completing the modality
@@ -850,18 +857,26 @@ object Multimodal {
     * shuffle. */
   def audioFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.sources.Tables.spread(
+    audioFingerprintsFor(s, graft.sources.Tables.spread(
       graft.sources.Tables(s, dir, "documents")
         .select(col("doc_id"))
         .filter(pmod(col("doc_id"), lit(3)) === 1),
-      col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val bytes = MediaCodec.wavNearFor(id) // the microphone
-          (id, MediaCodec.audioFingerprint64(
-            MediaCodec.pcmSamples(bytes))) // bytes alone
-        }
-      }.toDF("media_id", "afp")
+      col("doc_id")).as[Long])
+  }
+
+  /** [[audioFingerprints]] over ANY id set — lets callers (q79) filter
+    * ids BEFORE the decode pass instead of fingerprinting everything
+    * and filtering after. */
+  def audioFingerprintsFor(s: SparkSession,
+                           ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    import s.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val bytes = MediaCodec.wavNearFor(id) // the microphone
+        (id, MediaCodec.audioFingerprint64(
+          MediaCodec.pcmSamples(bytes))) // bytes alone
+      }
+    }.toDF("media_id", "afp")
   }
 
   /** q76 — PERCEPTUAL audio near-dup pairs: the q73 shape applied to

@@ -233,6 +233,54 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally dropAll()
   }
 
+  test("appendNew6: appended audio/video rows catch perceptual dups next day") {
+    import spark.implicits._
+    val (bits, dim, embBands) = (8, 4, 4)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    // text/embedding/image sides: all unrelated everywhere, so only the
+    // audio and video tiers can ever match
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    def embs(rows: (Long, Seq[Float])*) = rows.toDF("doc_id", "embedding")
+    def hashes(rows: (Long, Long)*) = rows.toDF("doc_id", "dhash")
+    def fps(rows: (Long, Long)*) = rows.toDF("doc_id", "afp")
+    dropAll()
+    try {
+      DedupIndex.saveIndex(docs(1L -> "alpha beta gamma delta epsilon zeta"),
+        embs(1L -> Seq(1.0f, 0f, 0f, 0f)), prefix, buckets = 4,
+        bits = bits, dim = dim, embBands = embBands)
+      DedupIndex.saveImgIndex(hashes(1L -> 0x1111L), prefix, buckets = 4)
+      DedupIndex.saveAfpIndex(fps(1L -> 0x0F0FL), prefix, buckets = 4)
+      DedupIndex.saveVidIndex(hashes(1L -> 0xF000F000L), prefix, buckets = 4)
+      // batch 1: all-novel clip 11 and video 12 → new; append them
+      val b1d = docs(11L -> "one two three four five six seven",
+        12L -> "eight nine ten eleven twelve thirteen")
+      val b1e = embs(11L -> Seq(0f, 1f, 0f, 0f), 12L -> Seq(0f, 0f, 1f, 0f))
+      val b1i = hashes(11L -> 0x5A5A5A5AL, 12L -> 0x3C3C3C3CL)
+      val b1a = fps(11L -> 0x123456789ABCL, 12L -> 0x111122223333L)
+      val b1v = hashes(11L -> 0x444455556666L, 12L -> 0xABCDEF012345L)
+      val v1 = DedupIndex.classifyNew6Indexed(spark, b1d, b1e, b1i, b1a, b1v,
+        prefix, bits = bits, dim = dim, embBands = embBands).localCheckpoint()
+      assert(verdicts(v1) == Set((11L, "new", None), (12L, "new", None)))
+      DedupIndex.appendNew6(b1d, b1e, b1i, b1a, b1v, v1, prefix, buckets = 4,
+        bits = bits, dim = dim, embBands = embBands)
+      // batch 2: clip 20's fingerprint is 1 bit off clip 11's; video
+      // 21's hash is 1 bit off video 12's — only the APPENDED rows match
+      val b2d = docs(20L -> "fourteen fifteen sixteen seventeen eighteen",
+        21L -> "nineteen twenty twentyone twentytwo twentythree")
+      val b2e = embs(20L -> Seq(0f, 0f, 0f, 1f), 21L -> Seq(-1f, 0f, 0f, 0f))
+      val b2i = hashes(20L -> 0x77778888L, 21L -> 0x9999AAAAL)
+      val b2a = fps(20L -> 0x123456789ABDL, 21L -> 0x7777888899AAL)
+      val b2v = hashes(20L -> 0xBBBBCCCCDDDDL, 21L -> 0xABCDEF012344L)
+      val v2 = DedupIndex.classifyNew6Indexed(spark, b2d, b2e, b2i, b2a, b2v,
+        prefix, bits = bits, dim = dim, embBands = embBands)
+      assert(verdicts(v2) == Set((20L, "near_audio", Some(11L)),
+        (21L, "near_video", Some(12L))),
+        s"got ${verdicts(v2)}")
+    } finally dropAll()
+  }
+
   test("appendNew4: appended image rows catch a perceptual dup next day") {
     import spark.implicits._
     val (bits, dim, embBands) = (8, 4, 4)
