@@ -82,15 +82,22 @@ object DedupIndex {
   def saveIndex(corpus: DataFrame, corpusEmb: DataFrame, prefix: String,
                 buckets: Int = 8, k: Int = 12, bands: Int = 4,
                 bits: Int = 32, dim: Int = 64, embBands: Int = 8): Unit = {
-    val proj = Dedup.hashSigProjection(corpus, k)
-    proj.select(col("doc_id"), col("_h"))
-      .repartition(buckets, col("_h"))
-      .write.bucketBy(buckets, "_h").sortBy("_h")
-      .mode(SaveMode.Overwrite).saveAsTable(exactTable(prefix))
-    bandedSig(proj, k, bands)
-      .repartition(buckets, col("band"), col("key"))
-      .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
-      .mode(SaveMode.Overwrite).saveAsTable(bandTable(prefix))
+    // The exact and band tables both derive from the same tokenize +
+    // k-minhash projection; persisting it across the two write actions
+    // pays the per-row compute ONCE (at 100 TB this is the staged
+    // projection a deployment would materialize before bucketing, not a
+    // recompute per table).
+    val proj = Dedup.hashSigProjection(corpus, k).persist()
+    try {
+      proj.select(col("doc_id"), col("_h"))
+        .repartition(buckets, col("_h"))
+        .write.bucketBy(buckets, "_h").sortBy("_h")
+        .mode(SaveMode.Overwrite).saveAsTable(exactTable(prefix))
+      bandedSig(proj, k, bands)
+        .repartition(buckets, col("band"), col("key"))
+        .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
+        .mode(SaveMode.Overwrite).saveAsTable(bandTable(prefix))
+    } finally proj.unpersist(blocking = false)
     bandedEmb(Dedup.embSketchProjection(corpusEmb, bits, dim), bits, embBands)
       .repartition(buckets, col("band"), col("key"))
       .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
