@@ -99,6 +99,8 @@ object SparkEntry {
     "q77_video_neardup"     -> ((s: SparkSession, d: String) => Multimodal.videoNearDupPairs(s, d)),
     "q78_incremental_dedup6" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup6(s, d)),
     "q79_indexed_dedup6"    -> ((s: SparkSession, d: String) => DedupIndex.incrementalDedupIndexed6(s, d)),
+    "q80_doc_chunking"      -> ((s: SparkSession, d: String) => TextOps.docChunks(s, d)),
+    "q81_chunk_packing"     -> ((s: SparkSession, d: String) => Packing.packChunks(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1662,7 +1664,54 @@ object SparkEntry {
     // q79: q78's verdicts through the STORED six-table index (q74's
     // pattern) — oracle is q78's SQL by the spec-proven duality.
     "q79_indexed_dedup6" -> incrementalDedup6Sql,
+    // q80: sliding-window chunking replay — all-integer chunk count /
+    // start arithmetic (DuckDB `//` == Spark `div` on non-negative
+    // longs) and a 1-based inclusive list slice matching Spark's
+    // slice(start, length); the md5 of the space-joined token window
+    // pins the exact chunk CONTENT, not just its coordinates.
+    "q80_doc_chunking" -> s"""
+      $chunkCtes
+      SELECT doc_id, chunk_idx, start_tok, n_tokens,
+             md5(array_to_string(
+               toks[start_tok + 1 : start_tok + n_tokens], ' ')) AS chunk_hash
+      FROM f ORDER BY doc_id, chunk_idx""",
+    // q81: the chunk CTEs feed q52's packer replay — "doc:idx" string
+    // keys, md5 shuffle order, window cumulative sum, start-sequence
+    // assignment by integer division.
+    "q81_chunk_packing" -> s"""
+      $chunkCtes,
+      d AS (SELECT CAST(doc_id AS VARCHAR) || ':' ||
+                     CAST(chunk_idx AS VARCHAR) AS ck,
+                   n_tokens AS nt FROM f),
+      m AS (SELECT ck, nt, md5(ck) AS ok FROM d),
+      cum AS (SELECT nt,
+                sum(nt) OVER (ORDER BY ok, ck
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM m)
+      SELECT CAST((cum - nt) // 64 AS BIGINT) AS seq_id,
+             count(*) AS n_chunks,
+             CAST(sum(nt) AS BIGINT) AS seq_tokens
+      FROM cum GROUP BY 1 ORDER BY seq_id""",
   )
+
+  /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,
+    * all-integer chunk count, per-chunk start with the snapped last
+    * window, per-chunk token count. A chunk-semantics fix lands in both
+    * oracles at once. */
+  private lazy val chunkCtes: String = """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+      k AS (SELECT doc_id, toks, n,
+              CASE WHEN n <= 32 THEN CAST(1 AS BIGINT)
+                   ELSE (n - 32 + 23) // 24 + 1 END AS nc FROM c),
+      e AS (SELECT doc_id, toks, n, nc,
+              unnest(generate_series(0, nc - 1)) AS chunk_idx FROM k),
+      s AS (SELECT doc_id, chunk_idx, n, toks,
+              CASE WHEN chunk_idx = nc - 1 THEN greatest(n - 32, 0)
+                   ELSE chunk_idx * 24 END AS start_tok FROM e),
+      f AS (SELECT doc_id, chunk_idx, start_tok, toks,
+              least(32, n - start_tok) AS n_tokens FROM s)"""
 
   private lazy val incrementalDedup6Sql: String =
     incrementalDedupTieredSql(withImage = true, withAudio = true,

@@ -307,8 +307,9 @@ object Dedup {
     * candidate join itself keys on the 8-byte hash; a collision can only
     * ADD candidates, which the exact rescore discards. */
   def ngramJaccardPairsPrefix(s: SparkSession, dir: String,
-                              threshold: Double = 0.5): DataFrame =
-    ngramJaccardPairsPrefixFor(docsSpread(s, dir), threshold)
+                              threshold: Double = 0.5,
+                              wideKeys: Boolean = false): DataFrame =
+    ngramJaccardPairsPrefixFor(docsSpread(s, dir), threshold, wideKeys)
 
   /** Distinct 3-gram shingle ARRAYS per (doc_id, text) row — the shared
     * entry of the pair pipelines; callers cache it (multiple consumers). */
@@ -317,9 +318,11 @@ object Dedup {
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingles(col("t"), 3).as("grams"))
 
-  /** [[ngramJaccardPairsPrefix]] over ANY (doc_id, text) frame. */
+  /** [[ngramJaccardPairsPrefix]] over ANY (doc_id, text) frame.
+    * `wideKeys = true` runs the pre-prune on 128-bit keys. */
   def ngramJaccardPairsPrefixFor(documents: DataFrame,
-                                 threshold: Double = 0.5): DataFrame = {
+                                 threshold: Double = 0.5,
+                                 wideKeys: Boolean = false): DataFrame = {
     val docGrams = Caches.track(gramsFor(documents))
     // HASH-ARRAY PRE-PRUNE between candidates and the exact rescore: the
     // prefix filter is lossless, so its candidate set is much bigger than
@@ -338,12 +341,18 @@ object Dedup {
     // B={a,b,d}, h(a)=h(b): true J=0.5, hash J=1/3), so a
     // boundary-true pair could be dropped. Probability ≈ 2⁻⁶⁴ per
     // shared-gram pair — negligible below ~4×10⁹ distinct grams per
-    // doc pair universe; for strict losslessness at that scale widen
-    // the pre-prune key to 128 bits (md5 prefix pair) at ~2× cost.
+    // doc pair universe; at that scale pass `wideKeys = true`: the
+    // pre-prune key widens to an independently-seeded xxhash64 PAIR
+    // (xxhash64(g) chains arg hashes through the seed, so a 1L first
+    // arg gives a hash family independent of the bare call — both
+    // colliding for distinct grams is ≈ 2⁻¹²⁸) at ~2× pre-prune cost.
     // Survivors (≈ the true result set) then pay the string-exact
     // rescore, whose scores are what the oracle sees.
+    val gramKey: Column => Column =
+      if (wideKeys) g => struct(xxhash64(g).as("h1"), xxhash64(lit(1L), g).as("h2"))
+      else g => xxhash64(g)
     val docGramsH = Caches.track(docGrams.select(col("doc_id"),
-      array_distinct(transform(col("grams"), g => xxhash64(g))).as("ghs")))
+      array_distinct(transform(col("grams"), gramKey)).as("ghs")))
     val pruned = prefixCandidates(docGrams, threshold)
       .join(docGramsH.select(col("doc_id").as("doc_a"), col("ghs").as("_ha")), "doc_a")
       .join(docGramsH.select(col("doc_id").as("doc_b"), col("ghs").as("_hb")), "doc_b")

@@ -99,6 +99,25 @@ object Packing {
         graft.functions.TextFunctions.tokenCount(col("text")).as("_nt")),
       budget)
 
+  /** q81 — chunk packing: [[TextOps.docChunks]]'s sliding-window chunks
+    * fed through the SAME packer as q52 — the composed chunk→pack path
+    * a pretraining pipeline actually runs (documents are first cut to
+    * model-sized windows, then windows are packed into fixed-budget
+    * training sequences; with budget = 2·maxLen each sequence holds ~2
+    * full windows plus tails). Chunks enter keyed by "doc:idx" strings
+    * so [[packSequencesCounts]] is reused VERBATIM — an ordering or
+    * accumulation fix lands in q52 and q81 at once. Scale shape is the
+    * packer's: one range shuffle + the partition-count driver fold; the
+    * chunker adds no shuffle of its own. */
+  def packChunks(s: SparkSession, dir: String, maxLen: Int = 32,
+                 stride: Int = 24, budget: Long = 64): DataFrame =
+    packSequencesCounts(
+      TextOps.docChunks(s, dir, maxLen, stride)
+        .select(concat_ws(":", col("doc_id"), col("chunk_idx")).as("doc_id"),
+          col("n_tokens").as("_nt")),
+      budget)
+      .withColumnRenamed("n_docs", "n_chunks")
+
   /** [[packSequencesFor]] when the caller already has token counts —
     * expects (doc_id, _nt). The composed pipeline's cached survivor
     * frame carries token arrays, so its counts are a `size()` away and

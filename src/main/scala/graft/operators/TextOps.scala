@@ -174,4 +174,51 @@ object TextOps {
         minShingleFingerprint(col("t"), 8).as("fingerprint"))
       .withColumn("bucket", substring(col("fingerprint"), 1, 1))
       .orderBy(col("doc_id"))
+
+  // q80 — sliding-window token chunking: the pretraining-prep operator
+  // that turns raw documents into model-sized training sequences. The
+  // declared params (32/24) are sized to the testdata's ≤99-token docs
+  // so the driver gate exercises multi-chunk tiling and the snapped
+  // last window, not just the short-doc identity case; a real pipeline
+  // runs the same operator at (2048, 1536)-ish.
+  def docChunks(s: SparkSession, dir: String,
+                maxLen: Int = 32, stride: Int = 24): DataFrame =
+    docChunksFor(docsHeavy(s, dir), maxLen, stride)
+
+  /** Split each document into `maxLen`-token windows advancing by
+    * `stride` tokens (overlap = maxLen − stride). The LAST window is
+    * SNAPPED to the document end (start = n − maxLen) so no trailing
+    * tokens are dropped and no degenerate sub-stride tail is emitted:
+    * every chunk is exactly maxLen tokens except the single chunk of a
+    * short (≤ maxLen) document. Chunk count and starts are all-integer
+    * (`(n − maxLen + stride − 1) div stride + 1`), so the DuckDB oracle
+    * replays them exactly. Per-row explode — no shuffle; at 100 TB this
+    * scales with input splits and output volume is bounded by
+    * ~(1/stride + 1/n)× the token stream. The md5 stands in for the
+    * chunk payload to keep the dump narrow (a real pipeline writes the
+    * token slice itself). */
+  def docChunksFor(documents: DataFrame, maxLen: Int = 128,
+                   stride: Int = 96): DataFrame = {
+    require(maxLen > 0 && stride > 0 && stride <= maxLen,
+      s"need 0 < stride <= maxLen, got maxLen=$maxLen stride=$stride")
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .withColumn("_n", size(col("_t")).cast("long"))
+      .withColumn("_nc", when(col("_n") <= maxLen, lit(1L))
+        .otherwise(expr(s"(`_n` - $maxLen + ${stride - 1}) div $stride") + lit(1L)))
+      .select(col("doc_id"), col("_t"), col("_n"), col("_nc"),
+        explode(sequence(lit(0L), col("_nc") - 1)).as("chunk_idx"))
+      .withColumn("start_tok",
+        when(col("chunk_idx") === col("_nc") - 1,
+          greatest(col("_n") - maxLen, lit(0L)))
+          .otherwise(col("chunk_idx") * stride))
+      .withColumn("n_tokens",
+        least(lit(maxLen.toLong), col("_n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("_t"), (col("start_tok") + 1).cast("int"),
+            col("n_tokens").cast("int")))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

@@ -403,6 +403,25 @@ object SoakScale {
     bandGate("q76-audio-cands @1x", an1, ac1, at1)
     bandGate("q76-audio-cands @10x", an10, ac10, at10)
 
+    // --- r10: q80 chunking + q81 chunk packing. The copy transform
+    // REWRITES tokens but never changes per-doc token counts, so chunk
+    // rows and packed-sequence counts must both scale exactly ~10× —
+    // any superlinearity would be engine fan-out (the chunker has no
+    // join to fan out through; the packer's range scan is the claim).
+    def chunks(df: DataFrame): DataFrame =
+      graft.operators.TextOps.docChunksFor(
+        df.select(col("doc_id"), col("text")), maxLen = 32, stride = 24)
+    val ch1 = scoped("q80 chunk rows @1x")(chunks(base).count())
+    val ch10 = scoped("q80 chunk rows @10x")(chunks(corpus10).count())
+    check("q80-chunk-rows", ch1, ch10)
+    def packed(df: DataFrame): Long = graft.operators.Packing
+      .packSequencesCounts(chunks(df).select(
+        concat_ws(":", col("doc_id"), col("chunk_idx")).as("doc_id"),
+        col("n_tokens").as("_nt")), budget = 64L).count()
+    val pk1 = scoped("q81 sequences @1x")(packed(base))
+    val pk10 = scoped("q81 sequences @10x")(packed(corpus10))
+    check("q81-packed-sequences", pk1, pk10)
+
     // --- connected-components mechanics: planted chains (q51/q70's
     // engine). Two gates beyond candidate volume:
     //  1. O(log diameter): a 1000-link path must converge in ≤ 12

@@ -604,6 +604,69 @@ class PipelineOpsSpec extends AnyFunSuite {
     operators.Caches.release()
   }
 
+  test("doc chunking (q80): snapped sliding windows tile every document exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hand-checkable fixture: n=5 tokens, maxLen=3, stride=2 →
+    // nc = ceil((5−3)/2)+1 = 2 chunks, starts 0 and SNAPPED 5−3=2
+    // (NOT 1·2=2 — here they coincide; n=6 would snap 3 vs ride 2·2=4)
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tiny = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "p q r s t u v"))
+      .toDF("doc_id", "text")
+    val ch = operators.TextOps.docChunksFor(tiny, maxLen = 3, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(ch == Set(
+      (1L, 0L, 0L, 3L, m("a b c")), (1L, 1L, 2L, 3L, m("c d e")),
+      (2L, 0L, 0L, 2L, m("x y")),
+      // n=7: nc = ceil(4/2)+1 = 3; starts 0, 2, snapped 7−3=4
+      (3L, 0L, 0L, 3L, m("p q r")), (3L, 1L, 2L, 3L, m("r s t")),
+      (3L, 2L, 4L, 3L, m("t u v"))),
+      s"unexpected chunk set: $ch")
+    // testdata invariants at the declared (32, 24) params: per doc the
+    // windows start at 0, end exactly at n, are all exactly min(32, n)
+    // tokens, and the chunk count matches the integer formula
+    val d = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+    val g = operators.TextOps.docChunks(spark, sf)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("nc"),
+        min(col("start_tok")).as("s0"),
+        max(col("start_tok") + col("n_tokens")).as("end"),
+        min(col("n_tokens")).as("minTok"),
+        max(col("n_tokens")).as("maxTok"))
+    val bad = g.join(d, "doc_id").filter(
+      col("s0") =!= 0L || col("end") =!= col("n") ||
+        col("minTok") =!= least(lit(32L), col("n")) ||
+        col("maxTok") =!= least(lit(32L), col("n")) ||
+        col("nc") =!= when(col("n") <= 32, lit(1L))
+          .otherwise(expr("(n - 32 + 23) div 24") + lit(1L)))
+    assert(bad.count() == 0, "a document's chunk tiling broke an invariant")
+    // the gate must see real multi-chunk docs, not the identity case
+    assert(g.filter(col("nc") >= 3).count() > 0,
+      "testdata should produce >=3-chunk documents at (32, 24)")
+  }
+
+  test("chunk packing (q81): conservation, contiguous ids, fill floor") {
+    import org.apache.spark.sql.functions._
+    val p = operators.Packing.packChunks(spark, sf).collect()
+    val ids = p.map(_.getLong(0)).toSeq
+    assert(ids == (0L until ids.length).toList.map(_.toLong),
+      s"seq ids must be contiguous from 0, got head/tail ${ids.take(3)}..${ids.takeRight(3)}")
+    // token mass is conserved: packing reassigns chunks, never drops one
+    val total = operators.TextOps.docChunks(spark, sf)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(p.map(_.getLong(2)).sum == total, "chunk token mass conserved")
+    // start-sequence assignment means every non-last sequence is filled
+    // to at least budget − (maxChunk − 1) = 64 − 31 tokens
+    assert(p.dropRight(1).forall(_.getLong(2) >= 33L),
+      "a non-last sequence fell below the straddle fill floor")
+    assert(p.length >= 3, "testdata should pack into several sequences")
+  }
+
   test("fingerprint is stable under duplicate text") {
     import org.apache.spark.sql.functions._
     // same text ⇒ same fingerprint: join docs on equal text, compare fps
@@ -632,6 +695,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val prefix3 = operators.Dedup.ngramJaccardPairsPrefix(spark, sf, threshold = 0.3)
     assert(exact3.exceptAll(prefix3).isEmpty && prefix3.exceptAll(exact3).isEmpty,
       "prefix join must stay lossless at a non-representable threshold")
+    // the 128-bit pre-prune option (the documented collision-caveat
+    // escape hatch) must produce the identical result set
+    val wide = operators.Dedup.ngramJaccardPairsPrefix(spark, sf, wideKeys = true)
+    assert(wide.exceptAll(exact).isEmpty && exact.exceptAll(wide).isEmpty,
+      "wide-key prefix join must equal the brute exact join")
     operators.Caches.release()
     spark.catalog.clearCache()
     // and it must actually prune: prefix-candidate volume strictly below
