@@ -256,4 +256,45 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("doc chunking equals a plain-Scala reference tiling for any (maxLen, stride)") {
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // reference tiling: the snapped-last-window semantics, computed
+    // driver-side with no Spark involvement
+    def ref(toks: Vector[String], maxLen: Int, stride: Int)
+        : Seq[(Long, Long, Long, String)] = {
+      val n = toks.length
+      val nc = if (n <= maxLen) 1L
+               else ((n - maxLen + stride - 1) / stride + 1).toLong
+      (0L until nc).map { i =>
+        val start = if (i == nc - 1) math.max(n - maxLen, 0).toLong
+                    else i * stride
+        val len = math.min(maxLen.toLong, n - start)
+        (i, start, len,
+          m(toks.slice(start.toInt, (start + len).toInt).mkString(" ")))
+      }
+    }
+    val gen = for {
+      lens <- Gen.nonEmptyListOf(Gen.chooseNum(1, 60)).map(_.take(8))
+      maxLen <- Gen.chooseNum(1, 20)
+      stride <- Gen.chooseNum(1, maxLen)
+    } yield (lens, maxLen, stride)
+    forAll(gen) { case (lens, maxLen, stride) =>
+      val docs = lens.zipWithIndex.map { case (n, id) =>
+        (id.toLong, (0 until n).map(k => s"w$k").mkString(" "))
+      }
+      val got = operators.TextOps
+        .docChunksFor(docs.toDF("doc_id", "text"), maxLen, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      val want = docs.flatMap { case (id, text) =>
+        ref(text.split(" ").toVector, maxLen, stride)
+          .map { case (i, s, l, h) => (id, i, s, l, h) }
+      }.toSet
+      assert(got == want,
+        s"tiling mismatch at maxLen=$maxLen stride=$stride lens=$lens")
+    }
+  }
 }
