@@ -209,7 +209,11 @@ object DedupIndex {
                            dim: Int, embBands: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorFunctions.dotNative
-    val bproj = Dedup.hashSigProjection(batch, k)
+    // tracked: the exact and near tiers both read the tokenize+minhash
+    // batch projection — cached it computes once per classify run (the
+    // batch is the SMALL side; the corpus-sized index tables are never
+    // cached, they stream from their buckets)
+    val bproj = Caches.track(Dedup.hashSigProjection(batch, k))
     val beproj = Dedup.embSketchProjection(batchEmb, bits, dim)
     val exact = bproj.select(col("doc_id"), col("_h"))
       .join(s.table(exactTable(prefix)).select(col("_h"),
