@@ -101,6 +101,7 @@ object SparkEntry {
     "q79_indexed_dedup6"    -> ((s: SparkSession, d: String) => DedupIndex.incrementalDedupIndexed6(s, d)),
     "q80_doc_chunking"      -> ((s: SparkSession, d: String) => TextOps.docChunks(s, d)),
     "q81_chunk_packing"     -> ((s: SparkSession, d: String) => Packing.packChunks(s, d)),
+    "q82_vocab_oov"         -> ((s: SparkSession, d: String) => TextOps.vocabOov(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1692,6 +1693,30 @@ object SparkEntry {
              count(*) AS n_chunks,
              CAST(sum(nt) AS BIGINT) AS seq_tokens
       FROM cum GROUP BY 1 ORDER BY seq_id""",
+    // q82: q44's split-hash replay feeds a train-side word count whose
+    // (count desc, token asc) top-512 cut is a total order — both
+    // engines cut the identical vocabulary — then the test split's
+    // token stream left-joins it and rolls up OOV per source. The rate
+    // is one IEEE double division of two exact longs.
+    "q82_vocab_oov" -> """
+      WITH d AS (SELECT doc_id, source, text,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 100 AS b
+            FROM documents),
+      tr AS (SELECT unnest(string_split(text, ' ')) AS token
+             FROM d WHERE b < 80),
+      tc AS (SELECT token, count(*) AS n FROM tr GROUP BY token),
+      v AS (SELECT token FROM tc ORDER BY n DESC, token LIMIT 512),
+      ev AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             FROM d WHERE b >= 90),
+      agg AS (SELECT source, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_oov
+              FROM ev LEFT JOIN v ON ev.token = v.token
+              GROUP BY source)
+      SELECT source, n_tokens, n_oov,
+             CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+      FROM agg ORDER BY source""",
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,

@@ -175,6 +175,42 @@ object TextOps {
       .withColumn("bucket", substring(col("fingerprint"), 1, 1))
       .orderBy(col("doc_id"))
 
+  // q82 — vocabulary build + OOV audit: the tokenizer-prep op a
+  // training pipeline runs before freezing a vocab.
+  def vocabOov(s: SparkSession, dir: String, vocabSize: Int = 512): DataFrame =
+    vocabOovFor(docs(s, dir), vocabSize)
+
+  /** Build the top-`vocabSize` vocabulary from the TRAIN split's token
+    * counts (count desc, token asc — a total order, so the cut is
+    * deterministic in any engine) and measure per-source out-of-vocab
+    * rates on the held-out TEST split. Splits are q44's hash-mod
+    * assignment ([[Sampling.assignSplit]]), so vocab and audit sides
+    * can never leak into each other as the corpus grows.
+    *
+    * Scale shape: the train token count is one partial-agg shuffle (the
+    * standard word-count exchange); the vocab cut is TakeOrdered on
+    * `vocabSize` rows; the cut vocab BROADCASTS to the eval token
+    * stream (never shuffled — at 100 TB the eval side is the big
+    * operand and it stays map-side); the per-source rollup is a
+    * partial-agg shuffle on the source key. */
+  def vocabOovFor(documents: DataFrame, vocabSize: Int = 512): DataFrame = {
+    val d = documents.withColumn("_split",
+      Sampling.assignSplit(col("doc_id")))
+    val vocab = d.filter(col("_split") === "train")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1L).as("_in"))
+    d.filter(col("_split") === "test")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy(col("source"))
+  }
+
   // q80 — sliding-window token chunking: the pretraining-prep operator
   // that turns raw documents into model-sized training sequences. The
   // declared params (32/24) are sized to the testdata's ≤99-token docs

@@ -650,6 +650,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       "testdata should produce >=3-chunk documents at (32, 24)")
   }
 
+  test("vocab/OOV audit (q82): equals a driver-side reference, monotone in vocab size") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // tiny token universe so vocabulary cuts and OOV are hand-countable
+    val docs = (0L until 200L).map(id => (id, s"src${id % 3}",
+      (0 to (id % 7).toInt).map(k => s"t${(id + k) % 13}").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    // discover the split through the SAME assignment the operator uses
+    val rows = docs.withColumn("_s", operators.Sampling.assignSplit(col("doc_id")))
+      .collect()
+    val train = rows.filter(_.getString(3) == "train")
+    val test = rows.filter(_.getString(3) == "test")
+    assert(train.nonEmpty && test.nonEmpty, "fixture must populate both splits")
+    def refCounts(v: Int): Map[String, (Long, Long)] = {
+      val counts = train.flatMap(_.getString(2).split(" "))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val vocab = counts.sortBy { case (t, n) => (-n, t) }.take(v).map(_._1).toSet
+      test.groupBy(_.getString(1)).view.mapValues { rs =>
+        val toks = rs.flatMap(_.getString(2).split(" ")).toSeq
+        (toks.size.toLong, toks.count(t => !vocab.contains(t)).toLong)
+      }.toMap
+    }
+    val got5 = operators.TextOps.vocabOovFor(docs, vocabSize = 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got5 == refCounts(5), s"v=5 mismatch: $got5 vs ${refCounts(5)}")
+    val got13 = operators.TextOps.vocabOovFor(docs, vocabSize = 13).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got13.forall { case (s, o) => o <= got5(s)._2 },
+      "growing the vocab increased an OOV count")
+    // declared-query shape on testdata: rates well-formed
+    val q = operators.TextOps.vocabOov(spark, sf).collect()
+    assert(q.nonEmpty && q.forall(r =>
+      r.getLong(1) > 0 && r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1) &&
+        r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("chunk packing (q81): conservation, contiguous ids, fill floor") {
     import org.apache.spark.sql.functions._
     val p = operators.Packing.packChunks(spark, sf).collect()
