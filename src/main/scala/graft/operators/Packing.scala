@@ -112,7 +112,7 @@ object Packing {
   def packChunks(s: SparkSession, dir: String, maxLen: Int = 32,
                  stride: Int = 24, budget: Long = 64): DataFrame =
     packSequencesCounts(
-      TextOps.docChunks(s, dir, maxLen, stride)
+      TextOps.docChunksRaw(TextOps.docsHeavy(s, dir), maxLen, stride)
         .select(concat_ws(":", col("doc_id"), col("chunk_idx")).as("doc_id"),
           col("n_tokens").as("_nt")),
       budget)

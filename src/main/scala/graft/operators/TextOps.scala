@@ -234,7 +234,15 @@ object TextOps {
     * chunk payload to keep the dump narrow (a real pipeline writes the
     * token slice itself). */
   def docChunksFor(documents: DataFrame, maxLen: Int = 128,
-                   stride: Int = 96): DataFrame = {
+                   stride: Int = 96): DataFrame =
+    docChunksRaw(documents, maxLen, stride)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** [[docChunksFor]] WITHOUT the final oracle sort — the entry for
+    * consumers that aggregate the chunks (q81's packer, the soak),
+    * where a mid-pipeline global sort would be pure waste. */
+  private[graft] def docChunksRaw(documents: DataFrame, maxLen: Int = 128,
+                                  stride: Int = 96): DataFrame = {
     require(maxLen > 0 && stride > 0 && stride <= maxLen,
       s"need 0 < stride <= maxLen, got maxLen=$maxLen stride=$stride")
     documents
@@ -255,6 +263,5 @@ object TextOps {
         md5(concat_ws(" ",
           slice(col("_t"), (col("start_tok") + 1).cast("int"),
             col("n_tokens").cast("int")))).as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 }

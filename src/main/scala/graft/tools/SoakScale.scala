@@ -409,7 +409,7 @@ object SoakScale {
     // any superlinearity would be engine fan-out (the chunker has no
     // join to fan out through; the packer's range scan is the claim).
     def chunks(df: DataFrame): DataFrame =
-      graft.operators.TextOps.docChunksFor(
+      graft.operators.TextOps.docChunksRaw(
         df.select(col("doc_id"), col("text")), maxLen = 32, stride = 24)
     val ch1 = scoped("q80 chunk rows @1x")(chunks(base).count())
     val ch10 = scoped("q80 chunk rows @10x")(chunks(corpus10).count())

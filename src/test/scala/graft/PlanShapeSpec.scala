@@ -78,4 +78,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "sort_merge_join" -> 3, "exchange_hash" -> 17,
       "exchange_range" -> 1, "sort" -> 5, "cartesian" -> 0)
   }
+
+  test("q80 chunking: narrow end to end — one spread, the oracle sort, nothing else") {
+    // the chunker is a per-row explode: any join or extra exchange here
+    // means the operator stopped being embarrassingly parallel.
+    pin("q80_doc_chunking",
+      "sort_merge_join" -> 0, "broadcast_hash_join" -> 0,
+      "exchange_hash" -> 1, "exchange_range" -> 1, "sort" -> 1,
+      "cartesian" -> 0)
+  }
+
+  test("q81 chunk packing: no mid-pipeline chunk sort sneaks back in") {
+    // chunks enter the packer UNSORTED (docChunksRaw); the only sorts
+    // are the packer's range partitioning and the oracle order. A third
+    // sort/fourth range exchange = q80's oracle sort leaked into q81.
+    pin("q81_chunk_packing",
+      "sort_merge_join" -> 0, "broadcast_hash_join" -> 0,
+      "exchange_hash" -> 4, "exchange_range" -> 3, "sort" -> 2,
+      "cartesian" -> 0)
+  }
+
+  test("q82 vocab/OOV: the eval token stream joins the vocab by broadcast only") {
+    // an SMJ here means the top-512 vocab stopped broadcasting and the
+    // 100-TB eval token stream would shuffle for the join.
+    pin("q82_vocab_oov",
+      "sort_merge_join" -> 0, "broadcast_hash_join" -> 1,
+      "exchange_hash" -> 2, "exchange_range" -> 1, "sort" -> 1,
+      "cartesian" -> 0)
+  }
 }
