@@ -102,6 +102,8 @@ object SparkEntry {
     "q80_doc_chunking"      -> ((s: SparkSession, d: String) => TextOps.docChunks(s, d)),
     "q81_chunk_packing"     -> ((s: SparkSession, d: String) => Packing.packChunks(s, d)),
     "q82_vocab_oov"         -> ((s: SparkSession, d: String) => TextOps.vocabOov(s, d)),
+    "q83_approx_distinct"   -> Sketches.shingleCardinalityAudit _,
+    "q84_heavy_hitters"     -> Sketches.cmsHeavyHitters _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1717,6 +1719,80 @@ object SparkEntry {
       SELECT source, n_tokens, n_oov,
              CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
       FROM agg ORDER BY source""",
+
+    // q83: every HLL register bit is replayed in SQL — q30's shingle
+    // hash, bucket = low 8 bits, rho from INTEGER comparisons (no
+    // libm log2 on either engine), harmonic denominator as an exact
+    // BIGINT sum of powers of two. The only floats are one division
+    // and (small-range branch) one ln over identical exact integers,
+    // rounded at 6dp.
+    "q83_approx_distinct" -> """
+      WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+      sh AS (SELECT source,
+                    unnest(list_transform(range(1, len(tk) - 6),
+                      i -> CAST('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15)
+                             AS BIGINT))) AS hv
+             FROM t),
+      g AS (SELECT source, hv, count(*) AS n_occ FROM sh GROUP BY 1, 2),
+      r AS (SELECT source, hv % 256 AS bucket,
+                   53 - len(list_filter(range(0, 52),
+                             i -> (hv // 256) >= (CAST(1 AS BIGINT) << i))) AS rho
+            FROM g),
+      regs0 AS (SELECT source, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+      regs AS (SELECT source, bucket, mj FROM regs0
+               UNION ALL
+               SELECT '_ALL_', bucket, max(mj) FROM regs0 GROUP BY 2),
+      ag AS (SELECT source,
+                    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INT)) AS BIGINT)
+                      + (256 - count(*)) * 9007199254740992 AS s_harmonic,
+                    CAST(256 - count(*) AS BIGINT) AS v_empty
+             FROM regs GROUP BY source),
+      ex AS (SELECT source, CAST(sum(n_occ) AS BIGINT) AS n_shingles,
+                    count(*) AS exact_distinct
+             FROM g GROUP BY source
+             UNION ALL
+             SELECT '_ALL_', CAST(sum(n_occ) AS BIGINT),
+                    count(DISTINCT hv) FROM g),
+      est AS (SELECT ex.source, ex.n_shingles, ex.exact_distinct,
+                     ag.v_empty, ag.s_harmonic,
+                     CASE WHEN ag.v_empty > 0 AND
+                               (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                                 * 9007199254740992.0
+                                 / CAST(ag.s_harmonic AS DOUBLE) <= 640.0
+                          THEN 256.0 * ln(256.0 / ag.v_empty)
+                          ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                                 * 9007199254740992.0
+                                 / CAST(ag.s_harmonic AS DOUBLE) END AS e
+              FROM ag JOIN ex USING (source))
+      SELECT source, n_shingles, exact_distinct, v_empty, s_harmonic,
+             round(e, 6) AS est_distinct,
+             round((e - exact_distinct) / exact_distinct, 6) AS rel_err
+      FROM est ORDER BY source""",
+
+    // q84: the 2048 Count-Min cells are exact BIGINT sums over salted
+    // md5 buckets; the probe takes min over the 4 rows. Ties at the
+    // top-20 cut are broken by (n DESC, bigram) on both engines.
+    "q84_heavy_hitters" -> """
+      WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+                      i -> array_to_string(tk[i:i+1], ' '))) AS bigram
+             FROM t),
+      cnt AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram),
+      rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      cms AS (SELECT rr.r,
+                     CAST('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || bigram), 1, 15)
+                       AS BIGINT) % 512 AS bucket,
+                     CAST(sum(n) AS BIGINT) AS cell
+              FROM cnt CROSS JOIN rr GROUP BY 1, 2),
+      top AS (SELECT bigram, n FROM cnt ORDER BY n DESC, bigram LIMIT 20),
+      probe AS (SELECT top.bigram, top.n, cms.cell
+                FROM top CROSS JOIN rr
+                JOIN cms ON cms.r = rr.r AND cms.bucket =
+                  CAST('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || top.bigram), 1, 15)
+                    AS BIGINT) % 512)
+      SELECT bigram, n AS n_exact, min(cell) AS n_est,
+             CAST(min(cell) - n AS BIGINT) AS overest
+      FROM probe GROUP BY bigram, n ORDER BY n_exact DESC, bigram""",
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,

@@ -38,7 +38,10 @@ import graft.sources.Tables
   *    INFO); q73/q76 perceptual band candidates ≤ 2× the analytic
   *    bound (true pairs + C(n,2)·bands/2^bits) at both scales — the
   *    "8 independent byte buckets" model itself, which caught q76's
-  *    run-correlated bits and forced the interleaved banding.
+  *    run-correlated bits and forced the interleaved banding;
+  *    q83/q84 sketch state is gated as a HARD bound (sources×256
+  *    registers / 4×512 cells) at both scales — constant-size is the
+  *    whole claim — with ~linear wall.
   * Output sizes (q26 verified pairs, q51 labels, q62 sequences) are
   * printed for eyeballing but not gated — they track the planted data,
   * not the engine's join shapes.
@@ -421,6 +424,56 @@ object SoakScale {
     val pk1 = scoped("q81 sequences @1x")(packed(base))
     val pk10 = scoped("q81 sequences @10x")(packed(corpus10))
     check("q81-packed-sequences", pk1, pk10)
+
+    // --- r10c: q83/q84 sketches. THE claim is constant-size state:
+    // HLL register rows are hard-bounded by sources×256 and CMS cells
+    // by 4×512 AT ANY CORPUS SIZE — gated as absolute bounds, not
+    // ratios (the sketch frames can only fill IN, never grow OUT).
+    // Wall must stay ~linear (the only corpus-sized stage is the
+    // per-row hash projection + one partial-agg'd shuffle).
+    import graft.operators.{Sketches => Sk}
+    def hllRegRows(df: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val (n, sc) = Caches.scope {
+        df.select(col("source"), explode(Sk.shingleHashes(tokens(col("text")))).as("hv"))
+          .withColumn("bucket", col("hv") % Sk.HllM)
+          .withColumn("rho", Sk.rhoExpr)
+          .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("mj"))
+          .count()
+      }
+      sc.release(); (n, (System.nanoTime() - t0) / 1e9)
+    }
+    def cmsCellRows(df: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val (n, sc) = Caches.scope {
+        Sk.cmsCells(
+          df.select(explode(Sk.bigrams(tokens(col("text")))).as("bigram"))
+            .groupBy(col("bigram")).agg(count(lit(1)).as("n"))).count()
+      }
+      sc.release(); (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val nSources = base.select(col("source")).distinct().count()
+    val (hr1, hw1) = scoped("q83 register rows @1x")(hllRegRows(base))
+    val (hr10, hw10) = scoped("q83 register rows @10x")(hllRegRows(corpus10))
+    def boundGate(name: String, v: Long, bound: Long): Unit = {
+      val ok = v <= bound
+      if (!ok) failures += 1
+      println(f"[soak] RATIO $name%-26s $v%12d rows (hard bound $bound) ${if (ok) "PASS" else "FAIL"}")
+    }
+    boundGate("q83-registers @1x", hr1, nSources * Sk.HllM)
+    boundGate("q83-registers @10x", hr10, nSources * Sk.HllM)
+    val hllWallRatio = hw10 / math.max(hw1, 1e-9)
+    val hllWallOk = hllWallRatio <= gate
+    if (!hllWallOk) failures += 1
+    println(f"[soak] RATIO q83-wall                   ${hw1}%.2f -> ${hw10}%.2f s (${hllWallRatio}%.2fx, gate ${gate}%.1fx) ${if (hllWallOk) "PASS" else "FAIL"}")
+    val (cc1r, cw1) = scoped("q84 cms cells @1x")(cmsCellRows(base))
+    val (cc10r, cw10) = scoped("q84 cms cells @10x")(cmsCellRows(corpus10))
+    boundGate("q84-cms-cells @1x", cc1r, (Sk.CmsRows * Sk.CmsW).toLong)
+    boundGate("q84-cms-cells @10x", cc10r, (Sk.CmsRows * Sk.CmsW).toLong)
+    val cmsWallRatio = cw10 / math.max(cw1, 1e-9)
+    val cmsWallOk = cmsWallRatio <= gate
+    if (!cmsWallOk) failures += 1
+    println(f"[soak] RATIO q84-wall                   ${cw1}%.2f -> ${cw10}%.2f s (${cmsWallRatio}%.2fx, gate ${gate}%.1fx) ${if (cmsWallOk) "PASS" else "FAIL"}")
 
     // --- connected-components mechanics: planted chains (q51/q70's
     // engine). Two gates beyond candidate volume:

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+/** Semantic specs for the mergeable sketches (q83 HLL / q84 CMS): the
+  * bit-level rank math against a JVM reference, the merge laws that
+  * justify the "constant-size shuffle" scale claims, the one-sided CMS
+  * error bound over EVERY key (the query only reports 20), and
+  * accuracy on planted cardinalities the fixture can't fake. */
+class SketchesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** JVM reference for the SQL rho: low 8 bits index the register,
+    * rho = leading zeros of the 52-bit remainder + 1. */
+  private def rhoRef(hv: Long): Int = {
+    val w = hv / 256
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(w) // 0 for w=0
+    Sketches.HllShift - bitlen
+  }
+
+  /** Deterministic "distinct strings" frame: md5-derived keys k0..k(n-1)
+    * with hv + (bucket, rho) columns attached via the operator's own
+    * expressions. */
+  private def planted(n: Int): DataFrame =
+    spark.range(n.toLong)
+      .select(concat(lit("key"), col("id")).as("token"))
+      .withColumn("hv", graft.functions.TextFunctions.md5Long(col("token")))
+
+  private def registers(df: DataFrame): Map[Long, Int] =
+    df.withColumn("bucket", col("hv") % Sketches.HllM)
+      .withColumn("rho", Sketches.rhoExpr)
+      .groupBy("bucket").agg(max("rho").as("mj"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  /** The estimator on (s_harmonic, v_empty), exactly as both engines
+    * spell it. */
+  private def estimate(sHarmonic: Long, vEmpty: Long): Double = {
+    val eRaw = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 *
+      9007199254740992.0 / sHarmonic.toDouble
+    if (vEmpty > 0 && eRaw <= 2.5 * Sketches.HllM)
+      Sketches.HllM.toDouble * math.log(Sketches.HllM.toDouble / vEmpty)
+    else eRaw
+  }
+
+  test("hll rho: SQL bit math equals the JVM leading-zeros reference") {
+    val rows = planted(2000)
+      .withColumn("rho", Sketches.rhoExpr)
+      .select("hv", "rho").collect()
+    rows.foreach { r =>
+      val hv = r.getLong(0)
+      assert(r.getInt(1) == rhoRef(hv), s"rho mismatch for hv=$hv")
+    }
+    // and the boundary cases the HOF must get right: w = 0 (rho 53),
+    // w = 1 (rho 52), w = 2^51 (rho 1), w = 2^51 - 1 (rho 2)
+    val edge = Seq(0L, 256L, 256L * (1L << 51), 256L * ((1L << 51) - 1))
+      .toDF("hv").withColumn("rho", Sketches.rhoExpr)
+      .select("hv", "rho").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(edge(0L) == 53 && edge(256L) == 52 &&
+      edge(256L * (1L << 51)) == 1 && edge(256L * ((1L << 51) - 1)) == 2)
+  }
+
+  test("hll registers merge: regs(A ∪ B) = register-wise max of halves") {
+    val a = planted(3000).filter(col("hv") % 2 === 0)
+    val b = planted(3000).filter(col("hv") % 2 === 1)
+    val whole = registers(planted(3000))
+    val ra = registers(a); val rb = registers(b)
+    val merged = (ra.keySet ++ rb.keySet).map { k =>
+      k -> math.max(ra.getOrElse(k, 0), rb.getOrElse(k, 0))
+    }.toMap
+    assert(merged == whole, "max-merge of half registers must equal whole")
+  }
+
+  test("hll estimate: within 20% on a planted 5000-key cardinality and " +
+       "near-exact on the linear-counting branch") {
+    def est(n: Int): Double = {
+      val regs = registers(planted(n))
+      val sH = regs.values.map(mj => 1L << (Sketches.HllShift - mj)).sum +
+        (Sketches.HllM - regs.size).toLong * (1L << Sketches.HllShift)
+      estimate(sH, (Sketches.HllM - regs.size).toLong)
+    }
+    val e5000 = est(5000)
+    assert(math.abs(e5000 - 5000) / 5000.0 < 0.20,
+      s"HLL estimate $e5000 off by >20% on n=5000")
+    val e10 = est(10) // far below 2.5m → linear counting, near-exact
+    assert(math.abs(e10 - 10) < 1.0, s"linear counting gave $e10 for n=10")
+  }
+
+  test("q83: estimate column replays from the exact integer registers " +
+       "and _ALL_ row is consistent with per-source rows") {
+    val out = Sketches.shingleCardinalityAudit(spark, sf).collect()
+    operators.Caches.release()
+    assert(out.nonEmpty)
+    val bySource = out.map(r => r.getString(0) -> r).toMap
+    assert(bySource.contains("_ALL_"))
+    out.foreach { r =>
+      val (nSh, exact, vE, sH) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nSh >= exact && exact > 0 && sH > 0)
+      // est_distinct is EXACTLY the estimator over (s_harmonic, v_empty)
+      val replay = BigDecimal(estimate(sH, vE))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(replay - r.getDouble(5)) < 1e-9,
+        s"${r.getString(0)}: est ${r.getDouble(5)} != replay $replay")
+    }
+    // _ALL_ exact distinct can't exceed the sum of per-source distincts
+    // and can't be smaller than the largest single source
+    val perSrc = out.filter(_.getString(0) != "_ALL_").map(_.getLong(2))
+    val all = bySource("_ALL_").getLong(2)
+    assert(all <= perSrc.sum && all >= perSrc.max)
+  }
+
+  test("cms: estimate >= exact for EVERY bigram, and equality holds " +
+       "exactly when the key collides with mass in all 4 rows") {
+    val cnt = graft.sources.Tables(spark, sf, "documents")
+      .select(explode(Sketches.bigrams(
+        graft.functions.TextFunctions.tokens(col("text")))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+    val cells = Sketches.cmsCells(cnt)
+    val probe = cnt
+      .select(col("bigram"), col("n"),
+              explode(sequence(lit(0), lit(Sketches.CmsRows - 1))).as("r"))
+      .withColumn("bucket", Sketches.cmsBucket(col("r"), col("bigram")))
+      .join(cells, Seq("r", "bucket"))
+      .groupBy("bigram", "n").agg(min("cell").as("est"))
+      .collect()
+    assert(probe.nonEmpty)
+    probe.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS underestimated '${r.getString(0)}'")
+    }
+  }
+
+  test("cms linearity: cells from pre-counted keys == cells from raw " +
+       "occurrences, and half-corpus sketches sum to the whole") {
+    val raw = planted(2500).select(col("token").as("bigram"))
+      .union(planted(500).select(col("token").as("bigram"))) // skewed mass
+    val fromRaw = Sketches.cmsCells(
+      raw.groupBy("bigram").agg(count(lit(1)).as("n")))
+    val ones = Sketches.cmsCells(raw.withColumn("n", lit(1L)))
+    assert(fromRaw.exceptAll(ones).isEmpty && ones.exceptAll(fromRaw).isEmpty,
+      "pre-counted and one-by-one CMS builds must agree cell-for-cell")
+
+    val cnt = raw.groupBy("bigram").agg(count(lit(1)).as("n"))
+    val ha = cnt.filter(graft.functions.TextFunctions
+      .md5Long(col("bigram")) % 2 === 0)
+    val hb = cnt.filter(graft.functions.TextFunctions
+      .md5Long(col("bigram")) % 2 === 1)
+    def cellMap(df: DataFrame): Map[(Int, Long), Long] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cellMap(Sketches.cmsCells(cnt))
+    val ca = cellMap(Sketches.cmsCells(ha))
+    val cb = cellMap(Sketches.cmsCells(hb))
+    val summed = (ca.keySet ++ cb.keySet).map { k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))
+    }.toMap
+    assert(summed == whole, "cell-wise sum of half sketches must equal whole")
+  }
+
+  test("cms: planted 2500-key stream forces collisions — some overestimate " +
+       "is visible and bounded by the row mass") {
+    val raw = planted(2500).select(col("token").as("bigram"))
+    val cnt = raw.groupBy("bigram").agg(count(lit(1)).as("n"))
+    val cells = Sketches.cmsCells(cnt)
+    val probe = cnt
+      .select(col("bigram"), col("n"),
+              explode(sequence(lit(0), lit(Sketches.CmsRows - 1))).as("r"))
+      .withColumn("bucket", Sketches.cmsBucket(col("r"), col("bigram")))
+      .join(cells, Seq("r", "bucket"))
+      .groupBy("bigram", "n").agg(min("cell").as("est"))
+      .select((col("est") - col("n")).as("over")).collect().map(_.getLong(0))
+    // 2500 keys over 512 buckets: almost no key is alone in all 4 rows
+    assert(probe.max > 0, "expected visible collisions at 2500 keys")
+    // one-sided and bounded: overestimate < total mass / w * safety
+    assert(probe.forall(o => o >= 0 && o < 2500L))
+  }
+
+  test("q84: 20 rows, sorted by exact count, overest consistent") {
+    val out = Sketches.cmsHeavyHitters(spark, sf).collect()
+    operators.Caches.release()
+    assert(out.length == 20)
+    val exacts = out.map(_.getLong(1))
+    assert(exacts.sameElements(exacts.sortBy(-_)), "must sort by n_exact desc")
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1) &&
+        r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+  }
+}
