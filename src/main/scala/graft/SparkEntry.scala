@@ -104,6 +104,7 @@ object SparkEntry {
     "q82_vocab_oov"         -> ((s: SparkSession, d: String) => TextOps.vocabOov(s, d)),
     "q83_approx_distinct"   -> Sketches.shingleCardinalityAudit _,
     "q84_heavy_hitters"     -> Sketches.cmsHeavyHitters _,
+    "q85_bloom_prefilter"   -> ((s: SparkSession, d: String) => Sketches.bloomDecontamination(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1793,6 +1794,49 @@ object SparkEntry {
       SELECT bigram, n AS n_exact, min(cell) AS n_est,
              CAST(min(cell) - n AS BIGINT) AS overest
       FROM probe GROUP BY bigram, n ORDER BY n_exact DESC, bigram""",
+
+    // q85: the Bloom bit set is replayed literally — q72's tokenize /
+    // distinct-gram / md5 mod-10 eval split, positions from the salted
+    // md5 convention of q84 (`'0x'||substr(md5(r||':'||gram),1,15)` %
+    // 2^20), membership = distinct-matched-position count equals the
+    // gram's own distinct-position count. fp_rate is one IEEE division
+    // over identical exact integers (q82 convention, unrounded).
+    "q85_bloom_prefilter" -> """
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      g AS (SELECT doc_id, source,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0 AS is_eval,
+              unnest(list_distinct(list_transform(
+                generate_series(1, len(tk) - 7),
+                i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+            FROM t),
+      eg AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+      tg AS (SELECT DISTINCT source, gram FROM g WHERE NOT is_eval),
+      bits AS (SELECT DISTINCT
+                 CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || gram), 1, 15) AS BIGINT) % 1048576 AS pos
+               FROM eg CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rr),
+      pp AS (SELECT source, gram,
+               unnest(list_distinct(list_transform([0, 1, 2],
+                 r -> CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || gram), 1, 15) AS BIGINT) % 1048576))) AS pos
+             FROM tg),
+      np AS (SELECT source, gram, count(*) AS n_pos FROM pp GROUP BY 1, 2),
+      hit AS (SELECT pp.source, pp.gram, count(*) AS n_hit
+              FROM pp JOIN bits USING (pos) GROUP BY 1, 2),
+      pos AS (SELECT np.source, np.gram FROM np JOIN hit USING (source, gram)
+              WHERE hit.n_hit = np.n_pos),
+      tru AS (SELECT tg.source, tg.gram FROM tg JOIN eg USING (gram)),
+      per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train_grams FROM tg GROUP BY 1),
+      ps  AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bloom_positive FROM pos GROUP BY 1),
+      ts  AS (SELECT source, CAST(count(*) AS BIGINT) AS n_true_overlap FROM tru GROUP BY 1)
+      SELECT per.source, per.n_train_grams,
+             coalesce(ps.n_bloom_positive, 0) AS n_bloom_positive,
+             coalesce(ts.n_true_overlap, 0) AS n_true_overlap,
+             coalesce(ps.n_bloom_positive, 0) - coalesce(ts.n_true_overlap, 0) AS n_false_positive,
+             CASE WHEN per.n_train_grams = coalesce(ts.n_true_overlap, 0) THEN 0.0
+                  ELSE CAST(coalesce(ps.n_bloom_positive, 0) - coalesce(ts.n_true_overlap, 0) AS DOUBLE)
+                         / (per.n_train_grams - coalesce(ts.n_true_overlap, 0)) END AS fp_rate
+      FROM per LEFT JOIN ps USING (source) LEFT JOIN ts USING (source)
+      ORDER BY per.source""",
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,

@@ -229,4 +229,122 @@ object Sketches {
   private[graft] def bigrams(toks: Column): Column =
     transform(sequence(lit(1), size(toks) - 1),
       i => concat_ws(" ", slice(toks, i, lit(2))))
+
+  // ---------------------------------------------------------------- Bloom
+
+  /** Bloom geometry: m = 2^20 bits (128 KiB packed), h = 3 salted hash
+    * functions. With n eval grams the fp rate is (1−e^(−h·n/m))^h:
+    * ~2.6e-4 at sf0.01's ~23k grams (a visible, audited margin at the
+    * oracle gate) and ~0.11 at sf0.1's ~230k — deliberately reported,
+    * not hidden: the audit's JOB is to tell the operator when the
+    * blocklist has outgrown the bitmap (resize m, rebuild from the
+    * stored members — the bit set is cheap to re-derive). h=3 trades
+    * the information-optimal h=⌈m/n·ln2⌉ for 3 hashes/probe on the
+    * 100-TB side, where probe cost, not fp, dominates. */
+  val BloomM = 1 << 20
+  val BloomH = 3
+
+  /** The h bit positions of a key: md5 of `"r:key"` per salt r — the
+    * same salt convention as [[cmsBucket]], so the oracle replays every
+    * position with the identical `'0x'||substr(md5(...),1,15)` trick.
+    * `m` is a parameter so specs can shrink the bitmap to force
+    * collisions; declared queries always use [[BloomM]]. */
+  private[graft] def bloomPositions(key: Column, m: Int = BloomM): Column =
+    transform(sequence(lit(0), lit(BloomH - 1)),
+      r => md5Long(concat(r.cast("string"), lit(":"), key)) % m)
+
+  /** The SET-BIT relation of a Bloom filter over a one-column frame of
+    * member keys: ≤ m rows of distinct positions — the sketch state.
+    * Mergeable by plain union+distinct (bitwise OR), so per-day filters
+    * roll up to per-month membership without replaying the members. */
+  private[graft] def bloomBits(members: DataFrame, m: Int = BloomM): DataFrame =
+    members.select(explode(bloomPositions(col(members.columns.head), m))
+        .as("pos"))
+      .distinct()
+
+  /** Bloom membership probe of a key column against a set-bit
+    * relation: positive iff ALL the key's positions are set. The probe
+    * side explodes its DISTINCT positions (two salts landing on one
+    * bit must count once), inner-joins the BROADCAST bit set, and
+    * keeps keys whose matched count equals their own position count. */
+  private[graft] def bloomProbe(keys: DataFrame, bits: DataFrame,
+                                keyCol: String, m: Int = BloomM): DataFrame = {
+    val gcols = keys.columns.map(col).toSeq
+    keys
+      .withColumn("_ps", array_distinct(bloomPositions(col(keyCol), m)))
+      .select(gcols ++ Seq(size(col("_ps")).as("n_pos"),
+        explode(col("_ps")).as("pos")): _*)
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy((gcols :+ col("n_pos")): _*)
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_pos"))
+      .select(gcols: _*)
+  }
+
+  /** q85 — Bloom decontamination PRE-FILTER audit: the q72 benchmark
+    * gram rule, re-armed with the third workhorse sketch. A Bloom
+    * filter is built over the eval split's distinct 8-grams (the q72
+    * index) and every distinct train (source, gram) is probed; the
+    * audit reports, per source, the probe volume, the Bloom-positive
+    * count, the TRUE overlap (exact semi-join foil), and the false
+    * positives the filter would forward to the exact verifier.
+    *
+    * The one-sided law (no false NEGATIVES: every truly-contaminated
+    * gram is Bloom-positive, so the pre-filter can never drop a real
+    * leak) is asserted per-row here (`n_true ≤ n_bloom`) and per-GRAM
+    * in the spec.
+    *
+    * Scale shape (the reason this exists next to q72): q72 broadcasts
+    * the full eval GRAM STRINGS — fine for a benchmark suite, linear
+    * in eval bytes. The Bloom bitmap is CONSTANT-size (m bits, 4 KiB
+    * packed) no matter how many benchmarks pile into the blocklist,
+    * and the train side still streams map-side with no shuffle: each
+    * gram hashes h times against the broadcast bit set, and only the
+    * (tiny) Bloom-positive remainder pays the exact string join. At
+    * 100 TB the filter drops ~all of the train gram stream before the
+    * expensive side exists. */
+  def bloomDecontamination(s: SparkSession, dir: String,
+                           k: Int = ShingleK): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val g = Caches.track(
+      TextOps.docsHeavy(s, dir)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= k)
+        .withColumn("_eval", Sampling.hashBucket(col("doc_id"), 10) === 0))
+
+    val evalGrams = Caches.track(
+      g.filter(col("_eval"))
+        .select(explode(shingles(col("t"), k)).as("gram")).distinct())
+    val trainGrams = Caches.track(
+      g.filter(!col("_eval"))
+        .select(col("source"), explode(shingles(col("t"), k)).as("gram"))
+        .distinct())
+
+    val bits = bloomBits(evalGrams)
+    val pos  = bloomProbe(trainGrams, bits, "gram")
+    val truth = trainGrams.join(evalGrams, Seq("gram"), "left_semi")
+
+    val perSrc = trainGrams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train_grams"))
+    val posSrc = pos.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bloom_positive"))
+    val truSrc = truth.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_true_overlap"))
+
+    perSrc
+      .join(posSrc, Seq("source"), "left")
+      .join(truSrc, Seq("source"), "left")
+      .select(col("source"), col("n_train_grams"),
+        coalesce(col("n_bloom_positive"), lit(0L)).as("n_bloom_positive"),
+        coalesce(col("n_true_overlap"), lit(0L)).as("n_true_overlap"))
+      .withColumn("n_false_positive",
+        col("n_bloom_positive") - col("n_true_overlap"))
+      // raw IEEE division over exact integers (the q82 convention —
+      // bit-identical across engines, so no rounding is needed)
+      .withColumn("fp_rate",
+        when(col("n_train_grams") === col("n_true_overlap"), lit(0.0))
+          .otherwise(col("n_false_positive").cast("double") /
+            (col("n_train_grams") - col("n_true_overlap"))))
+      .orderBy(col("source"))
+  }
 }

@@ -475,6 +475,41 @@ object SoakScale {
     if (!cmsWallOk) failures += 1
     println(f"[soak] RATIO q84-wall                   ${cw1}%.2f -> ${cw10}%.2f s (${cmsWallRatio}%.2fx, gate ${gate}%.1fx) ${if (cmsWallOk) "PASS" else "FAIL"}")
 
+    // --- r10d: q85 bloom. The bit set can NEVER exceed m — corpus
+    // growth fills the bitmap IN, it can't grow it OUT (hard bound,
+    // like the HLL/CMS frames). Probe survivors (the rows that would
+    // reach the exact verifier) are INFO: they track true contamination
+    // plus the fp load the audit exists to report.
+    def bloomCounts(df: DataFrame): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val ((bitsN, posN), sc) = Caches.scope {
+        val g = df
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= Sk.ShingleK)
+          .withColumn("_eval",
+            graft.operators.Sampling.hashBucket(col("doc_id"), 10) === 0)
+        val eg = g.filter(col("_eval"))
+          .select(explode(shingles(col("t"), Sk.ShingleK)).as("gram"))
+          .distinct()
+        val tg = g.filter(!col("_eval"))
+          .select(col("source"),
+            explode(shingles(col("t"), Sk.ShingleK)).as("gram"))
+          .distinct()
+        val bits = Caches.track(Sk.bloomBits(eg))
+        (bits.count(), Sk.bloomProbe(tg, bits, "gram").count())
+      }
+      sc.release(); (bitsN, posN, (System.nanoTime() - t0) / 1e9)
+    }
+    val (bb1, bp1, bw1) = scoped("q85 bloom bits+probe @1x")(bloomCounts(base))
+    val (bb10, bp10, bw10) = scoped("q85 bloom bits+probe @10x")(bloomCounts(corpus10))
+    boundGate("q85-bloom-bits @1x", bb1, Sk.BloomM.toLong)
+    boundGate("q85-bloom-bits @10x", bb10, Sk.BloomM.toLong)
+    info("q85-bloom-positive", bp1, bp10)
+    val bloomWallRatio = bw10 / math.max(bw1, 1e-9)
+    val bloomWallOk = bloomWallRatio <= gate
+    if (!bloomWallOk) failures += 1
+    println(f"[soak] RATIO q85-wall                   ${bw1}%.2f -> ${bw10}%.2f s (${bloomWallRatio}%.2fx, gate ${gate}%.1fx) ${if (bloomWallOk) "PASS" else "FAIL"}")
+
     // --- connected-components mechanics: planted chains (q51/q70's
     // engine). Two gates beyond candidate volume:
     //  1. O(log diameter): a 1000-link path must converge in ≤ 12

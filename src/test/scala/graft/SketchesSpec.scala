@@ -180,6 +180,77 @@ class SketchesSpec extends AnyFunSuite {
     assert(probe.forall(o => o >= 0 && o < 2500L))
   }
 
+  test("bloom: no false negatives at ANY load — every member of a " +
+       "saturated 4096-bit filter probes positive") {
+    val members = planted(5000).select(col("token").as("gram"))
+    val bits = Sketches.bloomBits(members, m = 4096) // load ≈ 3.7 bits/key
+    val pos = Sketches.bloomProbe(members, bits, "gram", m = 4096)
+    assert(pos.count() == 5000,
+      "a Bloom filter must NEVER drop a true member, even saturated")
+  }
+
+  test("bloom: false positives appear under load, vanish at the " +
+       "deployed m, and the bit set merges by plain union") {
+    val members = planted(2000).select(col("token").as("gram"))
+    val probes = spark.range(2000L)
+      .select(concat(lit("probe"), col("id")).as("gram")) // disjoint keys
+    val fpSmall = Sketches.bloomProbe(
+      probes, Sketches.bloomBits(members, m = 4096), "gram", m = 4096).count()
+    assert(fpSmall > 0, "2000 keys in 4096 bits must show false positives")
+    val fpBig = Sketches.bloomProbe(
+      probes, Sketches.bloomBits(members), "gram").count()
+    assert(fpBig == 0,
+      s"fp≈2e-7 per probe at m=2^20 — expected 0 of 2000, got $fpBig")
+
+    // merge law: bits(A ∪ B) == bits(A) ∪ bits(B) (bitwise OR)
+    val a = members.filter(graft.functions.TextFunctions
+      .md5Long(col("gram")) % 2 === 0)
+    val b = members.filter(graft.functions.TextFunctions
+      .md5Long(col("gram")) % 2 === 1)
+    val whole = Sketches.bloomBits(members, m = 4096)
+    val merged = Sketches.bloomBits(a, m = 4096)
+      .union(Sketches.bloomBits(b, m = 4096)).distinct()
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty,
+      "union of half bit sets must equal the whole filter")
+  }
+
+  test("q85: audit arithmetic is internally consistent and the " +
+       "one-sided law holds per GRAM, not just per aggregate") {
+    val out = Sketches.bloomDecontamination(spark, sf).collect()
+    operators.Caches.release()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nTrain, nBloom, nTrue, nFp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nTrue <= nBloom, s"${r.getString(0)}: false negative!")
+      assert(nBloom <= nTrain && nFp == nBloom - nTrue)
+      val denom = nTrain - nTrue
+      val replay = if (denom == 0) 0.0 else nFp.toDouble / denom
+      assert(r.getDouble(5) == replay, "fp_rate must replay exactly")
+    }
+
+    // gram-level: TRUE overlap grams ⊆ bloom-positive grams, re-derived
+    // from the operator's own split/gram definitions
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val g = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= Sketches.ShingleK)
+      .withColumn("_eval",
+        graft.operators.Sampling.hashBucket(col("doc_id"), 10) === 0)
+    val evalGrams = g.filter(col("_eval"))
+      .select(explode(shingles(col("t"), Sketches.ShingleK)).as("gram"))
+      .distinct()
+    val trainGrams = g.filter(!col("_eval"))
+      .select(col("source"),
+        explode(shingles(col("t"), Sketches.ShingleK)).as("gram"))
+      .distinct()
+    val positives = Sketches.bloomProbe(
+      trainGrams, Sketches.bloomBits(evalGrams), "gram")
+    val truth = trainGrams.join(evalGrams, Seq("gram"), "left_semi")
+    assert(truth.exceptAll(positives).isEmpty,
+      "every truly-contaminated (source, gram) must be Bloom-positive")
+  }
+
   test("q84: 20 rows, sorted by exact count, overest consistent") {
     val out = Sketches.cmsHeavyHitters(spark, sf).collect()
     operators.Caches.release()
