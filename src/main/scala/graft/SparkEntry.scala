@@ -105,6 +105,7 @@ object SparkEntry {
     "q83_approx_distinct"   -> Sketches.shingleCardinalityAudit _,
     "q84_heavy_hitters"     -> Sketches.cmsHeavyHitters _,
     "q85_bloom_prefilter"   -> ((s: SparkSession, d: String) => Sketches.bloomDecontamination(s, d)),
+    "q86_length_quantiles"  -> Sketches.tokenLengthQuantiles _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1837,6 +1838,29 @@ object SparkEntry {
                          / (per.n_train_grams - coalesce(ts.n_true_overlap, 0)) END AS fp_rate
       FROM per LEFT JOIN ps USING (source) LEFT JOIN ts USING (source)
       ORDER BY per.source""",
+
+    // q86: rank targets `(n·p+99) // 100` stay in BIGINT (DuckDB `//`
+    // == Spark `div` on non-negative longs); estimate = lower edge of
+    // the first 8-wide bin whose cumulative count reaches the target,
+    // exact = the order statistic from the value-level cumulative
+    // histogram. Integer-only result — hash-exact with no rounding.
+    "q86_length_quantiles" -> """
+      WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+      bc AS (SELECT bin, CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum
+             FROM (SELECT least(len // 8, 255) AS bin, count(*) AS c FROM t GROUP BY 1)),
+      lc AS (SELECT len, CAST(sum(c) OVER (ORDER BY len) AS BIGINT) AS cum
+             FROM (SELECT len, count(*) AS c FROM t GROUP BY 1)),
+      tg AS (SELECT p, n, (n * p + 99) // 100 AS target
+             FROM (SELECT CAST(unnest([50, 90, 95, 99]) AS BIGINT) AS p) ps CROSS JOIN n),
+      est AS (SELECT p, n, target, min(bin) AS est_bin
+              FROM tg JOIN bc ON bc.cum >= tg.target GROUP BY 1, 2, 3),
+      ex AS (SELECT p, min(len) AS exact_len
+             FROM tg JOIN lc ON lc.cum >= tg.target GROUP BY 1)
+      SELECT est.p, est.n AS n_docs, est.target AS target_rank,
+             CAST(est.est_bin * 8 AS BIGINT) AS est_lo, ex.exact_len,
+             CAST(ex.exact_len - est.est_bin * 8 AS BIGINT) AS err
+      FROM est JOIN ex USING (p) ORDER BY est.p""",
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,

@@ -347,4 +347,95 @@ object Sketches {
             (col("n_train_grams") - col("n_true_overlap"))))
       .orderBy(col("source"))
   }
+
+  // ------------------------------------------------------------ Histogram
+
+  /** Histogram-quantile geometry: 256 bins of width 8 tokens — covers
+    * [0, 2048) with the last bin absorbing overflow. The estimate's
+    * error bound is the bin width: the true quantile always lies in
+    * the estimated bin (asserted per-row by the query's own `err`
+    * column, spec'd as a law). */
+  val HistW = 8
+  val HistB = 256
+
+  /** The quantiles a packing pipeline asks of its length distribution,
+    * as integer percents (the rank target `ceil(p·n/100)` stays in
+    * BIGINT arithmetic — `(n·p + 99) div 100` — on both engines). */
+  val HistPercents = Seq(50, 90, 95, 99)
+
+  /** q86 — quantile-sketch audit: the document TOKEN-LENGTH
+    * distribution (the number q52/q81 sequence packing lives on)
+    * summarized by a fixed 256-bin histogram, its quantile estimates
+    * next to the exact order statistics. Estimate = the lower edge of
+    * the first bin whose cumulative count reaches the rank target;
+    * exact = the smallest length whose value-level cumulative count
+    * does — both pure integer definitions, so the oracle hash-matches
+    * without any float in the result.
+    *
+    * Scale story: the histogram is the fourth workhorse sketch —
+    * CONSTANT-size (256 bins), mergeable by bin-wise sum, so partial
+    * aggregation caps the shuffle at 256 rows per task at any corpus
+    * size and per-day histograms sum into per-month quantiles without
+    * re-reading. The exact side (a full length-level histogram +
+    * order-statistic scan) is the audited foil being retired at
+    * 100 TB — the recorded `percentile_approx` substitution in
+    * SCALE.md, made engine-portable. */
+  /** The token-length BIN frame of a document frame: ≤256 rows of
+    * (bin, c) — integer `div`, overflow clamped to the last bin.
+    * Shared verbatim by the batch audit, the soak gate, and the
+    * streaming twin's per-window build. */
+  private[graft] def lengthBins(docFrame: DataFrame): DataFrame =
+    docFrame
+      .select(size(tokens(col("text"))).cast("long").as("len"))
+      .withColumn("bin", least(expr(s"len div $HistW"), lit(HistB - 1L)))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+
+  /** Rank targets ceil(p·n/100) in pure BIGINT over a (bin|len, c)
+    * cumulative frame's total — the single-row total broadcast-joins
+    * the 4-row percent frame (BNLJ, never a cartesian). */
+  private[graft] def rankTargets(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    val total = counts.agg(sum(col("c")).cast("long").as("n"))
+    HistPercents.map(_.toLong).toDF("p")
+      .join(broadcast(total))
+      .select(col("p"), col("n"), expr("(n * p + 99) div 100").as("target"))
+  }
+
+  /** Quantile ESTIMATES from a (bin, c) frame: the lower edge of the
+    * first bin whose cumulative count reaches each rank target —
+    * (p, n, target, est_bin). The streaming twin runs this on its
+    * sum-merged window bins; the batch audit on the one-scan build. */
+  private[graft] def histogramQuantiles(bins: DataFrame): DataFrame = {
+    val binCum = bins.withColumn("cum", sum(col("c")).over(cumWin("bin")))
+    rankTargets(bins)
+      .join(broadcast(binCum), col("cum") >= col("target"))
+      .groupBy(col("p"), col("n"), col("target"))
+      .agg(min(col("bin")).as("est_bin"))
+  }
+
+  private def cumWin(c: String) = org.apache.spark.sql.expressions.Window
+    .orderBy(col(c))
+    .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+
+  def tokenLengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val lens = Caches.track(
+      docs(s, dir).select(size(tokens(col("text"))).cast("long").as("len")))
+
+    val est = histogramQuantiles(
+      lens.withColumn("bin", least(expr(s"len div $HistW"), lit(HistB - 1L)))
+        .groupBy(col("bin")).agg(count(lit(1)).as("c")))
+
+    // the exact foil: value-level cumulative histogram, same rank rule
+    val lenCum = lens.groupBy(col("len")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(cumWin("len")))
+    val exact = rankTargets(lenCum.select(col("len"), col("c")))
+      .join(broadcast(lenCum), col("cum") >= col("target"))
+      .groupBy(col("p")).agg(min(col("len")).as("exact_len"))
+
+    est.join(exact, Seq("p"))
+      .select(col("p"), col("n").as("n_docs"), col("target").as("target_rank"),
+        (col("est_bin") * HistW).as("est_lo"), col("exact_len"),
+        (col("exact_len") - col("est_bin") * HistW).as("err"))
+      .orderBy(col("p"))
+  }
 }

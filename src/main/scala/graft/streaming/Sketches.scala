@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.tokens
 import graft.operators.{Sketches => B}
 
-/** Streaming counterpart of the q83/q84 sketches
-  * ([[graft.operators.Sketches]]) — the 14th twin: cardinality and
-  * heavy-hitter telemetry over a continuous document feed.
+/** Streaming counterpart of the q83-q86 sketch family
+  * ([[graft.operators.Sketches]]) — the 14th twin: cardinality,
+  * heavy-hitter, membership, and quantile telemetry over a continuous
+  * document feed.
   *
   * Both sketches are order-blind (register-wise max / cell-wise sum),
   * so the streaming form is a PLAIN watermarked windowed aggregation —
@@ -93,4 +94,53 @@ object Sketches {
       .join(broadcast(merged), Seq("r", "bucket"))
       .groupBy(col(keyCol))
       .agg(min(col("cell")).as("n_est"))
+
+  /** Watermarked per-(window, bin) token-length histogram counts — the
+    * q86 quantile sketch's streaming form. State per open window is
+    * ≤ 256 bin rows; windows merge downstream by the bin-wise sum
+    * law, identical to CMS cells. */
+  def windowedLengthBins(docs: DataFrame,
+                         windowLen: String = "1 hour",
+                         watermark: String = "30 minutes"): DataFrame =
+    docs.withWatermark("ingest_ts", watermark)
+      .select(col("ingest_ts"),
+        size(tokens(col("text"))).cast("long").as("len"))
+      .withColumn("bin",
+        least(expr(s"len div ${B.HistW}"), lit(B.HistB - 1L)))
+      .groupBy(window(col("ingest_ts"), windowLen), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("win_start"), col("bin"), col("c"))
+
+  /** Merge emitted window bins — the sum law. */
+  def mergeBins(bins: DataFrame): DataFrame =
+    bins.groupBy(col("bin")).agg(sum(col("c")).cast("long").as("c"))
+
+  /** Quantile estimates off merged bins: the batch estimator
+    * ([[graft.operators.Sketches.histogramQuantiles]]), shared
+    * verbatim — per-hour histograms answer per-day quantile questions
+    * without replaying the feed. */
+  def quantiles(merged: DataFrame): DataFrame =
+    B.histogramQuantiles(merged)
+      .select(col("p"), col("n"), col("target"),
+        (col("est_bin") * B.HistW).as("est_lo"))
+
+  /** Watermarked per-(window, pos) Bloom SET-BIT emission over a
+    * member-key feed (q85's blocklist side fed continuously — e.g. new
+    * benchmark suites registering eval grams). A bit emitted by many
+    * windows collapses in [[mergeBits]] (bitwise OR = plain distinct),
+    * so cumulative state is hard-bounded by m regardless of feed
+    * volume. */
+  def windowedBloomBits(members: DataFrame, keyCol: String,
+                        windowLen: String = "1 hour",
+                        watermark: String = "30 minutes"): DataFrame =
+    members.withWatermark("ingest_ts", watermark)
+      .select(col("ingest_ts"),
+        explode(B.bloomPositions(col(keyCol))).as("pos"))
+      .groupBy(window(col("ingest_ts"), windowLen), col("pos"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("win_start"), col("pos"))
+
+  /** Merge emitted window bits — the OR law. */
+  def mergeBits(bits: DataFrame): DataFrame =
+    bits.select(col("pos")).distinct()
 }

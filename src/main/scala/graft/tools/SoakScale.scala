@@ -510,6 +510,23 @@ object SoakScale {
     if (!bloomWallOk) failures += 1
     println(f"[soak] RATIO q85-wall                   ${bw1}%.2f -> ${bw10}%.2f s (${bloomWallRatio}%.2fx, gate ${gate}%.1fx) ${if (bloomWallOk) "PASS" else "FAIL"}")
 
+    // --- r10e: q86 histogram — the fourth constant-size frame: ≤256
+    // bin rows at any corpus size, ~linear wall (one projection + one
+    // partial-agg'd 256-row shuffle).
+    def histBinRows(df: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val (n, sc) = Caches.scope { Sk.lengthBins(df).count() }
+      sc.release(); (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (hb1, hbw1) = scoped("q86 bin rows @1x")(histBinRows(base))
+    val (hb10, hbw10) = scoped("q86 bin rows @10x")(histBinRows(corpus10))
+    boundGate("q86-hist-bins @1x", hb1, Sk.HistB.toLong)
+    boundGate("q86-hist-bins @10x", hb10, Sk.HistB.toLong)
+    val histWallRatio = hbw10 / math.max(hbw1, 1e-9)
+    val histWallOk = histWallRatio <= gate
+    if (!histWallOk) failures += 1
+    println(f"[soak] RATIO q86-wall                   ${hbw1}%.2f -> ${hbw10}%.2f s (${histWallRatio}%.2fx, gate ${gate}%.1fx) ${if (histWallOk) "PASS" else "FAIL"}")
+
     // --- connected-components mechanics: planted chains (q51/q70's
     // engine). Two gates beyond candidate volume:
     //  1. O(log diameter): a 1000-link path must converge in ≤ 12

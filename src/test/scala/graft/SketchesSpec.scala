@@ -251,6 +251,58 @@ class SketchesSpec extends AnyFunSuite {
       "every truly-contaminated (source, gram) must be Bloom-positive")
   }
 
+  test("histogram: the bound law — the exact quantile always lies in " +
+       "the estimated bin — on a planted 1..1000 distribution") {
+    // planted lens 1..1000: every order statistic is known in closed
+    // form, so est/exact/err are all checkable exactly
+    val lens = spark.range(1L, 1001L).select(col("id").as("len"))
+    val bins = lens
+      .withColumn("bin", least(expr(s"len div ${Sketches.HistW}"),
+        lit(Sketches.HistB - 1L)))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val est = Sketches.histogramQuantiles(bins)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    Sketches.HistPercents.foreach { p =>
+      val (n, target, estBin) = est(p.toLong)
+      assert(n == 1000 && target == (1000L * p + 99) / 100)
+      val exact = target // the rank-target'th smallest of 1..1000
+      val lo = estBin * Sketches.HistW
+      assert(lo <= exact && exact < lo + Sketches.HistW,
+        s"p$p: exact $exact outside bin [$lo, ${lo + Sketches.HistW})")
+    }
+  }
+
+  test("histogram: bins merge by sum, and q86's audit replays its own " +
+       "arithmetic with err inside the bin width") {
+    // merge law on planted halves
+    val lens = spark.range(1L, 2001L).select(col("id").as("len"))
+    def binsOf(df: DataFrame): Map[Long, Long] = df
+      .withColumn("bin", least(expr(s"len div ${Sketches.HistW}"),
+        lit(Sketches.HistB - 1L)))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = binsOf(lens)
+    val a = binsOf(lens.filter(col("len") % 2 === 0))
+    val b = binsOf(lens.filter(col("len") % 2 === 1))
+    val summed = (a.keySet ++ b.keySet).map { k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))
+    }.toMap
+    assert(summed == whole, "bin-wise sum of halves must equal whole")
+
+    // the declared query on the real corpus
+    val out = Sketches.tokenLengthQuantiles(spark, sf).collect()
+    operators.Caches.release()
+    assert(out.length == Sketches.HistPercents.length)
+    out.foreach { r =>
+      val (p, n, target, lo, exact, err) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(target == (n * p + 99) / 100, "rank target must replay")
+      assert(err == exact - lo && err >= 0 && err < Sketches.HistW,
+        s"p$p: exact $exact escaped its bin (est_lo $lo)")
+    }
+  }
+
   test("q84: 20 rows, sorted by exact count, overest consistent") {
     val out = Sketches.cmsHeavyHitters(spark, sf).collect()
     operators.Caches.release()

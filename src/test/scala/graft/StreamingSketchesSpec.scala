@@ -77,5 +77,42 @@ class StreamingSketchesSpec extends AnyFunSuite {
     assert(probed.length == 5)
     probed.foreach(r => assert(r.getLong(1) >= r.getLong(2),
       s"probe underestimated '${r.getString(0)}'"))
+
+    // ---- histogram: window bins emit, merge by sum, equal batch ----
+    val winBins = graft.streaming.Sessionize.runOnce(spark,
+      S.windowedLengthBins(stream), "sketch_bins")
+    val mergedBins = S.mergeBins(winBins)
+    // the flush row's own +9h window never closes (nothing advances
+    // the watermark past it), so the batch foil is over base alone —
+    // the same accounting as the CMS assertion above
+    val batchBins = B.lengthBins(base)
+    assert(mergedBins.exceptAll(batchBins).isEmpty &&
+           batchBins.exceptAll(mergedBins).isEmpty,
+      "sum-merged windowed bins must equal the batch histogram")
+    // quantile estimates off merged bins replay the batch rule
+    val q = S.quantiles(mergedBins).collect()
+    assert(q.length == B.HistPercents.length)
+    q.foreach(r => assert(r.getLong(3) % B.HistW == 0 && r.getLong(3) >= 0))
+
+    // ---- bloom: window bits emit, merge by OR, equal batch ----
+    val memberFeed = base.unionByName(flush)
+      .select(col("ingest_ts"), explode(graft.functions.TextFunctions
+        .shingles(graft.functions.TextFunctions.tokens(col("text")),
+          B.ShingleK)).as("gram"))
+    val dirB = java.nio.file.Files.createTempDirectory("graft_bloomtw").toString
+    memberFeed.write.mode("overwrite").parquet(s"$dirB/grams")
+    val gramStream = spark.readStream.schema(memberFeed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dirB/grams")
+    val winBits = graft.streaming.Sessionize.runOnce(spark,
+      S.windowedBloomBits(gramStream, "gram"), "sketch_bits")
+    val mergedBits = S.mergeBits(winBits)
+    // flush grams live in the never-closing +9h window — base only
+    val batchBits = B.bloomBits(base
+      .select(explode(graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokens(col("text")),
+        B.ShingleK)).as("gram")))
+    assert(mergedBits.exceptAll(batchBits).isEmpty &&
+           batchBits.exceptAll(mergedBits).isEmpty,
+      "OR-merged windowed bits must equal the batch Bloom bit set")
   }
 }
