@@ -18,7 +18,8 @@ import graft.plans._
   *
   * (or `.withExtensions(new GraftExtensions)`) and gets `float_dot`,
   * `hyperplane_sketch`, `min_rolling_hash`, `simhash64`,
-  * `simhash_md5_60` in plain SQL — no per-session `register()` calls.
+  * `simhash_md5_60`, `bloom_probe_md5` in plain SQL — no per-session
+  * `register()` calls.
   * The builders are the SAME arity-checked functions the imperative
   * `register` path uses, so the two entry points cannot drift.
   */
@@ -54,5 +55,8 @@ object GraftExtensions {
     ("simhash_md5_60",
       "simhash_md5_60(tokens) - 60-bit portable SimHash over md5-derived token hashes",
       SimHashMd5.build),
+    ("bloom_probe_md5",
+      "bloom_probe_md5(key, bitmap) - true iff all salted md5 positions of key are set in the packed m-bit bitmap",
+      BloomProbeMd5.build),
   )
 }

@@ -242,7 +242,10 @@ object Sketches {
     * the information-optimal h=⌈m/n·ln2⌉ for 3 hashes/probe on the
     * 100-TB side, where probe cost, not fp, dominates. */
   val BloomM = 1 << 20
-  val BloomH = 3
+  /** Salt count — defined AS the native expression's constant
+    * ([[graft.plans.BloomProbeMd5.H]]) so the declarative and packed
+    * probes cannot drift. */
+  val BloomH: Int = graft.plans.BloomProbeMd5.H
 
   /** The h bit positions of a key: md5 of `"r:key"` per salt r — the
     * same salt convention as [[cmsBucket]], so the oracle replays every
@@ -279,6 +282,29 @@ object Sketches {
       .agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === col("n_pos"))
       .select(gcols: _*)
+  }
+
+  /** Pack a set-bit relation into the m-bit byte array the native
+    * `bloom_probe_md5` expression reads — the DEPLOYMENT shape: the
+    * filter ships as one 128 KiB literal inside a per-row predicate
+    * (zero joins, zero shuffle, whole-stage codegen). The collect is
+    * bounded by m rows BY CONSTRUCTION — the same hard bound the 10×
+    * soak gates. */
+  def packBloomBits(bits: DataFrame, m: Int = BloomM): Array[Byte] = {
+    val arr = new Array[Byte](m / 8)
+    bits.collect().foreach { r =>
+      val p = r.getLong(0).toInt
+      arr(p >>> 3) = (arr(p >>> 3) | (1 << (p & 7))).toByte
+    }
+    arr
+  }
+
+  /** Per-row packed probe: keep the rows whose key is Bloom-positive.
+    * Spec-asserted equal, key-for-key, to [[bloomProbe]]. */
+  def bloomProbePacked(keys: DataFrame, packed: Array[Byte],
+                       keyCol: String): DataFrame = {
+    graft.plans.BloomProbeMd5.register(keys.sparkSession)
+    keys.filter(call_function("bloom_probe_md5", col(keyCol), lit(packed)))
   }
 
   /** q85 — Bloom decontamination PRE-FILTER audit: the q72 benchmark
@@ -320,8 +346,11 @@ object Sketches {
         .select(col("source"), explode(shingles(col("t"), k)).as("gram"))
         .distinct())
 
-    val bits = bloomBits(evalGrams)
-    val pos  = bloomProbe(trainGrams, bits, "gram")
+    // the declared query runs the DEPLOYMENT probe (packed bitmap,
+    // per-row predicate — spec-asserted equal to the declarative
+    // explode+join probe, which remains the mergeable streaming shape)
+    val pos = bloomProbePacked(trainGrams,
+      packBloomBits(bloomBits(evalGrams)), "gram")
     val truth = trainGrams.join(evalGrams, Seq("gram"), "left_semi")
 
     val perSrc = trainGrams.groupBy(col("source"))

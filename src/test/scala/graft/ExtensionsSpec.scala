@@ -32,10 +32,12 @@ class ExtensionsSpec extends AnyFunSuite {
           |       simhash64(array('the','quick','fox')) AS s64,
           |       simhash_md5_60(array('the','quick','fox')) AS s60,
           |       min_rolling_hash(array('a','b','c','d'), 2) AS mrh,
-          |       hyperplane_sketch(array(cast(1.0 AS float), cast(-1.0 AS float)), 8, 2, 42) AS hp
+          |       hyperplane_sketch(array(cast(1.0 AS float), cast(-1.0 AS float)), 8, 2, 42) AS hp,
+          |       bloom_probe_md5('k', cast('' AS BINARY)) AS bp0
           |""".stripMargin).head
 
       assert(row.getDouble(0) == 11.0, s"float_dot: ${row.getDouble(0)}")
+      assert(!row.getBoolean(5), "empty bitmap must reject every key")
       // the register() path on the base session must agree bit-for-bit
       graft.plans.SimHash64.register(base)
       graft.plans.SimHashMd5.register(base)

@@ -214,6 +214,28 @@ class SketchesSpec extends AnyFunSuite {
       "union of half bit sets must equal the whole filter")
   }
 
+  test("bloom: the packed per-row probe (native bloom_probe_md5) equals " +
+       "the declarative explode+join probe key-for-key, with no join " +
+       "in its plan") {
+    val members = planted(2000).select(col("token").as("gram"))
+    val probes = members.union(spark.range(3000L)
+      .select(concat(lit("probe"), col("id")).as("gram")))
+    // saturated m=4096 so both true members AND false positives flow
+    val bits = Sketches.bloomBits(members, m = 4096)
+    val declarative = Sketches.bloomProbe(probes, bits, "gram", m = 4096)
+    val packed = Sketches.bloomProbePacked(probes,
+      Sketches.packBloomBits(bits, m = 4096), "gram")
+    assert(declarative.exceptAll(packed).isEmpty &&
+           packed.exceptAll(declarative).isEmpty,
+      "packed and declarative probes must keep identical key sets")
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the packed probe must be join-free:\n${plan.take(1200)}")
+    // `*(n)` is the compact WholeStageCodegen stage marker
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"the packed probe must stay inside whole-stage codegen:\n${plan.take(600)}")
+  }
+
   test("q85: audit arithmetic is internally consistent and the " +
        "one-sided law holds per GRAM, not just per aggregate") {
     val out = Sketches.bloomDecontamination(spark, sf).collect()
