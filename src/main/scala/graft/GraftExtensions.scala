@@ -18,8 +18,8 @@ import graft.plans._
   *
   * (or `.withExtensions(new GraftExtensions)`) and gets `float_dot`,
   * `hyperplane_sketch`, `min_rolling_hash`, `simhash64`,
-  * `simhash_md5_60`, `bloom_probe_md5` in plain SQL — no per-session
-  * `register()` calls.
+  * `simhash_md5_60`, `bloom_probe_md5`, `shingle_hashes_md5` in plain
+  * SQL — no per-session `register()` calls.
   * The builders are the SAME arity-checked functions the imperative
   * `register` path uses, so the two entry points cannot drift.
   */
@@ -58,5 +58,11 @@ object GraftExtensions {
     ("bloom_probe_md5",
       "bloom_probe_md5(key, bitmap) - true iff all salted md5 positions of key are set in the packed m-bit bitmap",
       BloomProbeMd5.build),
+    ("shingle_hashes_md5",
+      "shingle_hashes_md5(tokens, k) - array of 60-bit md5 hashes of every k-token shingle, one native pass",
+      ShingleHashesMd5.build),
+    ("shingle_windows",
+      "shingle_windows(tokens, k) - array of space-joined k-token windows, one native pass",
+      ShingleWindows.build),
   )
 }

@@ -69,26 +69,46 @@ object Sketches {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** 60-bit hashes of all k-token shingles of a token-array column,
-    * hashed IN PLACE (the shingle string never leaves the expression) —
-    * q30's `md5(concat_ws(" ", slice(toks, i, k)))` convention through
-    * [[md5Long]]. The corpus guarantees ≥ k tokens per document (the
-    * q30 fingerprint relies on the same invariant). */
-  private[graft] def shingleHashes(toks: Column, k: Int = ShingleK): Column =
+  /** All k-token shingle WINDOWS of a token-array column (occurrence-
+    * preserving — no dedup, unlike TextFunctions.shingles). The md5
+    * deliberately does NOT happen inside this lambda: higher-order-
+    * function bodies evaluate INTERPRETED (no codegen), and an
+    * interpreted md5+conv per shingle was measured at ~80% of q83's
+    * wall (ProfileQ83). Callers explode first and hash at row level,
+    * where [[md5Long]] is whole-stage-codegen'd. */
+  private[graft] def shingleWindows(toks: Column, k: Int = ShingleK): Column =
     transform(sequence(lit(1), size(toks) - (k - 1)),
-      i => md5Long(concat_ws(" ", slice(toks, i, lit(k)))))
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+
+  /** One (kept-columns..., hv) row per shingle occurrence of a frame
+    * with a `text` column — q30's `md5(concat_ws(" ", slice(toks, i,
+    * k)))` convention, computed by the NATIVE one-pass
+    * `shingle_hashes_md5` expression (spec-asserted equal to the
+    * declarative [[shingleWindows]]+[[md5Long]] form, which the oracle
+    * replays; ProfileQ83 measured the interpreted form at ~60-80% of
+    * q83's wall). The corpus guarantees ≥ k tokens per document.
+    * Shared by q83, the soak gate, and the streaming twin. */
+  private[graft] def shingleHashRows(df: DataFrame, keep: Seq[String],
+                                     k: Int = ShingleK): DataFrame = {
+    graft.plans.ShingleHashesMd5.register(df.sparkSession)
+    df.select(keep.map(col) :+
+      explode(call_function("shingle_hashes_md5",
+        tokens(col("text")), lit(k))).as("hv"): _*)
+  }
 
   /** Per-row HLL rank from the 60-bit hash column `hv`: register index
     * is the LOW 8 bits, rho = (leading zeros of the remaining 52-bit
-    * word) + 1, computed with INTEGER comparisons only — a
-    * `bit_length`-free formulation both engines evaluate identically:
-    * bitlen(w) = |{ i ∈ [0,51] : w ≥ 2^i }|, rho = 53 − bitlen(w).
-    * (`floor(log2(w))` is deliberately NOT used: libm log2 is not
-    * guaranteed correctly rounded, and a one-ulp slip at a
-    * power-of-two boundary would flip a register.) */
+    * word) + 1 = 53 − bitlen(w), computed with INTEGER string ops only:
+    * `length(bin(w))` is exactly floor(log2(w))+1 for w ≥ 1 — no libm
+    * log2 (not correctly-rounded-guaranteed; a one-ulp slip at a
+    * power-of-two boundary would flip a register), and no higher-order
+    * function (HOF lambdas evaluate interpreted; the original
+    * 52-comparison `filter` formulation cost ~0.5 s/rep in ProfileQ83).
+    * The DuckDB oracle keeps its own pure-integer-comparison
+    * formulation; both produce the identical integer. */
   private[graft] val rhoExpr: Column = expr(
-    s"cast($HllShift - size(filter(sequence(0, 51), " +
-      "i -> (hv div 256) >= shiftleft(cast(1 as bigint), cast(i as int)))) as int)")
+    s"cast(case when (hv div 256) = 0 then $HllShift " +
+      s"else $HllShift - length(bin(hv div 256)) end as int)")
 
   /** q83 — approximate-distinct audit: per-source distinct-shingle
     * cardinality, HLL estimate next to the exact answer, plus an
@@ -107,9 +127,7 @@ object Sketches {
   def shingleCardinalityAudit(s: SparkSession, dir: String): DataFrame = {
     // hash-space vocab; feeds registers + exact foil + the _ALL_ rollup
     val g = Caches.track(
-      docs(s, dir)
-        .select(col("source"),
-                explode(shingleHashes(tokens(col("text")))).as("hv"))
+      shingleHashRows(docs(s, dir), Seq("source"))
         .groupBy(col("source"), col("hv"))
         .agg(count(lit(1)).as("n_occ")))
 
@@ -204,6 +222,7 @@ object Sketches {
     * per task) and probes it with a candidate stream. Here the exact
     * table doubles as candidate source and audit foil. */
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    bigramsReg(s)
     val cnt = Caches.track(
       docs(s, dir)
         .select(explode(bigrams(tokens(col("text")))).as("bigram"))
@@ -223,12 +242,19 @@ object Sketches {
       .orderBy(col("n_exact").desc, col("bigram"))
   }
 
-  /** All adjacent token pairs of a token-array column, space-joined
-    * (`slice` window of 2 — the k=2 sibling of [[shingleHashes]],
-    * kept as strings because CMS salts re-hash them per row). */
+  /** All adjacent token pairs of a token-array column, space-joined —
+    * kept as STRINGS because the CMS salts re-hash them per row. The
+    * k=2 case of the native `shingle_windows` expression (the
+    * declarative transform+slice lambda evaluates interpreted — same
+    * measured story as [[shingleHashRows]]). Callers must [[bigramsReg]]
+    * the session first. */
   private[graft] def bigrams(toks: Column): Column =
-    transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    call_function("shingle_windows", toks, lit(2))
+
+  /** Register the native window builder on the session that will
+    * evaluate [[bigrams]]. */
+  private[graft] def bigramsReg(s: SparkSession): Unit =
+    graft.plans.ShingleWindows.register(s)
 
   // ---------------------------------------------------------------- Bloom
 
@@ -331,7 +357,12 @@ object Sketches {
     * expensive side exists. */
   def bloomDecontamination(s: SparkSession, dir: String,
                            k: Int = ShingleK): DataFrame = {
-    import graft.functions.TextFunctions.shingles
+    // per-doc distinct grams via the native window builder (value-equal
+    // to TextFunctions.shingles — the native-equality spec — minus the
+    // interpreted per-window lambda cost)
+    graft.plans.ShingleWindows.register(s)
+    def grams = array_distinct(
+      call_function("shingle_windows", col("t"), lit(k)))
     val g = Caches.track(
       TextOps.docsHeavy(s, dir)
         .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
@@ -340,10 +371,10 @@ object Sketches {
 
     val evalGrams = Caches.track(
       g.filter(col("_eval"))
-        .select(explode(shingles(col("t"), k)).as("gram")).distinct())
+        .select(explode(grams).as("gram")).distinct())
     val trainGrams = Caches.track(
       g.filter(!col("_eval"))
-        .select(col("source"), explode(shingles(col("t"), k)).as("gram"))
+        .select(col("source"), explode(grams).as("gram"))
         .distinct())
 
     // the declared query runs the DEPLOYMENT probe (packed bitmap,

@@ -24,7 +24,7 @@ import graft.operators.{Sketches => B}
   * estimator ([[graft.operators.Sketches.estimateExpr]]) runs on the
   * merged frame. The chunked-replay duality spec proves the merged
   * registers/cells equal the batch build over the same rows, sharing
-  * every hash/rank definition verbatim ([[B.shingleHashes]],
+  * every hash/rank definition verbatim ([[B.shingleHashRows]],
   * [[B.rhoExpr]], [[B.cmsBucket]], [[B.bigrams]]).
   */
 object Sketches {
@@ -35,9 +35,8 @@ object Sketches {
   def windowedShingleRegisters(docs: DataFrame,
                                windowLen: String = "1 hour",
                                watermark: String = "30 minutes"): DataFrame =
-    docs.withWatermark("ingest_ts", watermark)
-      .select(col("source"), col("ingest_ts"),
-        explode(B.shingleHashes(tokens(col("text")))).as("hv"))
+    B.shingleHashRows(docs.withWatermark("ingest_ts", watermark),
+        Seq("source", "ingest_ts"))
       .withColumn("bucket", col("hv") % B.HllM)
       .withColumn("rho", B.rhoExpr)
       .groupBy(window(col("ingest_ts"), windowLen), col("source"),
@@ -65,7 +64,8 @@ object Sketches {
     * proves the identity). */
   def windowedCmsCells(docs: DataFrame,
                        windowLen: String = "1 hour",
-                       watermark: String = "30 minutes"): DataFrame =
+                       watermark: String = "30 minutes"): DataFrame = {
+    B.bigramsReg(docs.sparkSession)
     docs.withWatermark("ingest_ts", watermark)
       .select(col("ingest_ts"),
         explode(B.bigrams(tokens(col("text")))).as("bigram"))
@@ -76,6 +76,7 @@ object Sketches {
       .agg(count(lit(1)).as("cell"))
       .select(col("window.start").as("win_start"), col("r"),
         col("bucket"), col("cell"))
+  }
 
   /** Merge emitted window cells into a cumulative sketch — the sum
     * law. */

@@ -435,7 +435,7 @@ object SoakScale {
     def hllRegRows(df: DataFrame): (Long, Double) = {
       val t0 = System.nanoTime()
       val (n, sc) = Caches.scope {
-        df.select(col("source"), explode(Sk.shingleHashes(tokens(col("text")))).as("hv"))
+        Sk.shingleHashRows(df, Seq("source"))
           .withColumn("bucket", col("hv") % Sk.HllM)
           .withColumn("rho", Sk.rhoExpr)
           .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("mj"))
@@ -444,6 +444,7 @@ object SoakScale {
       sc.release(); (n, (System.nanoTime() - t0) / 1e9)
     }
     def cmsCellRows(df: DataFrame): (Long, Double) = {
+      Sk.bigramsReg(df.sparkSession)
       val t0 = System.nanoTime()
       val (n, sc) = Caches.scope {
         Sk.cmsCells(

@@ -33,11 +33,17 @@ class ExtensionsSpec extends AnyFunSuite {
           |       simhash_md5_60(array('the','quick','fox')) AS s60,
           |       min_rolling_hash(array('a','b','c','d'), 2) AS mrh,
           |       hyperplane_sketch(array(cast(1.0 AS float), cast(-1.0 AS float)), 8, 2, 42) AS hp,
-          |       bloom_probe_md5('k', cast('' AS BINARY)) AS bp0
+          |       bloom_probe_md5('k', cast('' AS BINARY)) AS bp0,
+          |       shingle_hashes_md5(array('a','b','c'), 2) AS shs,
+          |       shingle_windows(array('a','b','c'), 2) AS shw
           |""".stripMargin).head
 
       assert(row.getDouble(0) == 11.0, s"float_dot: ${row.getDouble(0)}")
       assert(!row.getBoolean(5), "empty bitmap must reject every key")
+      assert(row.getSeq[Long](6).length == 2,
+        "shingle_hashes_md5 must emit one hash per 2-token window")
+      assert(row.getSeq[String](7) == Seq("a b", "b c"),
+        "shingle_windows must emit the space-joined windows")
       // the register() path on the base session must agree bit-for-bit
       graft.plans.SimHash64.register(base)
       graft.plans.SimHashMd5.register(base)

@@ -65,6 +65,36 @@ class SketchesSpec extends AnyFunSuite {
       edge(256L * (1L << 51)) == 1 && edge(256L * ((1L << 51) - 1)) == 2)
   }
 
+  test("native shingle_hashes_md5 equals the declarative " +
+       "transform+md5Long form element-for-element on the real corpus") {
+    graft.plans.ShingleHashesMd5.register(spark)
+    Sketches.bigramsReg(spark)
+    import graft.functions.TextFunctions.{md5Long, tokens}
+    val toks = tokens(col("text"))
+    val both = graft.sources.Tables(spark, sf, "documents")
+      .select(
+        call_function("shingle_hashes_md5", toks,
+          lit(Sketches.ShingleK)).as("native"),
+        transform(Sketches.shingleWindows(toks), w => md5Long(w))
+          .as("declarative"),
+        Sketches.bigrams(toks).as("nativeW"),
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))).as("declW"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        "native and declarative shingle hashes diverge")
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        "native and declarative shingle windows diverge")
+    }
+    // short-array edge: fewer tokens than k ⇒ empty array, no error
+    val short = Seq(Tuple1(Seq("a", "b"))).toDF("t")
+      .select(call_function("shingle_hashes_md5", col("t"), lit(8)))
+      .head.getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("hll registers merge: regs(A ∪ B) = register-wise max of halves") {
     val a = planted(3000).filter(col("hv") % 2 === 0)
     val b = planted(3000).filter(col("hv") % 2 === 1)
@@ -117,6 +147,7 @@ class SketchesSpec extends AnyFunSuite {
 
   test("cms: estimate >= exact for EVERY bigram, and equality holds " +
        "exactly when the key collides with mass in all 4 rows") {
+    Sketches.bigramsReg(spark)
     val cnt = graft.sources.Tables(spark, sf, "documents")
       .select(explode(Sketches.bigrams(
         graft.functions.TextFunctions.tokens(col("text")))).as("bigram"))

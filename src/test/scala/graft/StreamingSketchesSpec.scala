@@ -35,9 +35,7 @@ class StreamingSketchesSpec extends AnyFunSuite {
       S.windowedShingleRegisters(stream), "sketch_regs")
       .filter(col("source") =!= "_flush")
     val merged = S.mergeRegisters(winRegs)
-    val batchRegs = base
-      .select(col("source"), explode(B.shingleHashes(
-        graft.functions.TextFunctions.tokens(col("text")))).as("hv"))
+    val batchRegs = B.shingleHashRows(base, Seq("source"))
       .withColumn("bucket", col("hv") % B.HllM)
       .withColumn("rho", B.rhoExpr)
       .groupBy("source", "bucket").agg(max("rho").as("mj"))
@@ -58,6 +56,7 @@ class StreamingSketchesSpec extends AnyFunSuite {
     // the flush doc's own window (+9h) never closes, so only the BASE
     // documents' windows emit — the batch foil is over base alone
     val mergedCells = S.mergeCells(winCells)
+    B.bigramsReg(spark)
     val batchCells = B.cmsCells(
       base
         .select(explode(B.bigrams(graft.functions.TextFunctions
