@@ -106,6 +106,8 @@ object SparkEntry {
     "q84_heavy_hitters"     -> Sketches.cmsHeavyHitters _,
     "q85_bloom_prefilter"   -> ((s: SparkSession, d: String) => Sketches.bloomDecontamination(s, d)),
     "q86_length_quantiles"  -> Sketches.tokenLengthQuantiles _,
+    "q87_line_dedup"        -> ((s: SparkSession, d: String) => TextOps.lineDedup(s, d)),
+    "q88_contaminated_spans" -> ((s: SparkSession, d: String) => Sampling.contaminatedSpans(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -596,7 +598,9 @@ object SparkEntry {
     "q15_anti_join" -> """
       SELECT c_custkey, c_name, c_mktsegment
       FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
       ORDER BY c_custkey""",
 
     "q16_semi_join" -> """
@@ -1861,6 +1865,70 @@ object SparkEntry {
              CAST(est.est_bin * 8 AS BIGINT) AS est_lo, ex.exact_len,
              CAST(ex.exact_len - est.est_bin * 8 AS BIGINT) AS err
       FROM est JOIN ex USING (p) ORDER BY est.p""",
+
+    // q87: the oracle replays the full CCNet-style rule — the same
+    // 10-token segmentation (all-integer line count), the same 60-bit
+    // line hash, the same >1-distinct-docs boilerplate cut — and
+    // re-hashes the RETAINED text per doc, so a single shifted or
+    // mis-dropped line anywhere in the corpus breaks the hash match.
+    "q87_line_dedup" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      ln AS (SELECT doc_id, i AS line_no,
+                    array_to_string(tk[i*10+1:i*10+10], ' ') AS line
+             FROM t, unnest(generate_series(0, (len(tk) + 9) // 10 - 1)) AS u(i)),
+      f AS (SELECT CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS lh,
+                   count(DISTINCT doc_id) AS nd
+            FROM ln GROUP BY 1),
+      b AS (SELECT lh FROM f WHERE nd > 1),
+      k AS (SELECT l.doc_id, l.line_no, l.line
+            FROM ln l LEFT JOIN b
+              ON CAST('0x' || substr(md5(l.line), 1, 15) AS BIGINT) = b.lh
+            WHERE b.lh IS NULL),
+      ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                    CAST(sum(len(string_split(line, ' '))) AS BIGINT) AS n_kept_tokens,
+                    md5(string_agg(line, ' ' ORDER BY line_no)) AS retained_hash
+             FROM k GROUP BY doc_id),
+      la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM ln GROUP BY doc_id)
+      SELECT la.doc_id, la.n_lines,
+             CAST(la.n_lines - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(ka.n_kept_tokens, 0) AS n_kept_tokens,
+             coalesce(ka.retained_hash, md5('')) AS retained_hash
+      FROM la LEFT JOIN ka ON la.doc_id = ka.doc_id
+      ORDER BY la.doc_id""",
+
+    // q88: q72's gram chain with POSITIONS kept on the eval side, then
+    // the q42 sessionize pattern over gram offsets (new span when the
+    // start gap exceeds k, i.e. the covered windows no longer touch).
+    "q88_contaminated_spans" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                 WHERE len(string_split(text, ' ')) >= 8),
+      d AS (SELECT doc_id, tk,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0 AS is_eval
+            FROM t),
+      ep AS (SELECT doc_id AS eval_id, i AS pos,
+                    array_to_string(tk[i:i+7], ' ') AS gram
+             FROM d, unnest(generate_series(1, len(tk) - 7)) AS u(i)
+             WHERE is_eval),
+      tg AS (SELECT doc_id AS train_id,
+                    unnest(list_distinct(list_transform(
+                      generate_series(1, len(tk) - 7),
+                      i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+             FROM d WHERE NOT is_eval),
+      hp AS (SELECT DISTINCT ep.eval_id, tg.train_id, CAST(ep.pos AS BIGINT) AS pos
+             FROM ep JOIN tg ON ep.gram = tg.gram),
+      fl AS (SELECT *, CASE WHEN lag(pos) OVER w IS NULL
+                              OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS nw
+             FROM hp WINDOW w AS (PARTITION BY eval_id, train_id ORDER BY pos)),
+      nb AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY eval_id, train_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_no
+             FROM fl)
+      SELECT eval_id, train_id, span_no,
+             min(pos) AS span_start,
+             max(pos) + 7 AS span_end,
+             max(pos) + 7 - min(pos) + 1 AS span_tokens,
+             count(*) AS n_hit_grams
+      FROM nb GROUP BY 1, 2, 3
+      ORDER BY eval_id, train_id, span_no""",
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,

@@ -125,6 +125,16 @@ object IsolationForest {
       .select(col("_a.t").as("_t"), col("_a.rk").as("_rk"), col("_x"))
       .limit(cap)
       .collect()
+    // a full-cap collect means the limit actually truncated (or tied the
+    // boundary): the dropped arms are arbitrary, so per-tree sample
+    // uniformity is degraded — say so instead of silently proceeding
+    if (kept.length == cap)
+      System.err.println(
+        s"[isolation-forest] collect hit the $cap-row cap (4x the " +
+          "expected arm volume): duplicate-heavy data hash-tied rows " +
+          "through the sampling threshold; excess arms were dropped and " +
+          "per-tree samples may be biased — consider a larger cap or " +
+          "pre-deduplicating the feature frame")
     val byTree = kept.groupBy(_.getInt(0))
     val rnd = new java.util.SplittableRandom(seed)
     val trees = (0 until nTrees).map { t =>

@@ -159,6 +159,81 @@ object Sampling {
       .orderBy(col("eval_id"))
   }
 
+  /** q88 — CONTAMINATED-SPAN report: q72 flags that an eval document
+    * overlaps a train document; real decontamination has to CUT the
+    * leaked text, which needs the span, not the flag. For every
+    * contaminated (eval, train) pair, the overlapping k-gram hit
+    * positions on the EVAL side are merged into maximal token spans
+    * (two hits extend one span iff their start gap ≤ k — i.e. their
+    * covered windows overlap or touch), the q42 sessionize pattern
+    * applied to gram offsets instead of timestamps. Output: one row per
+    * (eval_id, train_id, span) with 1-based token bounds — exactly what
+    * a surgical decontamination pass feeds to a slice-and-rejoin
+    * rewrite. Shares q72's split rule and gram CTE chain, so a pair
+    * flagged there always resolves to ≥1 span here.
+    *
+    * The driver corpus's contaminated pairs are whole-doc copies, so
+    * every oracle row is a single full-coverage span; the multi-span
+    * merge (a train doc quoting two separate eval passages) is proven
+    * by SamplingSpec's planted-quote fixture through this same code. */
+  def contaminatedSpans(s: SparkSession, dir: String, k: Int = 8,
+                        evalMod: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    // cached: one scan+tokenize feeds both split sides (q72's shape)
+    val g = Caches.track(TextOps.docsHeavy(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .withColumn("_eval", hashBucket(col("doc_id"), evalMod) === 0))
+    contaminatedSpansFor(
+      g.filter(!col("_eval")).select(col("doc_id"), col("t")),
+      g.filter(col("_eval")).select(col("doc_id"), col("t")), k)
+  }
+
+  /** Core of q88 over pre-tokenized (doc_id, t) frames.
+    *
+    * Scale shape: the eval side is tiny by construction, so its
+    * POSITIONED gram table (every occurrence, not distinct — each
+    * anchors a span) is BROADCAST; the train side streams its distinct
+    * grams map-side through one join, exactly q72's asymmetry. Only
+    * matched (eval, train, pos) hits shuffle into the per-pair window —
+    * contamination-volume-proportional, never corpus-proportional. The
+    * window partitions by (eval_id, train_id): bounded by one eval
+    * document's gram count, so no skewed-giant-partition risk. */
+  def contaminatedSpansFor(trainToks: DataFrame, evalToks: DataFrame,
+                           k: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    graft.plans.ShingleWindows.register(evalToks.sparkSession)
+    // 1-based gram start positions (matching the oracle's
+    // generate_series); shingle_windows is the non-distinct native
+    // window builder — a gram repeated inside the eval doc anchors a
+    // hit at EVERY occurrence
+    val ep = evalToks
+      .select(col("doc_id").as("eval_id"),
+        posexplode(call_function("shingle_windows", col("t"), lit(k)))
+          .as(Seq("_p0", "gram")))
+      .select(col("eval_id"), (col("_p0") + 1).cast("long").as("pos"),
+        col("gram"))
+    val hits = trainToks
+      .select(col("doc_id").as("train_id"),
+        explode(shingles(col("t"), k)).as("gram"))
+      .join(broadcast(ep), Seq("gram"))
+      .select(col("eval_id"), col("train_id"), col("pos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("eval_id"), col("train_id")).orderBy(col("pos"))
+    hits
+      .withColumn("_new", when(lag(col("pos"), 1).over(w).isNull ||
+        col("pos") - lag(col("pos"), 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("span_no", sum(col("_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("eval_id"), col("train_id"), col("span_no"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        (max(col("pos")) + (k - 1) - min(col("pos")) + 1).as("span_tokens"),
+        count(lit(1)).as("n_hit_grams"))
+      .orderBy(col("eval_id"), col("train_id"), col("span_no"))
+  }
+
   /** Deterministic subsampling: keep a fraction of rows by hash bucket
     * (keep = bucket < fraction·buckets). Stable under corpus growth —
     * a kept row stays kept. */

@@ -295,7 +295,12 @@ object Sketches {
     * relation: positive iff ALL the key's positions are set. The probe
     * side explodes its DISTINCT positions (two salts landing on one
     * bit must count once), inner-joins the BROADCAST bit set, and
-    * keeps keys whose matched count equals their own position count. */
+    * keeps keys whose matched DISTINCT-position count equals their own
+    * position count. The hit side counts DISTINCT positions (not rows)
+    * so a keys frame carrying duplicate rows can't double-count matches
+    * against a single n_pos and reject a genuinely-member key — the
+    * one-sided no-false-negative law holds for ANY input multiplicity.
+    * Output rows are the groupBy's distinct key tuples. */
   private[graft] def bloomProbe(keys: DataFrame, bits: DataFrame,
                                 keyCol: String, m: Int = BloomM): DataFrame = {
     val gcols = keys.columns.map(col).toSeq
@@ -305,7 +310,7 @@ object Sketches {
         explode(col("_ps")).as("pos")): _*)
       .join(broadcast(bits), Seq("pos"))
       .groupBy((gcols :+ col("n_pos")): _*)
-      .agg(count(lit(1)).as("n_hit"))
+      .agg(countDistinct(col("pos")).as("n_hit"))
       .filter(col("n_hit") === col("n_pos"))
       .select(gcols: _*)
   }
@@ -348,7 +353,7 @@ object Sketches {
     *
     * Scale shape (the reason this exists next to q72): q72 broadcasts
     * the full eval GRAM STRINGS — fine for a benchmark suite, linear
-    * in eval bytes. The Bloom bitmap is CONSTANT-size (m bits, 4 KiB
+    * in eval bytes. The Bloom bitmap is CONSTANT-size (m bits, 128 KiB
     * packed) no matter how many benchmarks pile into the blocklist,
     * and the train side still streams map-side with no shuffle: each
     * gram hashes h times against the broadcast bit set, and only the

@@ -175,6 +175,90 @@ object TextOps {
       .withColumn("bucket", substring(col("fingerprint"), 1, 1))
       .orderBy(col("doc_id"))
 
+  // q87 — LINE-LEVEL boilerplate removal (CCNet/RefinedWeb-style): hash
+  // each line, count how many distinct documents it appears in, strip
+  // lines shared by more than `maxDocs` docs (nav bars, cookie banners,
+  // license footers — the template text document-level dedup can't see),
+  // and report per-doc retention stats plus the md5 of the RETAINED
+  // text, so the oracle certifies the actual surviving bytes.
+  def lineDedup(s: SparkSession, dir: String,
+                segLen: Int = 10, maxDocs: Int = 1): DataFrame =
+    lineDedupFor(docsHeavy(s, dir), segLen, maxDocs)
+
+  /** Lines of a document as non-overlapping `segLen`-token segments
+    * with a 0-based line number. The driver corpus is single-line
+    * (no '\n' anywhere in `documents.text`), so the declared query uses
+    * this fixed segmentation as its line proxy; a real crawl corpus
+    * would feed [[lineDedupLines]] `split(text, '\n')` lines through
+    * the same (doc_id, line_no, line) contract. Segment count and bounds
+    * are all-integer (`(n + segLen − 1) div segLen`), so DuckDB replays
+    * the segmentation exactly. Pure per-row explode — no shuffle. */
+  private[graft] def docLines(documents: DataFrame, segLen: Int): DataFrame = {
+    require(segLen > 0, s"need segLen > 0, got $segLen")
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .withColumn("_n", size(col("_t")).cast("long"))
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(0L),
+          expr(s"(`_n` + ${segLen - 1}) div $segLen") - 1)).as("line_no"))
+      .select(col("doc_id"), col("line_no"),
+        concat_ws(" ", slice(col("_t"),
+          (col("line_no") * segLen + 1).cast("int"), lit(segLen))).as("line"))
+  }
+
+  /** Core of q87 over any (doc_id, text) frame.
+    *
+    * Two corpus passes by design (q59's trade, not an accident): pass 1
+    * aggregates the boilerplate line-hash table; pass 2 re-derives the
+    * lines and filters against it. Caching the exploded line stream
+    * instead would materialize ~N_token rows to save a map-side
+    * re-scan — the wrong trade at 100 TB.
+    *
+    * Scale shape: the frequency pass shuffles (line_hash, doc_id) pairs
+    * — within-partition duplicates collapse in the partial aggregate,
+    * so the exchange is bounded by distinct (line, doc) pairs, never
+    * raw token volume (the 10× soak gates this ratio). Line identity
+    * is the 60-bit [[md5Long]] — an 8-byte shuffle/join key instead of
+    * the line bytes. The boilerplate table (lines in > maxDocs docs) is
+    * a small fraction of distinct lines, so the pass-2 probe join
+    * broadcasts it in practice; the plan degrades to a hash shuffle on
+    * the 8-byte key when a pathological corpus makes it large. The
+    * retained-text hash is assembled in ONE aggregation via a sorted
+    * collect of (line_no, line) structs — bounded by a single document's
+    * lines, the same per-group bound every per-doc aggregate carries. */
+  def lineDedupFor(documents: DataFrame, segLen: Int = 10,
+                   maxDocs: Int = 1): DataFrame =
+    lineDedupLines(docLines(documents, segLen), maxDocs)
+
+  /** [[lineDedupFor]] over a caller-supplied (doc_id, line_no, line)
+    * frame — the entry a newline-structured corpus calls with its
+    * actual `split(text, '\n')` lines. `lines` must be re-derivable
+    * (a projection, not a consumed iterator): it is scanned twice, once
+    * per pass. */
+  def lineDedupLines(lines: DataFrame, maxDocs: Int = 1): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val boiler = lines
+      .select(md5Long(col("line")).as("_lh"), col("doc_id"))
+      .distinct()
+      .groupBy(col("_lh")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > maxDocs)
+      .select(col("_lh"), lit(1).as("_boiler"))
+    lines
+      .withColumn("_lh", md5Long(col("line")))
+      .join(boiler, Seq("_lh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_boiler").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("_boiler").isNull,
+          size(org.apache.spark.sql.functions.split(col("line"), " "))
+            .cast("long")).otherwise(0L)).as("n_kept_tokens"),
+        md5(concat_ws(" ", transform(
+          sort_array(collect_list(when(col("_boiler").isNull,
+            struct(col("line_no"), col("line"))))),
+          x => x.getField("line")))).as("retained_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   // q82 — vocabulary build + OOV audit: the tokenizer-prep op a
   // training pipeline runs before freezing a vocab.
   def vocabOov(s: SparkSession, dir: String, vocabSize: Int = 512): DataFrame =

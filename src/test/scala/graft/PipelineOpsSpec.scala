@@ -919,4 +919,107 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Set("near", "near_embedding", "near_image", "near_audio",
       "near_video").subsetOf(statuses), s"got $statuses")
   }
+
+  test("line dedup: planted boilerplate stripped, unique lines survive byte-exact (q87)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // newline-structured corpus through the generic lines entry — the
+    // shape a real crawl feeds (doc 1-3 share a cookie-banner line and
+    // a footer line; each also has unique content; doc 4 is ALL
+    // boilerplate; doc 5 shares nothing)
+    val banner = "we use cookies to improve your experience"
+    val footer = "copyright example corp all rights reserved"
+    val docs = Seq(
+      (1L, Seq(banner, "unique alpha content one", footer)),
+      (2L, Seq(banner, "unique beta content two", footer)),
+      (3L, Seq("unique gamma content three", banner, footer)),
+      (4L, Seq(banner, footer)),
+      (5L, Seq("entirely original document line", "another original line")))
+    val lines = docs.flatMap { case (id, ls) =>
+      ls.zipWithIndex.map { case (l, i) => (id, i.toLong, l) }
+    }.toDF("doc_id", "line_no", "line")
+    val r = operators.TextOps.lineDedupLines(lines, maxDocs = 1)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // per doc: (n_lines, n_removed, n_kept_tokens, md5 of kept text in
+    // line order) — the banner/footer go, the unique lines survive
+    // byte-exact, and the all-boilerplate doc reports md5("")
+    assert(r(1L) == ((3L, 2L, 4L, md5hex("unique alpha content one"))))
+    assert(r(2L) == ((3L, 2L, 4L, md5hex("unique beta content two"))))
+    assert(r(3L) == ((3L, 2L, 4L, md5hex("unique gamma content three"))))
+    assert(r(4L) == ((2L, 2L, 0L, md5hex(""))))
+    assert(r(5L) == ((2L, 0L, 7L,
+      md5hex("entirely original document line another original line"))))
+    // threshold is > maxDocs, not >=: the banner/footer live in exactly
+    // 4 docs, so maxDocs = 4 keeps them (strict inequality) while
+    // maxDocs = 3 (the run above would too) strips them
+    val loose = operators.TextOps.lineDedupLines(lines, maxDocs = 4)
+      .filter(col("n_removed") > 0).count()
+    assert(loose == 0L, "no line appears in >4 docs, nothing may be removed")
+    // WITHIN-doc repeats are not boilerplate: a line twice in ONE doc
+    // counts one distinct doc and survives both times
+    val rep = Seq((7L, 0L, "la la la"), (7L, 1L, "la la la"))
+      .toDF("doc_id", "line_no", "line")
+    val rr = operators.TextOps.lineDedupLines(rep).head
+    assert((rr.getLong(1), rr.getLong(2)) == ((2L, 0L)),
+      "within-doc repetition must not trigger cross-doc removal")
+    // the declared query's fixed segmentation: line count is the exact
+    // integer ceil(n_tokens / 10) for every doc
+    val seg = operators.TextOps.docLines(
+      graft.sources.Tables(spark, sf, "documents"), 10)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .join(graft.sources.Tables(spark, sf, "documents")
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("nt")),
+        Seq("doc_id"))
+      .filter(col("n") =!= expr("(nt + 9) div 10")).count()
+    assert(seg == 0L, "segment count must be ceil(n_tokens/10) exactly")
+  }
+
+  test("contaminated spans: two separate quotes merge into two maximal spans, not one (q88)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val spark2 = spark
+    import spark2.implicits._
+    def toks(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select(col("doc_id"), tokens(col("text")).as("t"))
+    // eval doc 1: 30 tokens w1..w30. Train doc 10 quotes tokens 1-10 AND
+    // tokens 21-30 (two disjoint passages); train doc 11 quotes 1-12
+    // (one longer passage); train doc 12 shares nothing.
+    val evalWords = (1 to 30).map(i => s"w$i")
+    val evalSet = toks(Seq((1L, evalWords.mkString(" "))))
+    val train = toks(Seq(
+      (10L, ("qa qb qc " + evalWords.take(10).mkString(" ") + " qx qy qz " +
+        evalWords.drop(20).mkString(" ") + " qfin")),
+      (11L, (evalWords.take(12).mkString(" ") + " tail filler words here")),
+      (12L, "nothing shared with the benchmark at all in this document stream")))
+    val r = operators.Sampling.contaminatedSpansFor(train, evalSet, k = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
+        ((x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    // doc 10: tokens 1-10 contain 8-gram starts 1..3 → span [1, 10];
+    // tokens 21-30 give starts 21..23 → span [21, 30]. The 17-token gap
+    // (> k) must SPLIT the spans; each covers 10 tokens with 3 hits.
+    assert(r((1L, 10L, 1L)) == ((1L, 10L, 10L, 3L)), s"got $r")
+    assert(r((1L, 10L, 2L)) == ((21L, 30L, 10L, 3L)), s"got $r")
+    // doc 11: starts 1..5 → ONE maximal span [1, 12]
+    assert(r((1L, 11L, 1L)) == ((1L, 12L, 12L, 5L)), s"got $r")
+    // doc 12: no shared grams → no rows at all
+    assert(!r.keySet.exists(_._2 == 12L), "clean train doc must emit no span")
+    assert(r.size == 3, s"exactly three spans expected: $r")
+    // adjacent-window law on the driver data: consecutive hit positions
+    // within one span are ≤ k apart by construction — every q72-flagged
+    // pair resolves to ≥1 span here (same chain, same split)
+    val pairs72 = operators.Sampling.benchmarkDecontamination(spark, sf)
+      .filter(col("n_contaminated_train_docs") > 0).count()
+    val pairs88 = operators.Sampling.contaminatedSpans(spark, sf)
+      .select("eval_id").distinct().count()
+    operators.Caches.release()
+    spark.catalog.clearCache()
+    assert(pairs88 == pairs72,
+      s"span report must cover exactly the q72-contaminated eval docs ($pairs72 vs $pairs88)")
+  }
 }
