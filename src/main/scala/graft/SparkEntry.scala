@@ -108,6 +108,7 @@ object SparkEntry {
     "q86_length_quantiles"  -> Sketches.tokenLengthQuantiles _,
     "q87_line_dedup"        -> ((s: SparkSession, d: String) => TextOps.lineDedup(s, d)),
     "q88_contaminated_spans" -> ((s: SparkSession, d: String) => Sampling.contaminatedSpans(s, d)),
+    "q89_index_append_probe" -> ((s: SparkSession, d: String) => DedupIndex.indexAppendProbe(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1929,6 +1930,10 @@ object SparkEntry {
              count(*) AS n_hit_grams
       FROM nb GROUP BY 1, 2, 3
       ORDER BY eval_id, train_id, span_no""",
+
+    // q89: build → append → probe-only, replayed as two classify
+    // rounds over a grown membership set (generator below).
+    "q89_index_append_probe" -> indexAppendProbeSql,
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,
@@ -1956,6 +1961,102 @@ object SparkEntry {
 
   private lazy val incrementalDedup3Sql: String =
     incrementalDedupTieredSql(withImage = false)
+
+  /** q89's two-round replay: day 1 (bucket 3) classifies against the
+    * corpus (buckets 0-2) and its unmatched survivors JOIN the
+    * membership set; day 2 (bucket 4) then classifies against the
+    * grown membership — exactly [[graft.operators.DedupIndex
+    * .indexAppendProbe]]'s build → append → probe, collapsed to set
+    * algebra (the oracle doesn't model the bucketed storage, only the
+    * verdicts it must produce). Tier CTEs mirror
+    * [[incrementalDedupTieredSql]]'s three-tier arms with the
+    * membership predicate swapped per round. */
+  private lazy val indexAppendProbeSql: String = {
+    val agree = minhashAgreeSql("a", "b")
+    s"""
+      WITH $minhashSigCtesSql,
+      d AS (SELECT doc_id, md5(text) AS h,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS bk
+            FROM documents),
+      banded AS (
+        SELECT doc_id, 0 AS band, concat_ws('_', mh_0, mh_1, mh_2)   AS key FROM sig
+        UNION ALL SELECT doc_id, 1, concat_ws('_', mh_3, mh_4, mh_5) FROM sig
+        UNION ALL SELECT doc_id, 2, concat_ws('_', mh_6, mh_7, mh_8) FROM sig
+        UNION ALL SELECT doc_id, 3, concat_ws('_', mh_9, mh_10, mh_11) FROM sig),
+      ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sk AS (SELECT vec_id,
+        ${hyperplaneSketchSql(32)}
+        AS sketch FROM ev),
+      ebanded AS (
+        ${bandArmsSql(8, 4)}),
+      ex1 AS (SELECT DISTINCT b.doc_id
+              FROM d b JOIN d c ON b.h = c.h AND c.bk < 3 WHERE b.bk = 3),
+      near1 AS (SELECT DISTINCT c.doc_id FROM
+                 (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS cid
+                  FROM banded x
+                  JOIN d dx ON dx.doc_id = x.doc_id AND dx.bk = 3
+                  JOIN banded y ON x.band = y.band AND x.key = y.key
+                  JOIN d dy ON dy.doc_id = y.doc_id AND dy.bk < 3) c
+                JOIN sig a ON a.doc_id = c.doc_id
+                JOIN sig b ON b.doc_id = c.cid
+                WHERE CAST($agree AS DOUBLE) / 12.0 >= 0.5),
+      emb1 AS (SELECT DISTINCT c.doc_id FROM
+                 (SELECT DISTINCT x.vec_id AS doc_id, y.vec_id AS cid
+                  FROM ebanded x
+                  JOIN d dx ON dx.doc_id = x.vec_id AND dx.bk = 3
+                  JOIN ebanded y ON x.band = y.band AND x.key = y.key
+                  JOIN d dy ON dy.doc_id = y.vec_id AND dy.bk < 3) c
+               JOIN ev a ON a.vec_id = c.doc_id
+               JOIN ev b ON b.vec_id = c.cid
+               WHERE round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     4) >= 0.40),
+      mem AS (SELECT doc_id FROM d WHERE bk < 3
+              UNION ALL
+              SELECT doc_id FROM d WHERE bk = 3
+                AND doc_id NOT IN (SELECT doc_id FROM ex1)
+                AND doc_id NOT IN (SELECT doc_id FROM near1)
+                AND doc_id NOT IN (SELECT doc_id FROM emb1)),
+      ex2 AS (SELECT b.doc_id, min(c.doc_id) AS exact_id
+              FROM d b JOIN d c ON b.h = c.h
+              JOIN mem m ON m.doc_id = c.doc_id
+              WHERE b.bk = 4 GROUP BY 1),
+      cand2 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS cid
+                FROM banded x
+                JOIN d dx ON dx.doc_id = x.doc_id AND dx.bk = 4
+                JOIN banded y ON x.band = y.band AND x.key = y.key
+                JOIN mem m ON m.doc_id = y.doc_id),
+      near2 AS (SELECT c.doc_id, min(c.cid) AS near_id
+                FROM cand2 c
+                JOIN sig a ON a.doc_id = c.doc_id
+                JOIN sig b ON b.doc_id = c.cid
+                WHERE CAST($agree AS DOUBLE) / 12.0 >= 0.5
+                GROUP BY 1),
+      ecand2 AS (SELECT DISTINCT x.vec_id AS doc_id, y.vec_id AS cid
+                 FROM ebanded x
+                 JOIN d dx ON dx.doc_id = x.vec_id AND dx.bk = 4
+                 JOIN ebanded y ON x.band = y.band AND x.key = y.key
+                 JOIN mem m ON m.doc_id = y.vec_id),
+      emb2 AS (SELECT c.doc_id, min(c.cid) AS emb_id
+               FROM ecand2 c
+               JOIN ev a ON a.vec_id = c.doc_id
+               JOIN ev b ON b.vec_id = c.cid
+               WHERE round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     4) >= 0.40
+               GROUP BY 1)
+      SELECT bd.doc_id,
+             CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                  WHEN n.near_id IS NOT NULL THEN 'near'
+                  WHEN m2.emb_id IS NOT NULL THEN 'near_embedding'
+                  ELSE 'new' END AS status,
+             coalesce(e.exact_id, n.near_id, m2.emb_id) AS match_id
+      FROM d bd
+      LEFT JOIN ex2 e ON e.doc_id = bd.doc_id
+      LEFT JOIN near2 n ON n.doc_id = bd.doc_id
+      LEFT JOIN emb2 m2 ON m2.doc_id = bd.doc_id
+      WHERE bd.bk = 4 ORDER BY bd.doc_id"""
+  }
 
   /** The q65/q68-family incremental-classifier oracle, parameterized by
     * the perceptual tiers so q68/q74 (three tiers), q75 (four) and q78

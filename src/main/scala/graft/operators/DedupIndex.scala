@@ -407,6 +407,60 @@ object DedupIndex {
     run()
   }
 
+  /** q89 — the STEADY-STATE shape q74/q79 deliberately don't measure:
+    * those queries pay the index CTAS build inside the declared frame
+    * (~⅔ of q79's bench cost), which at 100 TB is a once-per-corpus
+    * job, not the daily op. This query gates the DAILY op alone:
+    *   day 1 — classify a batch against the stored index and APPEND its
+    *           `new` survivors ([[appendNew]], the durable refresh);
+    *   day 2 — classify the NEXT batch against the GROWN index,
+    *           probe-only.
+    * The returned frame is day 2's verdicts: a day-2 doc duplicating a
+    * day-1 `new` survivor must resolve against the APPENDED rows — an
+    * oracle-green run certifies the append actually landed in every
+    * tier, bucketed so the probe still plans with zero index-side
+    * exchange ([[assertIndexNeverShuffled]] runs in-query, as in q74).
+    *
+    * Build-once idempotence: the grown state (base index + day-1
+    * survivors) is constructed only when the session-scoped marker
+    * table is absent, so within one benchmark JVM the warmup rep pays
+    * the build and every timed rep measures the probe alone — the
+    * steady-state cost the index exists to buy. Re-running the append
+    * on every rep would both double-append and re-bill the CTAS. The
+    * prefix embeds the data dir, so sessions touching several SFs
+    * (the spec suite) can never probe another scale's index. Splits:
+    * hash-mod-5 buckets 0-2 = corpus, 3 = day-1 batch, 4 = day-2
+    * batch. */
+  def indexAppendProbe(s: SparkSession, dir: String,
+                       prefixBase: String = "graft_q89",
+                       buckets: Int = 8): DataFrame = {
+    import graft.sources.Tables
+    val prefix = prefixBase + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val docs = Tables.spreadTable(s, dir, "documents", col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val embs = Tables.spreadTable(s, dir, "embeddings", col("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val bk = Sampling.hashBucket(col("doc_id"), 5)
+    val ready = s"${prefix}_ready"
+    if (!s.catalog.tableExists(ready)) {
+      Seq(exactTable(prefix), bandTable(prefix), embTable(prefix), ready)
+        .foreach(dropTable(s, _))
+      saveIndex(docs.filter(bk < 3), embs.filter(bk < 3), prefix, buckets)
+      val day1 = classifyNew3Indexed(s, docs.filter(bk === 3),
+        embs.filter(bk === 3), prefix)
+      appendNew(docs.filter(bk === 3), embs.filter(bk === 3), day1,
+        prefix, buckets)
+      // marker LAST: created only after the append committed, so a
+      // failed build can't leave a half-grown index that later calls
+      // would trust
+      s.sql(s"CREATE TABLE $ready AS SELECT 1 AS ok")
+    }
+    def probe() = classifyNew3Indexed(s, docs.filter(bk === 4),
+      embs.filter(bk === 4), prefix)
+    assertIndexNeverShuffled(s, prefix)(probe())
+    probe()
+  }
+
   /** The zero-shuffle claim as an executable lint (shared by
     * DedupIndexSpec and the q74 declared query): collect every
     * ShuffleExchange whose ENTIRE leaf set is index-table scans — the

@@ -324,4 +324,65 @@ class DedupIndexSpec extends AnyFunSuite {
       assert(verdicts(v2) == verdicts(oneShot))
     } finally dropAll()
   }
+
+  test("indexAppendProbe: probe-only steady state ≡ in-memory over the grown corpus, idempotent (q89)") {
+    import spark.implicits._
+    val q89prefix = "graft_q89_test"
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    def dropQ89(): Unit =
+      Seq(DedupIndex.exactTable(q89prefix), DedupIndex.bandTable(q89prefix),
+        DedupIndex.embTable(q89prefix), s"${q89prefix}_ready")
+        .foreach(DedupIndex.dropTable(spark, _))
+    // the declared query derives its prefix from the dir — mirror that
+    // so this spec's tables are the ones the call creates/reads
+    val dirPrefix = "graft_q89_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    def dropDir(): Unit =
+      Seq(DedupIndex.exactTable(dirPrefix), DedupIndex.bandTable(dirPrefix),
+        DedupIndex.embTable(dirPrefix), s"${dirPrefix}_ready")
+        .foreach(DedupIndex.dropTable(spark, _))
+    dropQ89(); dropDir()
+    try {
+      val v = DedupIndex.indexAppendProbe(spark, sf).localCheckpoint()
+      // duality: the stored-and-grown index must produce exactly the
+      // in-memory one-shot verdicts over corpus ∪ day-1 survivors
+      val docs = graft.sources.Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))
+      val embs = graft.sources.Tables(spark, sf, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val bk = Sampling.hashBucket(col("doc_id"), 5)
+      // day-1 verdicts recomputed IN MEMORY: the dirPrefix tables
+      // already hold the grown state, so an indexed day-1 classify here
+      // would see day-1 docs matching their own appended rows
+      val day1Mem = Dedup.incrementalDedupFor3(
+        docs.filter(bk === 3), docs.filter(bk < 3),
+        embs.filter(bk === 3), embs.filter(bk < 3)).localCheckpoint()
+      val new1 = day1Mem.filter($"status" === "new").select("doc_id")
+      val grown = docs.filter(bk < 3)
+        .unionByName(docs.filter(bk === 3).join(new1, Seq("doc_id")))
+      val grownEmb = embs.filter(bk < 3)
+        .unionByName(embs.filter(bk === 3).join(new1, Seq("doc_id")))
+      val oneShot = Dedup.incrementalDedupFor3(
+        docs.filter(bk === 4), grown, embs.filter(bk === 4), grownEmb)
+      assert(verdicts(v) == verdicts(oneShot),
+        "steady-state probe must equal the in-memory grown-corpus classify")
+      // idempotence: a second call in the same session is PROBE-ONLY —
+      // identical verdicts, and no table grows (a re-append would)
+      val sizes = Seq(DedupIndex.exactTable(dirPrefix),
+        DedupIndex.bandTable(dirPrefix), DedupIndex.embTable(dirPrefix))
+        .map(t => t -> spark.table(t).count()).toMap
+      val v2 = DedupIndex.indexAppendProbe(spark, sf)
+      assert(verdicts(v2) == verdicts(v), "second call must re-probe, not rebuild")
+      sizes.foreach { case (t, n) =>
+        assert(spark.table(t).count() == n,
+          s"$t grew on the second call — the append re-ran")
+      }
+      // non-vacuity: day-1 survivors actually entered the store (the
+      // append wrote rows beyond the corpus build)
+      val corpusOnly = docs.filter(bk < 3).count()
+      assert(spark.table(DedupIndex.exactTable(dirPrefix)).count() > corpusOnly,
+        "exact table must hold appended day-1 survivor rows")
+    } finally { dropQ89(); dropDir() }
+  }
 }
