@@ -66,6 +66,61 @@ object PlotSink {
     f
   }
 
+  /** Render (label, value) rows as a LINE chart PNG — the reference's
+    * monthly-sales-trend panel (visualizations.py:89-100, plt.plot of
+    * the per-month aggregate). Points appear in the frame's ROW ORDER
+    * (the caller's ORDER BY is the x axis — exactly how the reference
+    * feeds its month-sorted frame to matplotlib); consecutive points
+    * are joined with straight segments and each vertex carries a small
+    * square marker. Values are scaled to [min, max] like [[scatter]]'s
+    * y axis so a narrow-band trend isn't flattened onto the axis; same
+    * contract as [[barChart]] otherwise: pre-aggregated input,
+    * limit-guarded collect, no text, deterministic bytes. */
+  def lineChart(df: DataFrame, labelCol: String, valueCol: String,
+                path: String, width: Int = 640, height: Int = 400): File = {
+    val rows = df.select(col(labelCol).cast("string"),
+        col(valueCol).cast("double")).limit(10001).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+    require(rows.nonEmpty, "plot input is empty — aggregate before plotting")
+    require(rows.length <= 10000,
+      "plot input exceeds 10000 rows — a chart sink takes aggregated results, not raw data")
+    require(rows.forall(!_._2.isNaN),
+      s"plot input contains NaN in $valueCol — clean the aggregate before plotting")
+    System.setProperty("java.awt.headless", "true")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, width, height)
+      val margin = 40
+      val plotW = width - 2 * margin
+      val plotH = height - 2 * margin
+      g.setColor(java.awt.Color.BLACK)
+      g.drawLine(margin, height - margin, width - margin, height - margin)
+      g.drawLine(margin, margin, margin, height - margin)
+      val vs = rows.map(_._2)
+      val (vMin, vMax) = (vs.min, vs.max)
+      val vSpan = math.max(vMax - vMin, 1e-12)
+      val n = rows.length
+      // vertices sit at slot centers, so a single point is mid-plot and
+      // n points tile the x range like barChart's n slots
+      def px(i: Int): Int = margin + ((i + 0.5) / n * plotW).toInt
+      def py(v: Double): Int =
+        height - margin - ((v - vMin) / vSpan * plotH).toInt
+      g.setColor(new java.awt.Color(31, 119, 180))
+      (0 until n - 1).foreach { i =>
+        g.drawLine(px(i), py(vs(i)), px(i + 1), py(vs(i + 1)))
+      }
+      (0 until n).foreach { i =>
+        g.fillRect(px(i) - 2, py(vs(i)) - 2, 5, 5)
+      }
+    } finally g.dispose()
+    val f = new File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    javax.imageio.ImageIO.write(img, "png", f)
+    f
+  }
+
   /** Render (x, y) rows as a scatter PNG — the Q-Q / residual-plot
     * surface (visualizations.py's scatter panels; statsmodels qqplot).
     * Same contract as [[barChart]]: input is an already-aggregated

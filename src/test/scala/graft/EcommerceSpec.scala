@@ -176,4 +176,40 @@ class EcommerceSpec extends AnyFunSuite {
       graft.sources.PlotSink.barChart(withNan, "k", "v", s"$dir/d.png")
     }
   }
+
+  test("S15 line chart renders the monthly trend (visualizations.py's plt.plot panel)") {
+    val trend = operators.Relational.monthlyRevenue(spark, sf) // q12 feed
+    val dir = java.nio.file.Files.createTempDirectory("graft_line").toString
+    val f1 = graft.sources.PlotSink.lineChart(trend, "month", "revenue", s"$dir/a.png")
+    val f2 = graft.sources.PlotSink.lineChart(trend, "month", "revenue", s"$dir/b.png")
+    assert(f1.exists() && f1.length() > 0)
+    val img = javax.imageio.ImageIO.read(f1)
+    assert(img.getWidth == 640 && img.getHeight == 400)
+    val blue = new java.awt.Color(31, 119, 180).getRGB
+    def bluePixels(i: java.awt.image.BufferedImage): Int =
+      (for (x <- 0 until i.getWidth; y <- 0 until i.getHeight
+            if i.getRGB(x, y) == blue) yield 1).sum
+    val n = trend.count().toInt
+    // a polyline + markers must paint MORE than the markers alone
+    // (segments actually connect the vertices) but far less than bars
+    assert(bluePixels(img) > n * 25, "line segments must be drawn between vertices")
+    // deterministic bytes: re-render is byte-identical
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(f1.toPath),
+      java.nio.file.Files.readAllBytes(f2.toPath)))
+    // vertex x positions are row-order slots: a reversed frame renders
+    // DIFFERENT bytes (the x axis is the caller's ORDER BY, per the
+    // reference's month-sorted plt.plot input)
+    val rev = trend.orderBy(org.apache.spark.sql.functions.col("month").desc)
+    val f3 = graft.sources.PlotSink.lineChart(rev, "month", "revenue", s"$dir/c.png")
+    assert(!java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(f1.toPath),
+      java.nio.file.Files.readAllBytes(f3.toPath)),
+      "row order is the x axis — reversing it must change the drawing")
+    // same raw-input and NaN guards as the other sinks
+    val big = spark.range(20000).selectExpr("cast(id as string) AS k", "cast(id as double) AS v")
+    intercept[IllegalArgumentException] {
+      graft.sources.PlotSink.lineChart(big, "k", "v", s"$dir/d.png")
+    }
+  }
 }
