@@ -109,6 +109,8 @@ object SparkEntry {
     "q87_line_dedup"        -> ((s: SparkSession, d: String) => TextOps.lineDedup(s, d)),
     "q88_contaminated_spans" -> ((s: SparkSession, d: String) => Sampling.contaminatedSpans(s, d)),
     "q89_index_append_probe" -> ((s: SparkSession, d: String) => DedupIndex.indexAppendProbe(s, d)),
+    "q90_bpe_merges"        -> ((s: SparkSession, d: String) => Bpe.bpeMerges(s, d)),
+    "q91_bpe_fertility"     -> ((s: SparkSession, d: String) => Bpe.bpeFertility(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1934,6 +1936,12 @@ object SparkEntry {
     // q89: build → append → probe-only, replayed as two classify
     // rounds over a grown membership set (generator below).
     "q89_index_append_probe" -> indexAppendProbeSql,
+
+    // q90/q91: the BPE trainer unrolled — every iteration's pair count,
+    // argmax and greedy merge replayed in SQL (generators below), so
+    // the merge table and the held-out fertility score are bit-gated.
+    "q90_bpe_merges" -> bpeMergesSql,
+    "q91_bpe_fertility" -> bpeFertilitySql,
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,
@@ -1961,6 +1969,112 @@ object SparkEntry {
 
   private lazy val incrementalDedup3Sql: String =
     incrementalDedupTieredSql(withImage = false)
+
+  /** Iterations the q90/q91 oracles unroll — and therefore the
+    * iteration count the declared queries run ([[operators.Bpe]]
+    * supports any count; the oracle is one static SQL string). */
+  private val BpeIters = 10
+
+  /** One BPE TRAIN iteration as CTEs (state s{p} → s{n}, emitting the
+    * argmax pair bp{n}): pair counts over adjacent symbols (overlap
+    * counts, freq-weighted), deterministic argmax, then the greedy
+    * non-overlapping merge via the even-run-offset window trick —
+    * within a run of consecutive matches (only possible when lhs =
+    * rhs) exactly the 1st, 3rd, … match positions merge, which IS
+    * left-to-right greedy. CTEs are MATERIALIZED: each state is
+    * referenced twice downstream and DuckDB would otherwise inline the
+    * whole chain exponentially. */
+  private def bpeTrainIterSql(n: Int): String = {
+    val p = n - 1
+    s"""
+      pc$n AS MATERIALIZED (SELECT sa, sb, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+          SELECT syms[i] AS sa, syms[i+1] AS sb, freq
+          FROM s$p, unnest(generate_series(1, len(syms) - 1)) AS u$n(i))
+        GROUP BY 1, 2),
+      bp$n AS MATERIALIZED (SELECT sa, sb, cnt FROM pc$n
+        ORDER BY cnt DESC, sa, sb LIMIT 1),
+      pos$n AS MATERIALIZED (SELECT word, freq, syms, i,
+          (i < len(syms) AND syms[i] = (SELECT sa FROM bp$n)
+             AND syms[i+1] = (SELECT sb FROM bp$n)) AS m
+        FROM s$p, unnest(generate_series(1, len(syms))) AS u${n}b(i)),
+      mk$n AS MATERIALIZED (SELECT word, i,
+          (row_number() OVER (PARTITION BY word, i - mrank ORDER BY i)) % 2 = 1 AS kept
+        FROM (SELECT word, i, m,
+                sum(CASE WHEN m THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY word ORDER BY i) AS mrank
+              FROM pos$n) WHERE m),
+      s$n AS MATERIALIZED (SELECT p.word, any_value(p.freq) AS freq,
+          list(CASE WHEN coalesce(k1.kept, false)
+                    THEN p.syms[p.i] || p.syms[p.i+1]
+                    ELSE p.syms[p.i] END ORDER BY p.i)
+            FILTER (NOT coalesce(k0.kept, false)) AS syms
+        FROM pos$n p
+        LEFT JOIN mk$n k1 ON k1.word = p.word AND k1.i = p.i
+        LEFT JOIN mk$n k0 ON k0.word = p.word AND k0.i = p.i - 1
+        GROUP BY p.word)"""
+  }
+
+  /** One BPE APPLY iteration over the test-word state t{p} → t{n}:
+    * the same merge machinery without pair counting — each round
+    * applies the TRAIN chain's bp{n} rule. */
+  private def bpeApplyIterSql(n: Int): String = {
+    val p = n - 1
+    s"""
+      tpos$n AS MATERIALIZED (SELECT word, syms, i,
+          (i < len(syms) AND syms[i] = (SELECT sa FROM bp$n)
+             AND syms[i+1] = (SELECT sb FROM bp$n)) AS m
+        FROM t$p, unnest(generate_series(1, len(syms))) AS v$n(i)),
+      tmk$n AS MATERIALIZED (SELECT word, i,
+          (row_number() OVER (PARTITION BY word, i - mrank ORDER BY i)) % 2 = 1 AS kept
+        FROM (SELECT word, i, m,
+                sum(CASE WHEN m THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY word ORDER BY i) AS mrank
+              FROM tpos$n) WHERE m),
+      t$n AS MATERIALIZED (SELECT p.word,
+          list(CASE WHEN coalesce(k1.kept, false)
+                    THEN p.syms[p.i] || p.syms[p.i+1]
+                    ELSE p.syms[p.i] END ORDER BY p.i)
+            FILTER (NOT coalesce(k0.kept, false)) AS syms
+        FROM tpos$n p
+        LEFT JOIN tmk$n k1 ON k1.word = p.word AND k1.i = p.i
+        LEFT JOIN tmk$n k0 ON k0.word = p.word AND k0.i = p.i - 1
+        GROUP BY p.word)"""
+  }
+
+  /** Shared q90/q91 prefix: the q82-family split buckets and the
+    * TRAIN-split word histogram as initial BPE state. */
+  private def bpeBaseSql: String = """
+      WITH d AS MATERIALIZED (SELECT source, text,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+          FROM documents),
+      s0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             list_append(string_split(word, ''), '</w>') AS syms
+           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM d WHERE b < 80)
+           GROUP BY word)"""
+
+  private lazy val bpeMergesSql: String =
+    bpeBaseSql + "," +
+      (1 to BpeIters).map(bpeTrainIterSql).mkString(",") +
+      "\n      SELECT * FROM (\n" +
+      (1 to BpeIters).map(n =>
+        s"        SELECT CAST($n AS BIGINT) AS iter, sa AS lhs, sb AS rhs, cnt AS pair_count FROM bp$n")
+        .mkString("\n        UNION ALL\n") +
+      ") ORDER BY iter"
+
+  private lazy val bpeFertilitySql: String =
+    bpeBaseSql + "," +
+      (1 to BpeIters).map(bpeTrainIterSql).mkString(",") + s""",
+      tw AS MATERIALIZED (SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM d WHERE b >= 90),
+      t0 AS MATERIALIZED (SELECT word,
+             list_append(string_split(word, ''), '</w>') AS syms
+           FROM (SELECT DISTINCT word FROM tw)),""" +
+      (1 to BpeIters).map(bpeApplyIterSql).mkString(",") + s"""
+      SELECT tw.source, count(*) AS n_tokens,
+             CAST(sum(len(t$BpeIters.syms)) AS BIGINT) AS n_subwords,
+             CAST(sum(len(t$BpeIters.syms)) AS DOUBLE) / count(*) AS fertility
+      FROM tw JOIN t$BpeIters ON tw.word = t$BpeIters.word
+      GROUP BY tw.source ORDER BY tw.source"""
 
   /** q89's two-round replay: day 1 (bucket 3) classifies against the
     * corpus (buckets 0-2) and its unmatched survivors JOIN the

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge learning (q90/q91): the distributed trainer pinned to a
+  * naive in-memory reference on exactly the inputs where a wrong merge
+  * rule diverges — runs of identical symbols (greedy non-overlap
+  * alternation), rules whose merged output collides with later input,
+  * and end-marker merges. */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.Bpe
+
+  /** Naive reference: the textbook trainer, straight-line Scala. */
+  private def refLearn(words: Map[String, Long], iters: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Seq[String]]) = {
+    var state: Map[String, Seq[String]] =
+      words.map { case (w, _) => w -> (w.map(_.toString) :+ Bpe.EndMark) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to iters) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, f) <- words; s = state(w); i <- 0 until s.length - 1)
+        pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + f
+      val ((a, b), c) = pc.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      merges += ((it, a, b, c))
+      state = state.map { case (w, s) =>
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    (merges.result(), state)
+  }
+
+  private def learnOn(words: Map[String, Long], iters: Int) = {
+    val spark2 = spark
+    import spark2.implicits._
+    val state0 = words.toSeq.toDF("word", "freq")
+      .withColumn("syms",
+        concat(split(col("word"), ""), array(lit(Bpe.EndMark))))
+    val (merges, fin) = Bpe.learnMerges(state0, iters)
+    val got = merges.map(m => (m.iter.toInt, m.lhs, m.rhs, m.pairCount))
+    val finMap = fin.select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    (got, finMap)
+  }
+
+  test("trainer ≡ naive reference on identical-symbol runs (greedy non-overlap)") {
+    // 'aaaa' forces the alternation case: [a,a,a,a,</w>] under rule
+    // (a,a) must become [aa,aa,</w>], NOT [aa,a,a,</w>] (string-replace
+    // implementations get this wrong) and NOT [aa,aa,a…] overlap
+    val words = Map("aaaa" -> 5L, "aaa" -> 3L, "ab" -> 1L)
+    val (got, fin) = learnOn(words, 3)
+    val (ref, refFin) = refLearn(words, 3)
+    assert(got == ref, s"merge tables diverge:\n got=$got\n ref=$ref")
+    assert(fin == refFin, s"final states diverge:\n got=$fin\n ref=$refFin")
+    // the alternation itself, explicitly: one iteration of (a,a)
+    assert(got.head._2 == "a" && got.head._3 == "a")
+    val (_, after1) = learnOn(words, 1)
+    assert(after1("aaaa") == Seq("aa", "aa", Bpe.EndMark),
+      s"greedy left-to-right must pair positions (1,2) and (3,4): ${after1("aaaa")}")
+    assert(after1("aaa") == Seq("aa", "a", Bpe.EndMark),
+      s"odd runs keep the trailing singleton: ${after1("aaa")}")
+  }
+
+  test("trainer ≡ naive reference when a merged symbol collides with later input") {
+    // after merge 1 creates 'ab', words containing literal 'a','b'
+    // sequences adjacent to the merged token stress the fold's
+    // last-accumulator-symbol comparison
+    val words = Map("abab" -> 4L, "aab" -> 3L, "abb" -> 2L, "ba" -> 2L)
+    val (got, fin) = learnOn(words, 4)
+    val (ref, refFin) = refLearn(words, 4)
+    assert(got == ref, s"merge tables diverge:\n got=$got\n ref=$ref")
+    assert(fin == refFin, s"final states diverge:\n got=$fin\n ref=$refFin")
+  }
+
+  test("trainer ≡ naive reference on the driver corpus train split, incl. end-marker merges") {
+    val spark2 = spark
+    import spark2.implicits._
+    val b = operators.Sampling.hashBucket(col("doc_id"), 100)
+    val words = graft.sources.Tables(spark, sf, "documents")
+      .filter(b < 80)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect().toMap
+    val (got, fin) = learnOn(words, 10)
+    val (ref, refFin) = refLearn(words, 10)
+    assert(got == ref)
+    assert(fin == refFin)
+    // non-vacuity: the corpus actually exercises an end-marker merge
+    assert(got.exists(m => m._3 == Bpe.EndMark),
+      s"expected a (sym, </w>) merge among $got")
+    // merges only ever SHRINK segmentations: per source, fertility under
+    // the learned merges must sit in [1, baseline], where baseline is
+    // the unmerged char+marker segmentation length (word_len + 1)
+    val fert = operators.Bpe.bpeFertility(spark, sf, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(fert.nonEmpty)
+    val baseline = graft.sources.Tables(spark, sf, "documents")
+      .filter(b >= 90)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("source")
+      .agg(avg(length(col("word")) + 1).as("base"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    fert.foreach { case (src, f) =>
+      assert(f >= 1.0 && f < baseline(src),
+        s"$src fertility $f must improve on the unmerged ${baseline(src)}")
+    }
+    // applying ZERO extra merges is the identity on segmentations
+    val seg0 = Bpe.applyMerges(
+      Seq(("hello", Seq("h", "e", "l", "l", "o", Bpe.EndMark)))
+        .toDF("word", "syms"), Nil)
+      .head.getSeq[String](1)
+    assert(seg0 == Seq("h", "e", "l", "l", "o", Bpe.EndMark))
+  }
+}
