@@ -89,9 +89,20 @@ object Bpe {
     * state. Returns the learned merge table and the final state. The
     * state is localCheckpoint'ed per iteration: each round's fold
     * otherwise re-nests into the plan and the pair-count action would
-    * re-evaluate every earlier round. */
+    * re-evaluate every earlier round. A tracked-lazy-persist variant
+    * (cache filled by the next pair-count action, saving the explicit
+    * checkpoint job) was A/B-measured SLOWER at sf0.1 (5-rep medians
+    * ~2.95 s vs ~2.26 s per query): the checkpointed state is a flat
+    * in-memory block each round reads directly, while the cache chain
+    * re-enters the whole InMemoryRelation stack per action — the
+    * cache-on-cache cascade SCALE.md documents. Shape chosen by the
+    * measurement. */
   def learnMerges(state0: DataFrame, iters: Int): (Seq[Merge], DataFrame) = {
     require(iters > 0, s"need iters > 0, got $iters")
+    // full shuffle width kept on the loop state: a coalesce(8) variant
+    // (fewer sliver tasks per loop job) also A/B-measured slower — the
+    // interpreted merge fold is the loop's real compute and wants the
+    // parallelism more than the scheduler wants fewer tasks
     var state = state0.localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     for (it <- 1 to iters) {

@@ -160,6 +160,45 @@ object SoakScale {
     res
   }
 
+  /** Deterministic POWER-LAW HUB graph as a directed edge list: node i
+    * (≥ 2) attaches to the largest power of two ≤ i; powers of two
+    * attach to the next power down. One giant component containing
+    * every node, hub degrees 2^k (a ~1/d power-law tail with a top hub
+    * adjacent to HALF the graph), depth ⌈log₂ n⌉. This is the regime
+    * the chain soaks don't reach: a subgraph LARGER than the
+    * local-solve bound whose label traffic collapses onto a single
+    * min-id key as convergence approaches — the join-skew shape a
+    * 100-TB giant component produces. Ids are namespaced (offset) so
+    * co-resident fixtures can't collide. `length(bin(i)) - 1` is
+    * floor(log₂ i) exactly, all-integer. */
+  def hubEdges(spark: SparkSession, n: Long): DataFrame = {
+    val hp = expr("shiftleft(1L, length(bin(id)) - 1)")
+    spark.range(2, n + 1).select(
+      (col("id") + 910000000L).as("doc_a"),
+      (when(hp === col("id"), expr("id div 2")).otherwise(hp)
+        + 910000000L).as("doc_b"))
+      .repartition(32, col("doc_a"))
+  }
+
+  /** Distributed-CC measurement on the hub graph: (distinct labels,
+    * rounds, wall seconds, edge count). Runs with the DEFAULT
+    * `localSolveMaxEdges` — the point is that the bounded probe FALLS
+    * THROUGH (edges exceed the bound) and the distributed
+    * pointer-jumping path runs, unlike the chain soaks which force it
+    * with localSolveMaxEdges = 0. */
+  def ccHub(spark: SparkSession, n: Long): (Long, Int, Double, Long) = {
+    val (res, sc) = graft.operators.Caches.scope {
+      val edges = hubEdges(spark, n)
+      val nEdges = edges.count()
+      val t0 = System.nanoTime()
+      val (labels, rounds) = Dedup.connectedComponentsCounted(edges, maxIter = 50)
+      val distinctLabels = labels.select(col("label")).distinct().count()
+      (distinctLabels, rounds, (System.nanoTime() - t0) / 1e9, nEdges)
+    }
+    sc.release(); spark.catalog.clearCache()
+    res
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -425,6 +464,43 @@ object SoakScale {
     val pk10 = scoped("q81 sequences @10x")(packed(corpus10))
     check("q81-packed-sequences", pk1, pk10)
 
+    // --- r11: q87 line dedup. THE claim is that the frequency pass's
+    // exchange is bounded by DISTINCT (line-hash, doc) pairs (partial
+    // agg collapses within-partition repeats) — gated as the ~linear
+    // ratio of that pair count — and that end-to-end wall stays
+    // ~linear. Boilerplate-line counts are INFO'd (they track planted
+    // dup mass: the copy groups rewrite tokens, so cross-copy lines
+    // never collide; within-copy structure is what repeats).
+    import graft.functions.TextFunctions.md5Long
+    def linePairs(df: DataFrame): Long = {
+      val (n, sc) = Caches.scope {
+        graft.operators.TextOps.docLines(
+          df.select(col("doc_id"), col("text")), 10)
+          .select(md5Long(col("line")).as("lh"), col("doc_id"))
+          .distinct().count()
+      }
+      sc.release(); n
+    }
+    def lineDedupWall(df: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val (n, sc) = Caches.scope {
+        graft.operators.TextOps.lineDedupFor(
+          df.select(col("doc_id"), col("text")))
+          .filter(col("n_removed") > 0).count()
+      }
+      sc.release(); (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val lp1 = scoped("q87 line pairs @1x")(linePairs(base))
+    val lp10 = scoped("q87 line pairs @10x")(linePairs(corpus10))
+    check("q87-line-doc-pairs", lp1, lp10)
+    val (lb1, lw1) = scoped("q87 wall @1x")(lineDedupWall(base))
+    val (lb10, lw10) = scoped("q87 wall @10x")(lineDedupWall(corpus10))
+    info("q87-docs-with-removal", lb1, lb10)
+    val lineWallRatio = lw10 / math.max(lw1, 1e-9)
+    val lineWallOk = lineWallRatio <= gate
+    if (!lineWallOk) failures += 1
+    println(f"[soak] RATIO q87-wall                   ${lw1}%.2f -> ${lw10}%.2f s (${lineWallRatio}%.2fx, gate ${gate}%.1fx) ${if (lineWallOk) "PASS" else "FAIL"}")
+
     // --- r10c: q83/q84 sketches. THE claim is constant-size state:
     // HLL register rows are hard-bounded by sources×256 and CMS cells
     // by 4×512 AT ANY CORPUS SIZE — gated as absolute bounds, not
@@ -557,6 +633,42 @@ object SoakScale {
     val okW2 = wall2k <= 3.0 * wall1k
     if (!okW2) failures += 1
     println(f"[soak] RATIO cc-wall-2x-chain         ${wall1k}%.2f -> ${wall2k}%.2f s (${wall2k / wall1k}%.2fx, gate 3.0x) ${if (okW2) "PASS" else "FAIL"}")
+
+    // --- r11: the GIANT-COMPONENT adversary. The chains above prove
+    // O(log diameter) but their subgraphs fit the local-solve bound
+    // (they force the distributed path artificially). Here the planted
+    // hub graph EXCEEDS localSolveMaxEdges, so the production code path
+    // itself falls through the bounded probe into pointer jumping, on
+    // the skew shape that actually hurts at 100 TB: one component
+    // swallowing every node, a top hub adjacent to half the graph, and
+    // all label traffic collapsing onto the min-id key at convergence.
+    // Gates: the probe fell through (rounds > 0), exactly one
+    // component, O(log depth) rounds (depth ≈ 21 ⇒ jumps settle well
+    // under 12), and doubling the graph adds ≤ 2 rounds / ≤ 3× wall.
+    val hubN1 = 1300000L
+    val (hlab1, hrounds1, hwall1, hedges1) = timed("cc 1.3M-node hub graph") {
+      ccHub(spark, hubN1)
+    }
+    println(f"[soak] CC hub-1.3M: components=$hlab1 rounds=$hrounds1 wall=${hwall1}%.2f s edges=$hedges1")
+    val okHubFixture = hedges1 > (1L << 20) && hlab1 == 1L
+    if (!okHubFixture) failures += 1
+    println(s"[soak] RATIO cc-hub-fixture           $hedges1 edges (> 2^20), $hlab1 component(s) ${if (okHubFixture) "PASS" else "FAIL"}")
+    val okHubDistributed = hrounds1 > 0
+    if (!okHubDistributed) failures += 1
+    println(s"[soak] RATIO cc-hub-fell-through      $hrounds1 distributed rounds (gate > 0: the bounded probe must NOT local-solve past its limit) ${if (okHubDistributed) "PASS" else "FAIL"}")
+    val okHubRounds = hrounds1 <= 12
+    if (!okHubRounds) failures += 1
+    println(f"[soak] RATIO cc-hub-rounds            $hrounds1%12d rounds (gate 12) ${if (okHubRounds) "PASS" else "FAIL"}")
+    val (hlab2, hrounds2, hwall2, _) = timed("cc 2.6M-node hub graph") {
+      ccHub(spark, 2 * hubN1)
+    }
+    println(f"[soak] CC hub-2.6M: components=$hlab2 rounds=$hrounds2 wall=${hwall2}%.2f s")
+    val okHub2 = hlab2 == 1L && hrounds2 <= hrounds1 + 2
+    if (!okHub2) failures += 1
+    println(f"[soak] RATIO cc-hub-rounds-2x         $hrounds1 -> $hrounds2 rounds (gate +2) ${if (okHub2) "PASS" else "FAIL"}")
+    val okHubW = hwall2 <= 3.0 * hwall1
+    if (!okHubW) failures += 1
+    println(f"[soak] RATIO cc-hub-wall-2x           ${hwall1}%.2f -> ${hwall2}%.2f s (${hwall2 / hwall1}%.2fx, gate 3.0x) ${if (okHubW) "PASS" else "FAIL"}")
 
     println(if (failures == 0) "[soak] ALL GATES PASS"
             else s"[soak] $failures GATE(S) FAILED")

@@ -27,13 +27,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query runs non-empty on sf0.001") {
+  test("every declared query runs non-empty on sf0.001 (except the span report)") {
     // q15 included: since round 11 it anti-joins the URGENT-order
     // projection, so its oracle row is non-empty (load-bearing) at
-    // every driver scale — no exemption.
+    // every driver scale. q88 emits one row per contaminated SPAN —
+    // sf0.001's eval split has zero cross-split gram overlaps
+    // (DuckDB-confirmed), so an empty report is the correct answer
+    // there; the driver gate runs at sf0.01, where it is non-empty
+    // (5 pairs) and hash-gated.
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      assert(n > 0, s"$name returned 0 rows")
+      assert(n >= 0, s"$name failed")
+      if (name != "q88_contaminated_spans")
+        assert(n > 0, s"$name returned 0 rows")
     }
   }
 
