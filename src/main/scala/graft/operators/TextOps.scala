@@ -235,14 +235,33 @@ object TextOps {
     * actual `split(text, '\n')` lines. `lines` must be re-derivable
     * (a projection, not a consumed iterator): it is scanned twice, once
     * per pass. */
-  def lineDedupLines(lines: DataFrame, maxDocs: Int = 1): DataFrame = {
+  def lineDedupLines(lines: DataFrame, maxDocs: Int = 1): DataFrame =
+    scrubLines(lines, boilerplateLines(lines, maxDocs))
+      .orderBy(col("doc_id"))
+
+  /** The BOILERPLATE TABLE of a lines frame: one `_lh` (60-bit line
+    * hash) row per line appearing in more than `maxDocs` distinct
+    * documents — the corpus-frequency pass, and the static artifact a
+    * deployment recomputes daily and probes at ingest
+    * ([[graft.streaming.LineDedup]]). */
+  def boilerplateLines(lines: DataFrame, maxDocs: Int = 1): DataFrame = {
     import graft.functions.TextFunctions.md5Long
-    val boiler = lines
+    lines
       .select(md5Long(col("line")).as("_lh"), col("doc_id"))
       .distinct()
       .groupBy(col("_lh")).agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") > maxDocs)
       .select(col("_lh"), lit(1).as("_boiler"))
+  }
+
+  /** Scrub a (doc_id, line_no, line) frame against a boilerplate table
+    * ([[boilerplateLines]] output): per-doc retention stats + the md5
+    * of the retained text. Shared VERBATIM by the batch query and the
+    * streaming twin so the scrub rule can't drift between them. No
+    * ordering (the batch entry adds the oracle sort; a stream can't
+    * sort). */
+  def scrubLines(lines: DataFrame, boiler: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
     lines
       .withColumn("_lh", md5Long(col("line")))
       .join(boiler, Seq("_lh"), "left")
@@ -256,7 +275,6 @@ object TextOps {
           sort_array(collect_list(when(col("_boiler").isNull,
             struct(col("line_no"), col("line"))))),
           x => x.getField("line")))).as("retained_hash"))
-      .orderBy(col("doc_id"))
   }
 
   // q82 — vocabulary build + OOV audit: the tokenizer-prep op a

@@ -538,6 +538,45 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"hit drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
   }
 
+  test("streaming line dedup ≡ batch scrub under any chunking (q87 twin)") {
+    import graft.streaming.LineDedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_linededup").toString
+    // sf0.01: boilerplate lines actually exist there (127 cross-doc
+    // line hashes), so the duality is non-vacuous
+    val sfLine = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables(spark, sfLine, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.withColumn("_chunk", pmod(col("doc_id"), lit(4)))
+      .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
+    val boiler = LineDedup.boilerIndex(docs).cache()
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/feed")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+    val q = LineDedup.start(stream, boiler, (rows, _) =>
+      got.synchronized {
+        got ++= rows.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      })
+    try q.processAllAvailable() finally q.stop()
+    boiler.unpersist()
+    // batch truth = the declared q87 rows themselves
+    val want = operators.TextOps.lineDedup(spark, sfLine)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(want.exists(_._3 > 0), "fixture should remove boilerplate lines")
+    assert(got.size == want.size,
+      s"stream emitted ${got.size} per-doc rows, batch has ${want.size}")
+    assert(got.toSet == want,
+      s"scrub drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
+  }
+
   test("three-tier index refresh: classify → refreshed3 → next batch ≡ one-shot") {
     import graft.streaming.IncrementalDedup
     import graft.operators.Dedup
