@@ -34,7 +34,7 @@ object SparkEntry {
     "q12_monthly_trend"     -> Relational.monthlyRevenue _,
     "q13_corr"              -> Relational.quantityPriceCorr _,
     "q14_top_customers"     -> Relational.topCustomers _,
-    "q15_anti_join"         -> Relational.customersWithoutOrders _,
+    "q15_anti_join"         -> Relational.customersWithoutUrgentOrders _,
     "q16_semi_join"         -> Relational.suppliersWithBigShipments _,
     "q17_pivot_matrix"      -> Relational.statusPriorityMatrix _,
     "q18_hourly_events"     -> Relational.hourlyEvents _,
@@ -109,8 +109,10 @@ object SparkEntry {
     "q87_line_dedup"        -> ((s: SparkSession, d: String) => TextOps.lineDedup(s, d)),
     "q88_contaminated_spans" -> ((s: SparkSession, d: String) => Sampling.contaminatedSpans(s, d)),
     "q89_index_append_probe" -> ((s: SparkSession, d: String) => DedupIndex.indexAppendProbe(s, d)),
-    "q90_bpe_merges"        -> ((s: SparkSession, d: String) => Bpe.bpeMerges(s, d)),
-    "q91_bpe_fertility"     -> ((s: SparkSession, d: String) => Bpe.bpeFertility(s, d)),
+    // iteration count passed EXPLICITLY from the same constant the
+    // oracle generators unroll — the two sides cannot drift
+    "q90_bpe_merges"        -> ((s: SparkSession, d: String) => Bpe.bpeMerges(s, d, BpeIters)),
+    "q91_bpe_fertility"     -> ((s: SparkSession, d: String) => Bpe.bpeFertility(s, d, BpeIters)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1970,9 +1972,10 @@ object SparkEntry {
   private lazy val incrementalDedup3Sql: String =
     incrementalDedupTieredSql(withImage = false)
 
-  /** Iterations the q90/q91 oracles unroll — and therefore the
-    * iteration count the declared queries run ([[operators.Bpe]]
-    * supports any count; the oracle is one static SQL string). */
+  /** Iterations the q90/q91 oracles unroll AND the count the declared
+    * queries pass to [[operators.Bpe]] (wired explicitly in `queries`,
+    * so query and oracle cannot drift; Bpe itself supports any count —
+    * the oracle is one static SQL string). */
   private val BpeIters = 10
 
   /** One BPE TRAIN iteration as CTEs (state s{p} → s{n}, emitting the

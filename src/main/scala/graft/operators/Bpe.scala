@@ -96,7 +96,15 @@ object Bpe {
     * in-memory block each round reads directly, while the cache chain
     * re-enters the whole InMemoryRelation stack per action — the
     * cache-on-cache cascade SCALE.md documents. Shape chosen by the
-    * measurement. */
+    * measurement.
+    *
+    * Block lifecycle: each iteration's checkpoint supersedes the
+    * previous one, whose Dataset becomes unreachable and whose RDD
+    * blocks are released by the ContextCleaner (Dataset.unpersist
+    * doesn't reach checkpoint-level persistence); at most `iters`
+    * histogram-sized block sets can coexist between GC cycles, and
+    * their MEMORY_AND_DISK level is evictable under storage pressure —
+    * bounded by construction, stated so nobody hunts for a leak. */
   def learnMerges(state0: DataFrame, iters: Int): (Seq[Merge], DataFrame) = {
     require(iters > 0, s"need iters > 0, got $iters")
     // full shuffle width kept on the loop state: a coalesce(8) variant

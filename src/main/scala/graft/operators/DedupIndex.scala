@@ -431,11 +431,17 @@ object DedupIndex {
     * (the spec suite) can never probe another scale's index. Splits:
     * hash-mod-5 buckets 0-2 = corpus, 3 = day-1 batch, 4 = day-2
     * batch. */
+  /** q89's dir-derived table prefix — shared with DedupIndexSpec so a
+    * sanitization change can't silently desynchronize the spec's table
+    * cleanup from the query's tables. */
+  def q89PrefixFor(dir: String, prefixBase: String = "graft_q89"): String =
+    prefixBase + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
   def indexAppendProbe(s: SparkSession, dir: String,
                        prefixBase: String = "graft_q89",
                        buckets: Int = 8): DataFrame = {
     import graft.sources.Tables
-    val prefix = prefixBase + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val prefix = q89PrefixFor(dir, prefixBase)
     val docs = Tables.spreadTable(s, dir, "documents", col("doc_id"))
       .select(col("doc_id"), col("text"))
     val embs = Tables.spreadTable(s, dir, "embeddings", col("vec_id"))

@@ -258,7 +258,7 @@ object Relational {
   // the operator identical (NOT EXISTS against a derived relation — the
   // real-world "customers with no urgent orders" churn query) and makes
   // the oracle row load-bearing (~200 rows at sf0.01).
-  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+  def customersWithoutUrgentOrders(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
     val urgent = t(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")

@@ -259,7 +259,14 @@ object TextOps {
     * of the retained text. Shared VERBATIM by the batch query and the
     * streaming twin so the scrub rule can't drift between them. No
     * ordering (the batch entry adds the oracle sort; a stream can't
-    * sort). */
+    * sort).
+    *
+    * Token-count convention: an EMPTY kept line counts 1 token in
+    * `n_kept_tokens` — `split("", " ")` is `[""]` engine-wide (q21's
+    * tokenCount("") = 1, DuckDB's `len(string_split('', ' '))` = 1),
+    * and the oracle replays exactly that. Newline corpora with blank
+    * lines inherit the same convention; callers wanting blank lines
+    * excluded should filter them before the scrub. */
   def scrubLines(lines: DataFrame, boiler: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.md5Long
     lines

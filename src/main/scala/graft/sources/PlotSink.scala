@@ -17,53 +17,78 @@ import org.apache.spark.sql.functions.col
   * heavy lifting happened in the aggregation that produced the input.
   * Rendering draws only filled rectangles and axis lines (no text), so
   * output bytes are deterministic across runs and platforms.
+  *
+  * All three sinks share ONE scaffold ([[collectGuarded]] +
+  * [[renderPng]]): the limit-guarded collect, the row-cap/NaN refusals,
+  * the canvas + axis setup, and the file write — a contract change
+  * lands in every chart at once.
   */
 object PlotSink {
 
-  /** Render (label, value) rows as a bar chart PNG. Bars appear in the
-    * frame's row order; heights are scaled to the max value (all-zero
-    * input draws an axis-only chart). Returns the written file. */
-  def barChart(df: DataFrame, labelCol: String, valueCol: String,
-               path: String, width: Int = 640, height: Int = 400): File = {
-    // limit BEFORE collect: the guard must refuse raw input without
-    // first materializing it on the driver
+  private val MaxRows = 10000
+  private val Margin = 40
+  /** The classic matplotlib C0 blue — the mark color of every sink. */
+  private val C0 = new java.awt.Color(31, 119, 180)
+
+  /** Limit-guarded collect of a two-column (string, double) frame with
+    * the shared refusals: empty input, raw (unaggregated) volume, NaN
+    * values. The limit runs BEFORE collect so the guard never
+    * materializes raw input on the driver. */
+  private def collectGuarded(df: DataFrame, labelCol: String,
+                             valueCol: String): Array[(String, Double)] = {
     val rows = df.select(col(labelCol).cast("string"),
-        col(valueCol).cast("double")).limit(10001).collect()
+        col(valueCol).cast("double")).limit(MaxRows + 1).collect()
       .map(r => (r.getString(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
     require(rows.nonEmpty, "plot input is empty — aggregate before plotting")
-    require(rows.length <= 10000,
-      "plot input exceeds 10000 rows — a chart sink takes aggregated results, not raw data")
+    require(rows.length <= MaxRows,
+      s"plot input exceeds $MaxRows rows — a chart sink takes aggregated results, not raw data")
     require(rows.forall(!_._2.isNaN),
       s"plot input contains NaN in $valueCol — clean the aggregate before plotting")
+    rows
+  }
+
+  /** White canvas + black axes, body drawn in C0, PNG written to
+    * `path`. `draw` receives (graphics, plotW, plotH) with the axes
+    * already placed at [[Margin]]. */
+  private def renderPng(path: String, width: Int, height: Int)
+                       (draw: (java.awt.Graphics2D, Int, Int) => Unit): File = {
     System.setProperty("java.awt.headless", "true")
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     val g = img.createGraphics()
     try {
       g.setColor(java.awt.Color.WHITE)
       g.fillRect(0, 0, width, height)
-      val margin = 40
-      val plotW = width - 2 * margin
-      val plotH = height - 2 * margin
       g.setColor(java.awt.Color.BLACK)
-      g.drawLine(margin, height - margin, width - margin, height - margin) // x axis
-      g.drawLine(margin, margin, margin, height - margin)                  // y axis
-      val maxV = math.max(rows.map(_._2).max, 0.0)
-      if (maxV > 0.0) {
-        val n = rows.length
-        val slot = plotW.toDouble / n
-        val barW = math.max(1, (slot * 0.8).toInt)
-        g.setColor(new java.awt.Color(31, 119, 180)) // the classic C0 blue
-        rows.zipWithIndex.foreach { case ((_, v), i) =>
-          val h = math.max(0, (plotH * (v / maxV)).toInt)
-          val x = margin + (i * slot + slot * 0.1).toInt
-          g.fillRect(x, height - margin - h, barW, h)
-        }
-      }
+      g.drawLine(Margin, height - Margin, width - Margin, height - Margin) // x axis
+      g.drawLine(Margin, Margin, Margin, height - Margin)                  // y axis
+      draw(g, width - 2 * Margin, height - 2 * Margin)
     } finally g.dispose()
     val f = new File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     javax.imageio.ImageIO.write(img, "png", f)
     f
+  }
+
+  /** Render (label, value) rows as a bar chart PNG. Bars appear in the
+    * frame's row order; heights are scaled to the max value (all-zero
+    * input draws an axis-only chart). Returns the written file. */
+  def barChart(df: DataFrame, labelCol: String, valueCol: String,
+               path: String, width: Int = 640, height: Int = 400): File = {
+    val rows = collectGuarded(df, labelCol, valueCol)
+    renderPng(path, width, height) { (g, plotW, plotH) =>
+      val maxV = math.max(rows.map(_._2).max, 0.0)
+      if (maxV > 0.0) {
+        val n = rows.length
+        val slot = plotW.toDouble / n
+        val barW = math.max(1, (slot * 0.8).toInt)
+        g.setColor(C0)
+        rows.zipWithIndex.foreach { case ((_, v), i) =>
+          val h = math.max(0, (plotH * (v / maxV)).toInt)
+          val x = Margin + (i * slot + slot * 0.1).toInt
+          g.fillRect(x, height - Margin - h, barW, h)
+        }
+      }
+    }
   }
 
   /** Render (label, value) rows as a LINE chart PNG — the reference's
@@ -73,52 +98,28 @@ object PlotSink {
     * feeds its month-sorted frame to matplotlib); consecutive points
     * are joined with straight segments and each vertex carries a small
     * square marker. Values are scaled to [min, max] like [[scatter]]'s
-    * y axis so a narrow-band trend isn't flattened onto the axis; same
-    * contract as [[barChart]] otherwise: pre-aggregated input,
-    * limit-guarded collect, no text, deterministic bytes. */
+    * y axis so a narrow-band trend isn't flattened onto the axis. */
   def lineChart(df: DataFrame, labelCol: String, valueCol: String,
                 path: String, width: Int = 640, height: Int = 400): File = {
-    val rows = df.select(col(labelCol).cast("string"),
-        col(valueCol).cast("double")).limit(10001).collect()
-      .map(r => (r.getString(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
-    require(rows.nonEmpty, "plot input is empty — aggregate before plotting")
-    require(rows.length <= 10000,
-      "plot input exceeds 10000 rows — a chart sink takes aggregated results, not raw data")
-    require(rows.forall(!_._2.isNaN),
-      s"plot input contains NaN in $valueCol — clean the aggregate before plotting")
-    System.setProperty("java.awt.headless", "true")
-    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    val g = img.createGraphics()
-    try {
-      g.setColor(java.awt.Color.WHITE)
-      g.fillRect(0, 0, width, height)
-      val margin = 40
-      val plotW = width - 2 * margin
-      val plotH = height - 2 * margin
-      g.setColor(java.awt.Color.BLACK)
-      g.drawLine(margin, height - margin, width - margin, height - margin)
-      g.drawLine(margin, margin, margin, height - margin)
+    val rows = collectGuarded(df, labelCol, valueCol)
+    renderPng(path, width, height) { (g, plotW, plotH) =>
       val vs = rows.map(_._2)
       val (vMin, vMax) = (vs.min, vs.max)
       val vSpan = math.max(vMax - vMin, 1e-12)
       val n = rows.length
       // vertices sit at slot centers, so a single point is mid-plot and
       // n points tile the x range like barChart's n slots
-      def px(i: Int): Int = margin + ((i + 0.5) / n * plotW).toInt
+      def px(i: Int): Int = Margin + ((i + 0.5) / n * plotW).toInt
       def py(v: Double): Int =
-        height - margin - ((v - vMin) / vSpan * plotH).toInt
-      g.setColor(new java.awt.Color(31, 119, 180))
+        height - Margin - ((v - vMin) / vSpan * plotH).toInt
+      g.setColor(C0)
       (0 until n - 1).foreach { i =>
         g.drawLine(px(i), py(vs(i)), px(i + 1), py(vs(i + 1)))
       }
       (0 until n).foreach { i =>
         g.fillRect(px(i) - 2, py(vs(i)) - 2, 5, 5)
       }
-    } finally g.dispose()
-    val f = new File(path)
-    Option(f.getParentFile).foreach(_.mkdirs())
-    javax.imageio.ImageIO.write(img, "png", f)
-    f
+    }
   }
 
   /** Render (x, y) rows as a scatter PNG — the Q-Q / residual-plot
@@ -131,42 +132,27 @@ object PlotSink {
               width: Int = 640, height: Int = 400,
               refLine: Boolean = false): File = {
     val rows = df.select(col(xCol).cast("double"), col(yCol).cast("double"))
-      .limit(10001).collect()
+      .limit(MaxRows + 1).collect()
       .map(r => (r.getDouble(0), r.getDouble(1)))
     require(rows.nonEmpty, "plot input is empty — aggregate before plotting")
-    require(rows.length <= 10000,
-      "plot input exceeds 10000 rows — a chart sink takes aggregated results, not raw data")
+    require(rows.length <= MaxRows,
+      s"plot input exceeds $MaxRows rows — a chart sink takes aggregated results, not raw data")
     require(rows.forall(p => !p._1.isNaN && !p._2.isNaN),
       "plot input contains NaN — clean the aggregate before plotting")
-    System.setProperty("java.awt.headless", "true")
-    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    val g = img.createGraphics()
-    try {
-      g.setColor(java.awt.Color.WHITE)
-      g.fillRect(0, 0, width, height)
-      val margin = 40
-      val plotW = width - 2 * margin
-      val plotH = height - 2 * margin
-      g.setColor(java.awt.Color.BLACK)
-      g.drawLine(margin, height - margin, width - margin, height - margin)
-      g.drawLine(margin, margin, margin, height - margin)
+    renderPng(path, width, height) { (g, plotW, plotH) =>
       val (xMin, xMax) = (rows.map(_._1).min, rows.map(_._1).max)
       val (yMin, yMax) = (rows.map(_._2).min, rows.map(_._2).max)
       val xSpan = math.max(xMax - xMin, 1e-12)
       val ySpan = math.max(yMax - yMin, 1e-12)
-      def px(x: Double): Int = margin + ((x - xMin) / xSpan * plotW).toInt
-      def py(y: Double): Int = height - margin - ((y - yMin) / ySpan * plotH).toInt
+      def px(x: Double): Int = Margin + ((x - xMin) / xSpan * plotW).toInt
+      def py(y: Double): Int = height - Margin - ((y - yMin) / ySpan * plotH).toInt
       if (refLine) {
         g.setColor(java.awt.Color.GRAY)
         val lo = math.max(xMin, yMin); val hi = math.min(xMax, yMax)
         if (hi > lo) g.drawLine(px(lo), py(lo), px(hi), py(hi))
       }
-      g.setColor(new java.awt.Color(31, 119, 180))
+      g.setColor(C0)
       rows.foreach { case (x, y) => g.fillRect(px(x) - 1, py(y) - 1, 3, 3) }
-    } finally g.dispose()
-    val f = new File(path)
-    Option(f.getParentFile).foreach(_.mkdirs())
-    javax.imageio.ImageIO.write(img, "png", f)
-    f
+    }
   }
 }

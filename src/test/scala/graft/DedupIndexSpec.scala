@@ -335,9 +335,10 @@ class DedupIndexSpec extends AnyFunSuite {
       Seq(DedupIndex.exactTable(q89prefix), DedupIndex.bandTable(q89prefix),
         DedupIndex.embTable(q89prefix), s"${q89prefix}_ready")
         .foreach(DedupIndex.dropTable(spark, _))
-    // the declared query derives its prefix from the dir — mirror that
-    // so this spec's tables are the ones the call creates/reads
-    val dirPrefix = "graft_q89_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    // the declared query derives its prefix from the dir — use the
+    // SAME shared derivation so this spec's tables are the ones the
+    // call creates/reads
+    val dirPrefix = DedupIndex.q89PrefixFor(sf)
     def dropDir(): Unit =
       Seq(DedupIndex.exactTable(dirPrefix), DedupIndex.bandTable(dirPrefix),
         DedupIndex.embTable(dirPrefix), s"${dirPrefix}_ready")
