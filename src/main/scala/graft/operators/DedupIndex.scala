@@ -403,7 +403,7 @@ object DedupIndex {
     def run() = classifyNew6Indexed(s, docs.filter(isNew),
       embs.filter(isNew), imgSide(true), afpSide(true), vidSide(true),
       prefix)
-    assertIndexNeverShuffled(s, prefix)(run())
+    assertIndexNeverShuffledOnce(s, prefix)(run())
     run()
   }
 
@@ -463,7 +463,7 @@ object DedupIndex {
     }
     def probe() = classifyNew3Indexed(s, docs.filter(bk === 4),
       embs.filter(bk === 4), prefix)
-    assertIndexNeverShuffled(s, prefix)(probe())
+    assertIndexNeverShuffledOnce(s, prefix)(probe())
     probe()
   }
 
@@ -487,6 +487,29 @@ object DedupIndex {
     }.collect { case (e, nLeaves, scans)
         if nLeaves > 0 && scans.size == nLeaves && scans.forall(isIndexScan) =>
       e.toString.take(500)
+    }
+  }
+
+  /** Prefixes already lint-checked, keyed by session identity: the
+    * lint is a PLAN-SHAPE assertion over (code, bucketed-table DDL),
+    * both fixed within a session, so re-planning the probe under
+    * disabled-broadcast confs on every call re-proves a theorem that
+    * cannot have changed — and that planning pass alone measured
+    * ~1.0 s of q79's wall (ProfileIndex). First call per
+    * (session, prefix) still runs the full lint, so any code change is
+    * caught by every fresh session (each Verify/Bench/test JVM). */
+  private val lintedPrefixes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[assertIndexNeverShuffled]] memoized per (session, prefix) — the
+    * form the DECLARED queries use. Specs exercising the lint itself
+    * call the un-memoized variant. */
+  def assertIndexNeverShuffledOnce(s: SparkSession, prefix: String)
+                                  (mkFrame: => DataFrame): Unit = {
+    val key = System.identityHashCode(s) + ":" + prefix
+    if (!lintedPrefixes.contains(key)) {
+      assertIndexNeverShuffled(s, prefix)(mkFrame)
+      lintedPrefixes.add(key)
     }
   }
 
@@ -537,7 +560,7 @@ object DedupIndex {
     Seq(exactTable(prefix), bandTable(prefix), embTable(prefix))
       .foreach(dropTable(s, _))
     saveIndex(docs.filter(!isNew), embs.filter(!isNew), prefix, buckets)
-    assertIndexNeverShuffled(s, prefix) {
+    assertIndexNeverShuffledOnce(s, prefix) {
       classifyNew3Indexed(s, docs.filter(isNew), embs.filter(isNew), prefix)
     }
     classifyNew3Indexed(s, docs.filter(isNew), embs.filter(isNew), prefix)
