@@ -501,6 +501,33 @@ object SoakScale {
     if (!lineWallOk) failures += 1
     println(f"[soak] RATIO q87-wall                   ${lw1}%.2f -> ${lw10}%.2f s (${lineWallRatio}%.2fx, gate ${gate}%.1fx) ${if (lineWallOk) "PASS" else "FAIL"}")
 
+    // --- r11: q90 BPE trainer. THE claim is that after the one
+    // corpus-scale word-count pass, every merge iteration runs on the
+    // HISTOGRAM — so the trainer's wall must stay ~linear in corpus
+    // size even though the copy transform grows the vocabulary ~10×
+    // (rewritten tokens are disjoint across copy groups). Histogram
+    // rows are INFO'd (they track the copy-group vocab growth).
+    def bpeWall(df: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val (n, sc) = Caches.scope {
+        val hist = graft.operators.Bpe.wordHistogram(
+          df.select(explode(tokens(col("text"))).as("word")))
+        val (merges, fin) = graft.operators.Bpe.learnMerges(hist, iters = 3)
+        require(merges.size == 3)
+        // count the CHECKPOINTED final state (same row count as the
+        // histogram) — counting `hist` would re-run the corpus pass
+        fin.count()
+      }
+      sc.release(); spark.catalog.clearCache(); (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (bh1, bpeW1) = scoped("q90 bpe 3-iter @1x")(bpeWall(base))
+    val (bh10, bpeW10) = scoped("q90 bpe 3-iter @10x")(bpeWall(corpus10))
+    info("q90-histogram-rows", bh1, bh10)
+    val bpeWallRatio = bpeW10 / math.max(bpeW1, 1e-9)
+    val bpeWallOk = bpeWallRatio <= gate
+    if (!bpeWallOk) failures += 1
+    println(f"[soak] RATIO q90-wall                   ${bpeW1}%.2f -> ${bpeW10}%.2f s (${bpeWallRatio}%.2fx, gate ${gate}%.1fx) ${if (bpeWallOk) "PASS" else "FAIL"}")
+
     // --- r10c: q83/q84 sketches. THE claim is constant-size state:
     // HLL register rows are hard-bounded by sources×256 and CMS cells
     // by 4×512 AT ANY CORPUS SIZE — gated as absolute bounds, not
