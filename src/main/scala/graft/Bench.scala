@@ -346,17 +346,25 @@ object Bench {
     println(full)
     // the compact line ALSO lands in a committed file — a channel that
     // can't be truncated at all, for judge-side reading independent of
-    // whatever the driver's stdout tail does
+    // whatever the driver's stdout tail does. FULL runs only: a subset
+    // profiling run must never clobber the committed full-board
+    // artifact (round 11 swept several 2-4-query boards into commits
+    // via `git add -A` before this guard; bench_full.json still
+    // captures subsets for profiling).
     val compact = renderCompactJson(results, reps, sfDir)
     val compactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPACT_OUT",
       "bench_compact.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(compactPath),
-      (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] could not write $compactPath: ${e.getMessage}")
-    }
+    if (args.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(compactPath),
+        (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] could not write $compactPath: ${e.getMessage}")
+      }
+    else
+      System.err.println(s"[bench] subset run (${args.length} queries) — " +
+        s"$compactPath left untouched (full-board artifact)")
     // padding before the compact line: the driver's ~2000-char stdout
     // tail then holds ONLY whitespace + the compact line — a complete,
     // parseable object however the tail is consumed (whole-tail parse,
