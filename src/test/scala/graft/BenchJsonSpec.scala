@@ -242,6 +242,23 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(susC === List(JString("q28")))
   }
 
+  test("dirtyRunReason gates the committed artifact on load_before and suspects") {
+    // the clean committed boards: 1-min ~0, 5-min well under 1.5, 0-1 suspects
+    assert(Bench.dirtyRunReason("0.02 0.31 0.56", 1) === None)
+    assert(Bench.dirtyRunReason("0.49 1.49 2.0", 3) === None)
+    // the r11 driver-run shape: full board under external load — either
+    // signal alone must divert the write to bench_compact.dirty.json
+    assert(Bench.dirtyRunReason("4.81 3.2 1.9", 0).isDefined)   // 1-min hot
+    assert(Bench.dirtyRunReason("0.0 2.4 3.1", 0).isDefined)    // 5-min hot
+    assert(Bench.dirtyRunReason("0.1 0.2 0.3", 11).isDefined)   // mid-run spike
+    assert(Bench.dirtyRunReason("0.1 0.2 0.3", Bench.DirtySuspectN).isDefined)
+    // no /proc/loadavg (empty) fails OPEN on load; suspect gate still bites
+    assert(Bench.dirtyRunReason("", 0) === None)
+    assert(Bench.dirtyRunReason("", 9).isDefined)
+    // garbage load strings fail open too (never block a run on a parse bug)
+    assert(Bench.dirtyRunReason("n/a", 0) === None)
+  }
+
   test("gcMillis() is non-negative and non-decreasing under allocation") {
     val a = Bench.gcMillis()
     assert(a >= 0L)
