@@ -50,9 +50,15 @@ object Bpe {
   val EndMark = "</w>"
 
   /** (word, freq, syms) histogram from a one-column `word` frame — the
-    * single corpus-scale pass. */
+    * single corpus-scale pass. Empty words are dropped (r11 ADVICE):
+    * Spark's split('','') returns [""] (not []), so an empty token —
+    * consecutive/leading/trailing spaces in a future corpus — would
+    * yield syms ["", "</w>"], diverging from the reference trainer and
+    * from DuckDB's string_split, and breaking the "merged symbol is
+    * strictly longer than lhs" greedy-equivalence premise. */
   def wordHistogram(words: DataFrame): DataFrame =
-    words.groupBy(col("word"))
+    words.filter(length(col("word")) > 0)
+      .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
       .withColumn("syms",
         concat(split(col("word"), ""), array(lit(EndMark))))
@@ -137,13 +143,17 @@ object Bpe {
       df.withColumn("syms", mergeSyms(col("syms"), m.lhs, m.rhs))
     }
 
-  /** The q82-family train split (hash bucket < 80) exploded to words. */
+  /** The q82-family train split (hash bucket < 80) exploded to words.
+    * Empty words filtered here too (the q91 TEST side segments words
+    * without passing through [[wordHistogram]] — same r11-ADVICE empty-
+    * token divergence applies). */
   private def splitWords(s: SparkSession, dir: String,
                          train: Boolean): DataFrame = {
     val b = Sampling.hashBucket(col("doc_id"), 100)
     Tables(s, dir, "documents")
       .filter(if (train) b < 80 else b >= 90)
       .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
   }
 
   // q90 — the learned merge table itself (iter, lhs, rhs, pair_count):

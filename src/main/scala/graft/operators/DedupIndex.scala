@@ -403,9 +403,15 @@ object DedupIndex {
     def run() = classifyNew6Indexed(s, docs.filter(isNew),
       embs.filter(isNew), imgSide(true), afpSide(true), vidSide(true),
       prefix)
-    assertIndexNeverShuffledOnce(s, prefix)(run())
+    assertIndexNeverShuffledOnce(s, prefix, buckets)(run())
     run()
   }
+
+  /** q89's dir-derived table prefix — shared with DedupIndexSpec so a
+    * sanitization change can't silently desynchronize the spec's table
+    * cleanup from the query's tables. */
+  def q89PrefixFor(dir: String, prefixBase: String = "graft_q89"): String =
+    prefixBase + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
   /** q89 — the STEADY-STATE shape q74/q79 deliberately don't measure:
     * those queries pay the index CTAS build inside the declared frame
@@ -431,12 +437,6 @@ object DedupIndex {
     * (the spec suite) can never probe another scale's index. Splits:
     * hash-mod-5 buckets 0-2 = corpus, 3 = day-1 batch, 4 = day-2
     * batch. */
-  /** q89's dir-derived table prefix — shared with DedupIndexSpec so a
-    * sanitization change can't silently desynchronize the spec's table
-    * cleanup from the query's tables. */
-  def q89PrefixFor(dir: String, prefixBase: String = "graft_q89"): String =
-    prefixBase + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-
   def indexAppendProbe(s: SparkSession, dir: String,
                        prefixBase: String = "graft_q89",
                        buckets: Int = 8): DataFrame = {
@@ -463,7 +463,7 @@ object DedupIndex {
     }
     def probe() = classifyNew3Indexed(s, docs.filter(bk === 4),
       embs.filter(bk === 4), prefix)
-    assertIndexNeverShuffledOnce(s, prefix)(probe())
+    assertIndexNeverShuffledOnce(s, prefix, buckets)(probe())
     probe()
   }
 
@@ -490,26 +490,41 @@ object DedupIndex {
     }
   }
 
-  /** Prefixes already lint-checked, keyed by session identity: the
-    * lint is a PLAN-SHAPE assertion over (code, bucketed-table DDL),
-    * both fixed within a session, so re-planning the probe under
-    * disabled-broadcast confs on every call re-proves a theorem that
-    * cannot have changed — and that planning pass alone measured
-    * ~1.0 s of q79's wall (ProfileIndex). First call per
-    * (session, prefix) still runs the full lint, so any code change is
-    * caught by every fresh session (each Verify/Bench/test JVM). */
+  /** Prefixes (+ bucket counts) already lint-checked, per live session:
+    * the lint is a PLAN-SHAPE assertion over (code, bucketed-table DDL),
+    * both fixed for a given (session, prefix, buckets), so re-planning
+    * the probe under disabled-broadcast confs on every call re-proves a
+    * theorem that cannot have changed — and that planning pass alone
+    * measured ~1.0 s of q79's wall (ProfileIndex). First call per
+    * (session, prefix, buckets) still runs the full lint, so any code
+    * change is caught by every fresh session (each Verify/Bench/test
+    * JVM). WEAK-keyed on the session object itself (r11 ADVICE): an
+    * identityHashCode key could be reused by a fresh session after the
+    * old one is GC'd — silently skipping its first lint — and entries
+    * never evicted; weak keys make reuse impossible and let dead
+    * sessions' entries go with them. The bucket count rides in the
+    * value key so a same-prefix rebuild with different DDL re-lints. */
   private val lintedPrefixes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
 
-  /** [[assertIndexNeverShuffled]] memoized per (session, prefix) — the
-    * form the DECLARED queries use. Specs exercising the lint itself
-    * call the un-memoized variant. */
-  def assertIndexNeverShuffledOnce(s: SparkSession, prefix: String)
+  /** [[assertIndexNeverShuffled]] memoized per (session, prefix,
+    * buckets) — the form the DECLARED queries use. Specs exercising the
+    * lint itself call the un-memoized variant. */
+  def assertIndexNeverShuffledOnce(s: SparkSession, prefix: String,
+                                   buckets: Int = 8)
                                   (mkFrame: => DataFrame): Unit = {
-    val key = System.identityHashCode(s) + ":" + prefix
-    if (!lintedPrefixes.contains(key)) {
+    val seen = lintedPrefixes.synchronized {
+      var set = lintedPrefixes.get(s)
+      if (set == null) {
+        set = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        lintedPrefixes.put(s, set)
+      }
+      set
+    }
+    val key = prefix + ":" + buckets
+    if (!seen.contains(key)) {
       assertIndexNeverShuffled(s, prefix)(mkFrame)
-      lintedPrefixes.add(key)
+      seen.add(key)
     }
   }
 
@@ -560,7 +575,7 @@ object DedupIndex {
     Seq(exactTable(prefix), bandTable(prefix), embTable(prefix))
       .foreach(dropTable(s, _))
     saveIndex(docs.filter(!isNew), embs.filter(!isNew), prefix, buckets)
-    assertIndexNeverShuffledOnce(s, prefix) {
+    assertIndexNeverShuffledOnce(s, prefix, buckets) {
       classifyNew3Indexed(s, docs.filter(isNew), embs.filter(isNew), prefix)
     }
     classifyNew3Indexed(s, docs.filter(isNew), embs.filter(isNew), prefix)

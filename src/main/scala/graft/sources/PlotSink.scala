@@ -98,13 +98,21 @@ object PlotSink {
     * feeds its month-sorted frame to matplotlib); consecutive points
     * are joined with straight segments and each vertex carries a small
     * square marker. Values are scaled to [min, max] like [[scatter]]'s
-    * y axis so a narrow-band trend isn't flattened onto the axis. */
+    * y axis so a narrow-band trend isn't flattened onto the axis; an
+    * ALL-CONSTANT series (vMax == vMin) is drawn mid-plot — under the
+    * raw [min,max] rule every point would satisfy v-vMin = 0 and the
+    * flat trend would render pinned to the bottom axis, reading as
+    * zero (r11 ADVICE). */
   def lineChart(df: DataFrame, labelCol: String, valueCol: String,
                 path: String, width: Int = 640, height: Int = 400): File = {
     val rows = collectGuarded(df, labelCol, valueCol)
     renderPng(path, width, height) { (g, plotW, plotH) =>
       val vs = rows.map(_._2)
-      val (vMin, vMax) = (vs.min, vs.max)
+      val (vMin0, vMax0) = (vs.min, vs.max)
+      // constant series: pad the span symmetrically (±1 around the value,
+      // ±|v| scaled for large magnitudes) so the line lands mid-plot
+      val pad = if (vMax0 > vMin0) 0.0 else math.max(1.0, math.abs(vMin0))
+      val (vMin, vMax) = (vMin0 - pad, vMax0 + pad)
       val vSpan = math.max(vMax - vMin, 1e-12)
       val n = rows.length
       // vertices sit at slot centers, so a single point is mid-plot and
