@@ -136,12 +136,116 @@ object Bpe {
   }
 
   /** Apply an ORDERED merge list to a (word, syms) frame — one chained
-    * projection (no shuffles, no per-merge actions): the tokenize step
-    * a frozen BPE vocab runs at inference/scoring time. */
+    * projection (no shuffles, no per-merge actions). SMALL-VOCAB ONLY:
+    * the plan chains one fold expression per merge, so analysis/codegen
+    * cost grows linearly with vocab size — fine at the declared 10
+    * merges, fatal at a production 32k-merge vocab. The deployable
+    * frozen-vocab path is [[segmentWithVocab]] (O(1) plan size in V,
+    * spec-pinned equal to this on learned tables); this form stays as
+    * the independently-derived cross-check the equality spec needs. */
   def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame =
     merges.foldLeft(words) { (df, m) =>
       df.withColumn("syms", mergeSyms(col("syms"), m.lhs, m.rhs))
     }
+
+  /** The merge table as a rank map: (lhs, rhs) -> 0-based rank in iter
+    * order. Requires distinct pairs (a learned table never repeats a
+    * pair — once merged, the pair can't be counted again). */
+  def ranksOf(merges: Seq[Merge]): Map[(String, String), Int] = {
+    val ordered = merges.sortBy(_.iter).map(m => (m.lhs, m.rhs))
+    require(ordered.distinct.size == ordered.size,
+      "merge table repeats a pair — not a valid learned table")
+    ordered.zipWithIndex.toMap
+  }
+
+  /** Segment ONE word's symbol sequence under a frozen merge table —
+    * the HuggingFace-tokenizer apply loop: repeatedly find the adjacent
+    * pair with the LOWEST rank and merge all its occurrences greedily
+    * left-to-right; stop when no adjacent pair is in the table.
+    *
+    * Equivalence with rank-order application ([[applyMerges]]): on any
+    * VALID merge table — each merge's two components are base symbols
+    * or outputs of strictly earlier merges, which is true of every
+    * table [[learnMerges]] can produce, since a pair over a
+    * not-yet-created symbol has zero count when it would have to be
+    * picked — merging the lowest-present rank r creates only the symbol
+    * lhs+rhs, which by validity participates only in merges of rank
+    * > r. So no lower-rank opportunity is ever created out of order,
+    * and processing ranks lowest-first visits exactly the merges that
+    * sequential rank-order application performs, in the same
+    * left-to-right greedy way per rank. BpeSpec pins the equality on
+    * learned tables (the q90 table, adversarial planted corpora, and a
+    * 1k-merge table) rather than trusting this argument.
+    *
+    * Cost: O(L) scan per fired merge, ≤ L−1 fires ⇒ O(L²) worst case
+    * per word in the word's length L alone — INDEPENDENT of vocab size
+    * V (each lookup is one hash probe). [[applyMerges]] is O(V) plan
+    * depth and O(V·L) work per word; this is the difference between a
+    * demo vocab and a production 32k-merge one. */
+  def segmentSyms(syms0: IndexedSeq[String],
+                  ranks: Map[(String, String), Int]): IndexedSeq[String] = {
+    var syms = syms0
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-rank adjacent pair present in the table
+      var best = Int.MaxValue
+      var bl: String = null
+      var br: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // merge ALL its occurrences, greedy left-to-right (non-overlap)
+        val out = IndexedSeq.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == bl && syms(j + 1) == br) {
+            out += (bl + br); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Frozen-vocab segmenter over a one-column `word` frame: ONE
+    * broadcast of the rank map, one per-row projection — the plan is
+    * CONSTANT-SIZE in vocab size V, and the per-row work is O(L²) in
+    * word length with O(1) hash probes per lookup (see [[segmentSyms]]).
+    * This is the tokenize step a production 32k-merge vocab runs at
+    * inference/scoring scale; [[applyMerges]]' chained-fold plan cannot
+    * even ANALYZE at that V.
+    *
+    * Deliberately a Scala UDF, not a Catalyst expression: the per-row
+    * algorithm is data-dependent iteration over a broadcast hash map —
+    * expressible in the expression tree only by unrolling the table
+    * (exactly applyMerges' flaw). The fold chain it replaces is itself
+    * interpreted (HOF lambdas never enter whole-stage codegen), so the
+    * UDF gives up no codegen; A/B at the q90 shape (10 merges, sf0.1)
+    * measured the UDF at parity-or-better, and it is the only shape
+    * that exists at 1k+ merges (BpeSpec + SoakScale gate). Output
+    * matches [[wordHistogram]]'s framing: chars + `</w>`, then merges
+    * applied. */
+  def segmentWithVocab(words: DataFrame, merges: Seq[Merge],
+                       wordCol: String = "word"): DataFrame = {
+    val ranks = ranksOf(merges)
+    val bc = words.sparkSession.sparkContext.broadcast(ranks)
+    val seg = udf { (w: String) =>
+      // Java regex split("") is code-point aware (same engine Spark's
+      // split uses) — char-level .map(_.toString) would split surrogate
+      // pairs into lone code units and diverge from wordHistogram's
+      // framing; the empty-string filter mirrors the empty-word guard
+      val chars = w.split("").toIndexedSeq.filter(_.nonEmpty) :+ EndMark
+      segmentSyms(chars, bc.value)
+    }
+    words.withColumn("syms", seg(col(wordCol)))
+  }
 
   /** The q82-family train split (hash bucket < 80) exploded to words.
     * Empty words filtered here too (the q91 TEST side segments words
@@ -173,17 +277,17 @@ object Bpe {
   // merges: per source, test-token count, subword count after applying
   // the merge table, and subwords-per-token (the vocab-quality metric
   // tokenizer work reports; lower = the vocab compresses this source
-  // better). Merge application runs on DISTINCT test words (one fold
-  // pipeline) and joins back to the occurrence stream by word — the
-  // occurrence side never re-segments.
+  // better). Merge application runs on DISTINCT test words and joins
+  // back to the occurrence stream by word — the occurrence side never
+  // re-segments. Segmentation is the PRODUCTION path
+  // ([[segmentWithVocab]]: one broadcast rank map, plan constant in
+  // vocab size), spec-pinned equal to the rank-order fold chain, so the
+  // unrolled DuckDB oracle still replays it exactly.
   def bpeFertility(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
     val hist = wordHistogram(splitWords(s, dir, train = true).select("word"))
     val (merges, _) = learnMerges(hist, iters)
     val test = splitWords(s, dir, train = false)
-    val segmented = applyMerges(
-      test.select(col("word")).distinct()
-        .withColumn("syms", concat(split(col("word"), ""), array(lit(EndMark)))),
-      merges)
+    val segmented = segmentWithVocab(test.select(col("word")).distinct(), merges)
       .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
     test.join(segmented, Seq("word"))
       .groupBy(col("source"))

@@ -120,4 +120,97 @@ class BpeSpec extends AnyFunSuite {
       .head.getSeq[String](1)
     assert(seg0 == Seq("h", "e", "l", "l", "o", Bpe.EndMark))
   }
+
+  /** Sequential rank-order application, straight-line Scala — the
+    * independent ground truth [[Bpe.segmentWithVocab]]'s lowest-rank-
+    * first loop is pinned against (refLearn's merge pass, reused as a
+    * standalone apply). */
+  private def refApply(word: String,
+                       merges: Seq[(Int, String, String, Long)]): Seq[String] = {
+    var s: Seq[String] = word.map(_.toString) :+ Bpe.EndMark
+    for ((_, a, b, _) <- merges.sortBy(_._1)) {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      s = out.result()
+    }
+    s
+  }
+
+  test("segmentWithVocab ≡ applyMerges on the learned driver-corpus table, incl. unseen words") {
+    val spark2 = spark
+    import spark2.implicits._
+    val b = operators.Sampling.hashBucket(col("doc_id"), 100)
+    def words(train: Boolean) = graft.sources.Tables(spark, sf, "documents")
+      .filter(if (train) b < 80 else b >= 90)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val hist = Bpe.wordHistogram(words(train = true))
+    val (merges, _) = Bpe.learnMerges(hist, 10)
+    // the q91 shape: segment the DISTINCT held-out words — these include
+    // words the trainer never saw, where partial/zero merges must agree
+    val test = words(train = false).distinct()
+    val viaFold = Bpe.applyMerges(
+      test.withColumn("syms",
+        concat(split(col("word"), ""), array(lit(Bpe.EndMark)))), merges)
+      .select(col("word"), col("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    val viaVocab = Bpe.segmentWithVocab(test, merges)
+      .select(col("word"), col("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(viaVocab.nonEmpty && viaVocab == viaFold)
+    // non-vacuity: at least one held-out word actually fires a merge
+    assert(viaVocab.exists { case (w, syms) => syms.length < w.length + 1 })
+  }
+
+  test("frozen-vocab segmenter: 1000-merge table, plan constant in vocab size") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic synthetic vocab (LCG, 6-letter alphabet, length-14
+    // words): dense pair reuse so 1000 learnable merges exist, and the
+    // in-memory reference trainer stays seconds-fast
+    var seed = 0x5DEECE66DL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val alpha = "abcdef"
+    val vocab = (1 to 1200).map { _ =>
+      (1 to 14).map(_ => alpha(nextInt(alpha.length))).mkString
+    }.distinct
+    val freqs = vocab.map(w => w -> (1L + nextInt(50))).toMap
+    val (refMerges, refFinal) = refLearn(freqs, 1000)
+    assert(refMerges.size == 1000)
+    val merges = refMerges.map { case (it, l, r, c) => Bpe.Merge(it.toLong, l, r, c) }
+    // unseen words: perturbed variants sharing prefixes with the vocab,
+    // so they fire SOME merges but also hit rank misses mid-word
+    val unseen = vocab.take(200).map(w => w.take(7) + w.drop(7).reverse)
+    val allWords = (vocab ++ unseen).distinct
+    val segmented = Bpe.segmentWithVocab(allWords.toDF("word"), merges)
+    val got = segmented.select(col("word"), col("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    // training words: must equal the trainer's own final state
+    vocab.foreach { w =>
+      assert(got(w) == refFinal(w), s"training word '$w': ${got(w)} != ${refFinal(w)}")
+    }
+    // unseen words: must equal sequential rank-order application
+    unseen.foreach { w =>
+      assert(got(w) == refApply(w, refMerges), s"unseen word '$w' diverges")
+    }
+    // the deployability claim made executable: the segmenter's physical
+    // plan must NOT grow with the merge table (applyMerges' plan is
+    // ~linear in it — 1000 chained folds would be ~100x the 10-merge
+    // plan and would not survive analysis at 32k)
+    def planChars(ms: Seq[Bpe.Merge]): Int =
+      Bpe.segmentWithVocab(allWords.toDF("word"), ms)
+        .queryExecution.executedPlan.toString.length
+    val p10 = planChars(merges.take(10))
+    val p1000 = planChars(merges)
+    assert(p1000 <= 2 * p10,
+      s"segmenter plan grew with vocab size: $p10 chars @10 merges vs $p1000 @1000")
+  }
 }
