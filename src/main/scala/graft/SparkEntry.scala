@@ -113,6 +113,8 @@ object SparkEntry {
     // oracle generators unroll — the two sides cannot drift
     "q90_bpe_merges"        -> ((s: SparkSession, d: String) => Bpe.bpeMerges(s, d, BpeIters)),
     "q91_bpe_fertility"     -> ((s: SparkSession, d: String) => Bpe.bpeFertility(s, d, BpeIters)),
+    "q92_index_append_probe6" -> ((s: SparkSession, d: String) => DedupIndex.indexAppendProbe6(s, d)),
+    "q93_line_dedup_newline" -> ((s: SparkSession, d: String) => TextOps.lineDedupNewline(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1944,6 +1946,42 @@ object SparkEntry {
     // the merge table and the held-out fertility score are bit-gated.
     "q90_bpe_merges" -> bpeMergesSql,
     "q91_bpe_fertility" -> bpeFertilitySql,
+    // q92: q89's build → append → probe replay extended to the six-tier
+    // store — all three media chains join each round's membership set,
+    // day-2 verdicts under q78's six-way precedence.
+    "q92_index_append_probe6" -> indexAppendProbe6Sql,
+
+    // q93: q87's scrub rule driven through the REAL newline path — the
+    // oracle derives the same newline view (every 7th space → '\n' via
+    // RE2's 'g'-flagged regexp_replace, agreeing with Java's
+    // replace-all on this backtracking-free pattern), splits on
+    // chr(10), and replays the boilerplate cut + retained-bytes hash.
+    "q93_line_dedup_newline" -> raw"""
+      WITH t AS (SELECT doc_id,
+          string_split(regexp_replace(text,
+            '(([^ ]+ ){6}[^ ]+) ', '\1' || chr(10), 'g'), chr(10)) AS ls
+        FROM documents),
+      ln AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_no, ls[i] AS line
+             FROM t, unnest(generate_series(1, len(ls))) AS u(i)),
+      f AS (SELECT CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS lh,
+                   count(DISTINCT doc_id) AS nd
+            FROM ln GROUP BY 1),
+      b AS (SELECT lh FROM f WHERE nd > 1),
+      k AS (SELECT l.doc_id, l.line_no, l.line
+            FROM ln l LEFT JOIN b
+              ON CAST('0x' || substr(md5(l.line), 1, 15) AS BIGINT) = b.lh
+            WHERE b.lh IS NULL),
+      ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                    CAST(sum(len(string_split(line, ' '))) AS BIGINT) AS n_kept_tokens,
+                    md5(string_agg(line, ' ' ORDER BY line_no)) AS retained_hash
+             FROM k GROUP BY doc_id),
+      la AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM ln GROUP BY doc_id)
+      SELECT la.doc_id, la.n_lines,
+             CAST(la.n_lines - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(ka.n_kept_tokens, 0) AS n_kept_tokens,
+             coalesce(ka.retained_hash, md5('')) AS retained_hash
+      FROM la LEFT JOIN ka ON la.doc_id = ka.doc_id
+      ORDER BY la.doc_id""",
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,
@@ -2172,6 +2210,153 @@ object SparkEntry {
       LEFT JOIN ex2 e ON e.doc_id = bd.doc_id
       LEFT JOIN near2 n ON n.doc_id = bd.doc_id
       LEFT JOIN emb2 m2 ON m2.doc_id = bd.doc_id
+      WHERE bd.bk = 4 ORDER BY bd.doc_id"""
+  }
+
+  /** q92's two-round replay: [[indexAppendProbeSql]]'s build → append →
+    * probe set algebra extended to ALL SIX tiers — the three media CTE
+    * chains ([[imageDHashCtes]]/[[audioFpCtes]]/[[videoHashCtes]], the
+    * q73/q76/q77 replays verbatim) join each round through the same
+    * membership predicates as the text/embedding tiers, with q78's
+    * six-way precedence on day 2. The banded media CTEs carry their
+    * hash, so the hamming rescore needs no second hash join. The
+    * multiply-referenced frames (`d`, the media hash/band frames via
+    * wrappers, `mem`) are AS MATERIALIZED: DuckDB's default inlining
+    * would re-expand the pixel/PCM chains once per reference and the
+    * day-1 tier chain once per day-2 arm. */
+  private lazy val indexAppendProbe6Sql: String = {
+    val agree = minhashAgreeSql("a", "b")
+    val cosOk = """round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     4) >= 0.40"""
+    s"""
+      WITH $minhashSigCtesSql,
+      d AS MATERIALIZED (SELECT doc_id, md5(text) AS h,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS bk
+            FROM documents),
+      banded AS (
+        SELECT doc_id, 0 AS band, concat_ws('_', mh_0, mh_1, mh_2)   AS key FROM sig
+        UNION ALL SELECT doc_id, 1, concat_ws('_', mh_3, mh_4, mh_5) FROM sig
+        UNION ALL SELECT doc_id, 2, concat_ws('_', mh_6, mh_7, mh_8) FROM sig
+        UNION ALL SELECT doc_id, 3, concat_ws('_', mh_9, mh_10, mh_11) FROM sig),
+      ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sk AS (SELECT vec_id,
+        ${hyperplaneSketchSql(32)}
+        AS sketch FROM ev),
+      ebanded AS (
+        ${bandArmsSql(8, 4)}),
+      $imageDHashCtes,
+      $audioFpCtes,
+      $videoHashCtes,
+      ibm AS MATERIALIZED (SELECT * FROM ibanded),
+      abm AS MATERIALIZED (SELECT * FROM abanded),
+      vbm AS MATERIALIZED (SELECT * FROM vbanded),
+      ex1 AS (SELECT DISTINCT b.doc_id
+              FROM d b JOIN d c ON b.h = c.h AND c.bk < 3 WHERE b.bk = 3),
+      near1 AS (SELECT DISTINCT c.doc_id FROM
+                 (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS cid
+                  FROM banded x
+                  JOIN d dx ON dx.doc_id = x.doc_id AND dx.bk = 3
+                  JOIN banded y ON x.band = y.band AND x.key = y.key
+                  JOIN d dy ON dy.doc_id = y.doc_id AND dy.bk < 3) c
+                JOIN sig a ON a.doc_id = c.doc_id
+                JOIN sig b ON b.doc_id = c.cid
+                WHERE CAST($agree AS DOUBLE) / 12.0 >= 0.5),
+      emb1 AS (SELECT DISTINCT c.doc_id FROM
+                 (SELECT DISTINCT x.vec_id AS doc_id, y.vec_id AS cid
+                  FROM ebanded x
+                  JOIN d dx ON dx.doc_id = x.vec_id AND dx.bk = 3
+                  JOIN ebanded y ON x.band = y.band AND x.key = y.key
+                  JOIN d dy ON dy.doc_id = y.vec_id AND dy.bk < 3) c
+               JOIN ev a ON a.vec_id = c.doc_id
+               JOIN ev b ON b.vec_id = c.cid
+               WHERE $cosOk),
+      img1 AS (SELECT DISTINCT x.id AS doc_id
+               FROM ibm x JOIN d dx ON dx.doc_id = x.id AND dx.bk = 3
+               JOIN ibm y ON x.band = y.band AND x.key = y.key
+               JOIN d dy ON dy.doc_id = y.id AND dy.bk < 3
+               WHERE bit_count(xor(x.dhash, y.dhash)) <= 6),
+      afp1 AS (SELECT DISTINCT x.id AS doc_id
+               FROM abm x JOIN d dx ON dx.doc_id = x.id AND dx.bk = 3
+               JOIN abm y ON x.band = y.band AND x.key = y.key
+               JOIN d dy ON dy.doc_id = y.id AND dy.bk < 3
+               WHERE bit_count(xor(x.afp, y.afp)) <= 4),
+      vid1 AS (SELECT DISTINCT x.id AS doc_id
+               FROM vbm x JOIN d dx ON dx.doc_id = x.id AND dx.bk = 3
+               JOIN vbm y ON x.band = y.band AND x.key = y.key
+               JOIN d dy ON dy.doc_id = y.id AND dy.bk < 3
+               WHERE bit_count(xor(x.dhash, y.dhash)) <= 6),
+      mem AS MATERIALIZED (
+              SELECT doc_id FROM d WHERE bk < 3
+              UNION ALL
+              SELECT doc_id FROM d WHERE bk = 3
+                AND doc_id NOT IN (SELECT doc_id FROM ex1)
+                AND doc_id NOT IN (SELECT doc_id FROM near1)
+                AND doc_id NOT IN (SELECT doc_id FROM emb1)
+                AND doc_id NOT IN (SELECT doc_id FROM img1)
+                AND doc_id NOT IN (SELECT doc_id FROM afp1)
+                AND doc_id NOT IN (SELECT doc_id FROM vid1)),
+      ex2 AS (SELECT b.doc_id, min(c.doc_id) AS exact_id
+              FROM d b JOIN d c ON b.h = c.h
+              JOIN mem m ON m.doc_id = c.doc_id
+              WHERE b.bk = 4 GROUP BY 1),
+      cand2 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS cid
+                FROM banded x
+                JOIN d dx ON dx.doc_id = x.doc_id AND dx.bk = 4
+                JOIN banded y ON x.band = y.band AND x.key = y.key
+                JOIN mem m ON m.doc_id = y.doc_id),
+      near2 AS (SELECT c.doc_id, min(c.cid) AS near_id
+                FROM cand2 c
+                JOIN sig a ON a.doc_id = c.doc_id
+                JOIN sig b ON b.doc_id = c.cid
+                WHERE CAST($agree AS DOUBLE) / 12.0 >= 0.5
+                GROUP BY 1),
+      ecand2 AS (SELECT DISTINCT x.vec_id AS doc_id, y.vec_id AS cid
+                 FROM ebanded x
+                 JOIN d dx ON dx.doc_id = x.vec_id AND dx.bk = 4
+                 JOIN ebanded y ON x.band = y.band AND x.key = y.key
+                 JOIN mem m ON m.doc_id = y.vec_id),
+      emb2 AS (SELECT c.doc_id, min(c.cid) AS emb_id
+               FROM ecand2 c
+               JOIN ev a ON a.vec_id = c.doc_id
+               JOIN ev b ON b.vec_id = c.cid
+               WHERE $cosOk
+               GROUP BY 1),
+      img2 AS (SELECT x.id AS doc_id, min(y.id) AS img_id
+               FROM ibm x JOIN d dx ON dx.doc_id = x.id AND dx.bk = 4
+               JOIN ibm y ON x.band = y.band AND x.key = y.key
+               JOIN mem m ON m.doc_id = y.id
+               WHERE bit_count(xor(x.dhash, y.dhash)) <= 6
+               GROUP BY 1),
+      afp2 AS (SELECT x.id AS doc_id, min(y.id) AS afp_id
+               FROM abm x JOIN d dx ON dx.doc_id = x.id AND dx.bk = 4
+               JOIN abm y ON x.band = y.band AND x.key = y.key
+               JOIN mem m ON m.doc_id = y.id
+               WHERE bit_count(xor(x.afp, y.afp)) <= 4
+               GROUP BY 1),
+      vid2 AS (SELECT x.id AS doc_id, min(y.id) AS vid_id
+               FROM vbm x JOIN d dx ON dx.doc_id = x.id AND dx.bk = 4
+               JOIN vbm y ON x.band = y.band AND x.key = y.key
+               JOIN mem m ON m.doc_id = y.id
+               WHERE bit_count(xor(x.dhash, y.dhash)) <= 6
+               GROUP BY 1)
+      SELECT bd.doc_id,
+             CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                  WHEN n.near_id IS NOT NULL THEN 'near'
+                  WHEN m2.emb_id IS NOT NULL THEN 'near_embedding'
+                  WHEN i2.img_id IS NOT NULL THEN 'near_image'
+                  WHEN a2.afp_id IS NOT NULL THEN 'near_audio'
+                  WHEN v2.vid_id IS NOT NULL THEN 'near_video'
+                  ELSE 'new' END AS status,
+             coalesce(e.exact_id, n.near_id, m2.emb_id,
+                      i2.img_id, a2.afp_id, v2.vid_id) AS match_id
+      FROM d bd
+      LEFT JOIN ex2 e ON e.doc_id = bd.doc_id
+      LEFT JOIN near2 n ON n.doc_id = bd.doc_id
+      LEFT JOIN emb2 m2 ON m2.doc_id = bd.doc_id
+      LEFT JOIN img2 i2 ON i2.doc_id = bd.doc_id
+      LEFT JOIN afp2 a2 ON a2.doc_id = bd.doc_id
+      LEFT JOIN vid2 v2 ON v2.doc_id = bd.doc_id
       WHERE bd.bk = 4 ORDER BY bd.doc_id"""
   }
 

@@ -1332,4 +1332,38 @@ object Dedup {
       embSketchProjection(corpusEmb, bits, dim),
       newImg, corpusImg,
       k, bands, estThreshold, cosThreshold, bits, embBands, maxHamming)
+
+  /** [[incrementalDedup6]] over caller frames — the library entry for
+    * production SIX-tier ingest: [[incrementalDedupFor4]]'s frames plus
+    * the (doc_id, afp) audio and (doc_id, dhash) video hash sides (a
+    * real pipeline computes them with [[Multimodal.audioFingerprintsFor]]
+    * / [[Multimodal.videoHashesFor]] at ingest). One [[verdictTiers]]
+    * fold, q78's precedence — and the one-shot ground truth the q92
+    * steady-state spec pins the stored-index path against. */
+  def incrementalDedupFor6(newDocs: DataFrame, corpus: DataFrame,
+                           newEmb: DataFrame, corpusEmb: DataFrame,
+                           newImg: DataFrame, corpusImg: DataFrame,
+                           newAfp: DataFrame, corpusAfp: DataFrame,
+                           newVid: DataFrame, corpusVid: DataFrame,
+                           k: Int = 12, bands: Int = 4,
+                           estThreshold: Double = 0.5,
+                           cosThreshold: Double = 0.40, bits: Int = 32,
+                           embBands: Int = 8, dim: Int = 64,
+                           maxHamming: Int = 6, audioMaxHamming: Int = 4,
+                           videoMaxHamming: Int = 6): DataFrame = {
+    val batch = hashSigProjection(newDocs, k)
+    val corp = hashSigProjection(corpus, k)
+    verdictTiers(batch.select(col("doc_id")), Seq(
+      ("exact", "exact_id", exactTier(batch, corp)),
+      ("near", "near_id", nearTier(batch, corp, k, bands, estThreshold)),
+      ("near_embedding", "emb_id",
+        embeddingTier(embSketchProjection(newEmb, bits, dim),
+          embSketchProjection(corpusEmb, bits, dim),
+          cosThreshold, bits, embBands)),
+      ("near_image", "img_id", imageTier(newImg, corpusImg, maxHamming)),
+      ("near_audio", "afp_id", audioTier(newAfp, corpusAfp, audioMaxHamming)),
+      ("near_video", "vid_id",
+        imageTier(newVid, corpusVid, videoMaxHamming, out = "vid_id"))))
+      .orderBy(col("doc_id"))
+  }
 }

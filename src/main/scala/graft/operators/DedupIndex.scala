@@ -467,6 +467,74 @@ object DedupIndex {
     probe()
   }
 
+  /** q92 — q89's steady-state ingest extended to the FULL six-tier
+    * store: q79 builds all six bucketed tables and classifies
+    * build-inclusive (~⅔ of its bench cost is CTAS); this query gates
+    * the DAILY six-tier op alone —
+    *   day 1 — classify a batch against the stored six-table index and
+    *           APPEND its `new` survivors to every tier
+    *           ([[appendNew6]]: text + embedding + image + audio +
+    *           video, each with the saved bucket spec);
+    *   day 2 — classify the NEXT batch against the GROWN index,
+    *           probe-only across all six tiers.
+    * The returned frame is day 2's verdicts. A day-2 doc whose ONLY
+    * duplicate is a day-1 `new` survivor — in any modality — must
+    * resolve against the appended rows, so an oracle-green run
+    * certifies all six appends landed, bucketed so the probe still
+    * plans with zero index-side exchange (the lint runs in-query).
+    * Same build-once idempotence + marker-last + dir-derived prefix
+    * contract as [[indexAppendProbe]]; same splits (hash-mod-5: 0-2
+    * corpus, 3 day-1, 4 day-2); media sides by modality slot
+    * (pmod 3), filtered to slot AND split BEFORE decoding, as in q79. */
+  def indexAppendProbe6(s: SparkSession, dir: String,
+                        prefixBase: String = "graft_q92",
+                        buckets: Int = 8): DataFrame = {
+    import graft.sources.Tables
+    import s.implicits._
+    val prefix = q89PrefixFor(dir, prefixBase)
+    val docs = Tables.spreadTable(s, dir, "documents", col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val embs = Tables.spreadTable(s, dir, "embeddings", col("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val bk = Sampling.hashBucket(col("doc_id"), 5)
+    def mediaIds(slot: Int, cond: org.apache.spark.sql.Column) = Tables.spread(
+      docs.select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(3)) === slot && cond),
+      col("doc_id")).as[Long]
+    def imgSide(cond: org.apache.spark.sql.Column) =
+      Multimodal.imageDHashesFor(s, mediaIds(0, cond))
+        .select(col("media_id").as("doc_id"), col("dhash"))
+    def afpSide(cond: org.apache.spark.sql.Column) =
+      Multimodal.audioFingerprintsFor(s, mediaIds(1, cond))
+        .select(col("media_id").as("doc_id"), col("afp"))
+    def vidSide(cond: org.apache.spark.sql.Column) =
+      Multimodal.videoHashesFor(s, mediaIds(2, cond))
+        .select(col("media_id").as("doc_id"), col("dhash"))
+    val ready = s"${prefix}_ready"
+    if (!s.catalog.tableExists(ready)) {
+      Seq(exactTable(prefix), bandTable(prefix), embTable(prefix),
+        imgTable(prefix), afpTable(prefix), vidTable(prefix), ready)
+        .foreach(dropTable(s, _))
+      saveIndex(docs.filter(bk < 3), embs.filter(bk < 3), prefix, buckets)
+      saveImgIndex(imgSide(bk < 3), prefix, buckets)
+      saveAfpIndex(afpSide(bk < 3), prefix, buckets)
+      saveVidIndex(vidSide(bk < 3), prefix, buckets)
+      val day1 = classifyNew6Indexed(s, docs.filter(bk === 3),
+        embs.filter(bk === 3), imgSide(bk === 3), afpSide(bk === 3),
+        vidSide(bk === 3), prefix)
+      appendNew6(docs.filter(bk === 3), embs.filter(bk === 3),
+        imgSide(bk === 3), afpSide(bk === 3), vidSide(bk === 3), day1,
+        prefix, buckets)
+      // marker LAST: created only after all six appends committed
+      s.sql(s"CREATE TABLE $ready AS SELECT 1 AS ok")
+    }
+    def probe() = classifyNew6Indexed(s, docs.filter(bk === 4),
+      embs.filter(bk === 4), imgSide(bk === 4), afpSide(bk === 4),
+      vidSide(bk === 4), prefix)
+    assertIndexNeverShuffledOnce(s, prefix, buckets)(probe())
+    probe()
+  }
+
   /** The zero-shuffle claim as an executable lint (shared by
     * DedupIndexSpec and the q74 declared query): collect every
     * ShuffleExchange whose ENTIRE leaf set is index-table scans — the

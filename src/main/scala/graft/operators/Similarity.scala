@@ -32,13 +32,22 @@ object Similarity {
   // 4dp (absorbs summation-order noise) with vec_id tiebreak so the
   // oracle ranks identically.
   def bruteForceTopK(s: SparkSession, dir: String,
-                     k: Int = 5, nQueries: Int = 10): DataFrame = {
+                     k: Int = 5, nQueries: Int = 10): DataFrame =
+    bruteForceTopKFor(s, emb(s, dir).select(col("vec_id"), col("embedding")),
+      k, nQueries)
+
+  /** [[bruteForceTopK]] over a caller (vec_id, embedding float array)
+    * frame — the SoakScale recall gate's ground-truth side at 1× and
+    * 10× corpus. Queries are `vec_id < nQueries`, same as the dir
+    * entry. */
+  def bruteForceTopKFor(s: SparkSession, e0: DataFrame,
+                        k: Int = 5, nQueries: Int = 10): DataFrame = {
     FloatVectorExprs.register(s)
     // per-vector norm computed ONCE, not per pair — sqrt(dot(v,v)) on the
     // same input is the same double, so cosine stays bit-identical to the
     // per-pair formulation (and to the oracle) while rescoring does one
     // dot per pair instead of three
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val e = e0
       .withColumn("_norm", sqrt(dotNative(col("embedding"), col("embedding"))))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -112,14 +121,23 @@ object Similarity {
   // bits-per-band to shrink candidate sets; for genuinely unstructured
   // vectors the right scale path is an IVF coarse quantizer instead.
   def lshTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
-              bits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
+              bits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame =
+    lshTopKFor(s, emb(s, dir).select(col("vec_id"), col("embedding")),
+      k, nQueries, bits, bands, dim)
+
+  /** [[lshTopK]] over a caller (vec_id, embedding) frame — the recall
+    * gate measures THIS path against [[bruteForceTopKFor]] on the same
+    * frame at 1× and 10×, so banding-parameter drift that silently
+    * loses neighbors fails a soak instead of shipping. */
+  def lshTopKFor(s: SparkSession, e0: DataFrame, k: Int = 5,
+                 nQueries: Int = 10, bits: Int = 16, bands: Int = 8,
+                 dim: Int = 64): DataFrame = {
     require(bits % bands == 0,
       s"bands ($bands) must divide bits ($bits) — trailing sketch bits would be silently unused")
     FloatVectorExprs.register(s)
     val r = bits / bands
     val mask = (1L << r) - 1
-    val e = hyperplaneSketch(
-      emb(s, dir).select(col("vec_id"), col("embedding")), "embedding", bits, dim)
+    val e = hyperplaneSketch(e0, "embedding", bits, dim)
       .withColumn("_norm", sqrt(dotNative(col("embedding"), col("embedding"))))
     // cached: the sketch projection feeds BOTH sides of the bucket join —
     // without this the sketch and norms compute twice; released via
@@ -233,7 +251,16 @@ object Similarity {
   // recall<1 of probing nProbe/nCells lists is operator semantics, not
   // oracle slack (the q43 banding argument).
   def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4): DataFrame =
+    ivfTopKFor(s, emb(s, dir).select(col("vec_id"), col("embedding")),
+      k, nQueries, nProbe)
+
+  /** [[ivfTopK]] over a caller (vec_id, embedding) frame — same literal
+    * [[IvfCentroids]] partition function (a 100-TB deployment reuses
+    * its fitted quantizer across corpus growth exactly like this; the
+    * recall gate measures how the FIXED centroids hold up at 10×). */
+  def ivfTopKFor(s: SparkSession, e0: DataFrame, k: Int = 5,
+                 nQueries: Int = 10, nProbe: Int = 4): DataFrame = {
     FloatVectorExprs.register(s)
     val cents = IvfCentroids.cells
     val halfSq = cents.map(c => 0.5 * IvfCentroids.sqNorm(c))
@@ -243,7 +270,7 @@ object Similarity {
     val scores = array(cents.indices.map(j =>
       dotNative(col("embedding"), typedlit(cents(j).toSeq)) - lit(halfSq(j))): _*)
     val assigned = Caches.track(
-      emb(s, dir).select(col("vec_id"), col("embedding"))
+      e0
         .withColumn("_scores", scores)
         .withColumn("cell", expr("array_position(_scores, array_max(_scores))"))
         .drop("_scores")

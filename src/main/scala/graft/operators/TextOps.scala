@@ -239,6 +239,45 @@ object TextOps {
     scrubLines(lines, boilerplateLines(lines, maxDocs))
       .orderBy(col("doc_id"))
 
+  // q93 — [[lineDedupLines]] driven through the REAL newline path. q87
+  // gates the scrub rule on the 10-token segment proxy (the driver
+  // corpus is single-line); this query first derives a deterministic
+  // NEWLINE VIEW of the corpus — every `segLen`-th space becomes '\n'
+  // via one regexp_replace, replayed verbatim by the DuckDB oracle —
+  // and then runs the exact entry a crawl corpus calls:
+  // split(text_nl, '\n') + posexplode → (doc_id, line_no, line) →
+  // lineDedupLines. An oracle-green run certifies the newline path
+  // itself (posexplode line numbering, blank-line-free splitting, the
+  // scrub over genuinely multi-line documents), not just the proxy.
+  def lineDedupNewline(s: SparkSession, dir: String, segLen: Int = 7,
+                       maxDocs: Int = 1): DataFrame =
+    lineDedupLines(newlineLines(docsHeavy(s, dir), segLen), maxDocs)
+
+  /** Deterministic newline view: replace every `segLen`-th space with
+    * '\n'. One global regexp_replace — the pattern consumes `segLen`
+    * tokens plus the following space and reinserts the tokens with a
+    * newline, so non-overlapping left-to-right matching yields exactly
+    * ⌈n/segLen⌉ lines of ≤ segLen tokens on a single-spaced corpus
+    * (verified equal to [[docLines]]' slice segmentation by spec AND by
+    * the dry-run against DuckDB's RE2 with the 'g' flag — Java and RE2
+    * agree on this pattern because `[^ ]+` is backtracking-free). */
+  private[graft] def newlineView(documents: DataFrame, segLen: Int): DataFrame = {
+    require(segLen > 0, s"need segLen > 0, got $segLen")
+    documents.select(col("doc_id"),
+      regexp_replace(col("text"),
+        s"(([^ ]+ ){${segLen - 1}}[^ ]+) ", "$1\n").as("text_nl"))
+  }
+
+  /** The (doc_id, line_no, line) frame of [[newlineView]] — the literal
+    * `split(text, '\n')` + posexplode a newline corpus feeds
+    * [[lineDedupLines]]. Pure per-row explode, no shuffle. */
+  private[graft] def newlineLines(documents: DataFrame, segLen: Int): DataFrame =
+    newlineView(documents, segLen)
+      .select(col("doc_id"),
+        posexplode(split(col("text_nl"), "\n")).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
+        col("line"))
+
   /** The BOILERPLATE TABLE of a lines frame: one `_lh` (60-bit line
     * hash) row per line appearing in more than `maxDocs` distinct
     * documents — the corpus-frequency pass, and the static artifact a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{shingles, tokens}
-import graft.operators.{Caches, Compose, Dedup}
+import graft.operators.{Caches, Compose, Dedup, Similarity}
 import graft.sources.Tables
 
 /** 10× scale soak for the dedup family (q26/q51/q62/q65): verifies the
@@ -632,6 +632,64 @@ object SoakScale {
     val segCorpusOk = segCorpusRatio <= gate
     if (!segCorpusOk) failures += 1
     println(f"[soak] RATIO q91-segmenter-wall         ${segW1k}%.2f -> ${segW1k10}%.2f s (${segCorpusRatio}%.2fx, gate ${gate}%.1fx) ${if (segCorpusOk) "PASS" else "FAIL"}")
+
+    // --- r12: ANN RECALL gate (q31 LSH / q38 IVF vs q29 brute force).
+    // The declared queries are oracle-EXACT against literal planes /
+    // centroids — both engines make identical banding and probe
+    // decisions — but nothing gated RECALL: a parameter drift (fewer
+    // bands, narrower probes, a centroid refit) would pass every hash
+    // check while silently losing true neighbors. Gate: top-5 set
+    // recall vs [[Similarity.bruteForceTopKFor]] on the SAME frame, at
+    // 1× and at a 10× corpus (copies carry a small deterministic
+    // per-copy angular jitter, so growth adds genuinely new near-
+    // neighbors rather than pure ties). Both ANN paths rescore
+    // candidates with the identical cosine+tiebreak ranking as brute
+    // force, so recall measures exactly the candidate-generation loss.
+    // Floors: LSH 0.95 (8×2-bit banding is deliberately permissive —
+    // measured 1.0 at both scales on this fixture); IVF 0.70 with
+    // nProbe=4 of 16 cells (measured ≥0.9; the fixed literal centroids
+    // are the production artifact contract, so recall at 10× is the
+    // number that says the quantizer still fits the grown corpus).
+    val embBase = Caches.track(
+      Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .repartition(32, col("vec_id")))
+    def embCopy(c: Int): DataFrame =
+      if (c == 0) embBase
+      else embBase.select(
+        (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> cast(x * (1.0 + 0.002 * (((i + $c * 31) % 7) - 3)) as float))")
+          .as("embedding"))
+    val emb10 = Caches.track(
+      (0 until 10).map(embCopy).reduce(_ unionByName _)
+        .repartition(32, col("vec_id")))
+    emb10.count()
+    def recallOf(name: String, e: DataFrame,
+                 ann: DataFrame => DataFrame, floor: Double): Double = {
+      val (r, sc) = Caches.scope {
+        val truth = Caches.track(Similarity.bruteForceTopKFor(spark, e)
+          .select(col("query_id"), col("vec_id")))
+        val got = ann(e).select(col("query_id"), col("vec_id"))
+        val denom = truth.count()
+        got.join(truth, Seq("query_id", "vec_id")).count().toDouble /
+          math.max(denom, 1L)
+      }
+      sc.release(); spark.catalog.clearCache()
+      base.cache(); base.count(); corpus10.cache(); corpus10.count()
+      embBase.cache(); embBase.count(); emb10.cache(); emb10.count()
+      val ok = r >= floor
+      if (!ok) failures += 1
+      println(f"[soak] RATIO $name%-26s recall@5 = $r%.3f (floor $floor%.2f) ${if (ok) "PASS" else "FAIL"}")
+      r
+    }
+    recallOf("q31-lsh-recall @1x", embBase,
+      e => Similarity.lshTopKFor(spark, e), 0.95)
+    recallOf("q31-lsh-recall @10x", emb10,
+      e => Similarity.lshTopKFor(spark, e), 0.95)
+    recallOf("q38-ivf-recall @1x", embBase,
+      e => Similarity.ivfTopKFor(spark, e), 0.70)
+    recallOf("q38-ivf-recall @10x", emb10,
+      e => Similarity.ivfTopKFor(spark, e), 0.70)
 
     // --- r10c: q83/q84 sketches. THE claim is constant-size state:
     // HLL register rows are hard-bounded by sources×256 and CMS cells

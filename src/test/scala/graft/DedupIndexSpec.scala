@@ -386,4 +386,70 @@ class DedupIndexSpec extends AnyFunSuite {
         "exact table must hold appended day-1 survivor rows")
     } finally { dropQ89(); dropDir() }
   }
+
+  test("indexAppendProbe6: six-tier steady state ≡ in-memory over the grown corpus, idempotent (q92)") {
+    import spark.implicits._
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val dirPrefix = DedupIndex.q89PrefixFor(sf, "graft_q92")
+    def allTables(p: String) =
+      Seq(DedupIndex.exactTable(p), DedupIndex.bandTable(p),
+        DedupIndex.embTable(p), DedupIndex.imgTable(p),
+        DedupIndex.afpTable(p), DedupIndex.vidTable(p), s"${p}_ready")
+    def dropDir(): Unit = allTables(dirPrefix).foreach(DedupIndex.dropTable(spark, _))
+    dropDir()
+    try {
+      val v = DedupIndex.indexAppendProbe6(spark, sf).localCheckpoint()
+      val docs = graft.sources.Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))
+      val embs = graft.sources.Tables(spark, sf, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val bk = Sampling.hashBucket(col("doc_id"), 5)
+      // media hashes per modality slot, for EVERY split side, cached:
+      // the one-shot reference recomputes each side several times
+      def ids(slot: Int, cond: org.apache.spark.sql.Column) =
+        docs.select(col("doc_id"))
+          .filter(pmod(col("doc_id"), lit(3)) === slot && cond).as[Long]
+      def img(cond: org.apache.spark.sql.Column) =
+        graft.operators.Multimodal.imageDHashesFor(spark, ids(0, cond))
+          .select(col("media_id").as("doc_id"), col("dhash")).localCheckpoint()
+      def afp(cond: org.apache.spark.sql.Column) =
+        graft.operators.Multimodal.audioFingerprintsFor(spark, ids(1, cond))
+          .select(col("media_id").as("doc_id"), col("afp")).localCheckpoint()
+      def vid(cond: org.apache.spark.sql.Column) =
+        graft.operators.Multimodal.videoHashesFor(spark, ids(2, cond))
+          .select(col("media_id").as("doc_id"), col("dhash")).localCheckpoint()
+      // day-1 verdicts recomputed IN MEMORY (the stored tables already
+      // hold the grown state — see the q89 spec note)
+      val day1Mem = Dedup.incrementalDedupFor6(
+        docs.filter(bk === 3), docs.filter(bk < 3),
+        embs.filter(bk === 3), embs.filter(bk < 3),
+        img(bk === 3), img(bk < 3),
+        afp(bk === 3), afp(bk < 3),
+        vid(bk === 3), vid(bk < 3)).localCheckpoint()
+      val new1 = day1Mem.filter($"status" === "new").select("doc_id")
+      def grow(day1: org.apache.spark.sql.DataFrame,
+               corpusSide: org.apache.spark.sql.DataFrame) =
+        corpusSide.unionByName(day1.join(new1, Seq("doc_id")))
+      val oneShot = Dedup.incrementalDedupFor6(
+        docs.filter(bk === 4), grow(docs.filter(bk === 3), docs.filter(bk < 3)),
+        embs.filter(bk === 4), grow(embs.filter(bk === 3), embs.filter(bk < 3)),
+        img(bk === 4), grow(img(bk === 3), img(bk < 3)),
+        afp(bk === 4), grow(afp(bk === 3), afp(bk < 3)),
+        vid(bk === 4), grow(vid(bk === 3), vid(bk < 3)))
+      assert(verdicts(v) == verdicts(oneShot),
+        "six-tier steady-state probe must equal the in-memory grown-corpus classify")
+      // idempotence: a second call is probe-only — identical verdicts
+      // and NO table (any tier) grows
+      val sizes = allTables(dirPrefix).dropRight(1)
+        .map(t => t -> spark.table(t).count()).toMap
+      val v2 = DedupIndex.indexAppendProbe6(spark, sf)
+      assert(verdicts(v2) == verdicts(v), "second call must re-probe, not rebuild")
+      sizes.foreach { case (t, n) =>
+        assert(spark.table(t).count() == n,
+          s"$t grew on the second call — the append re-ran")
+      }
+    } finally dropDir()
+  }
 }

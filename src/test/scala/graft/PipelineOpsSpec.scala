@@ -980,6 +980,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(seg == 0L, "segment count must be ceil(n_tokens/10) exactly")
   }
 
+  test("line dedup newline path: regex view ≡ slice segmentation, multi-line collapse present (q93)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // the newline view's split('\n') lines must equal docLines' slice
+    // segmentation row-for-row at the same segLen — the regex
+    // every-7th-space derivation and the posexplode numbering both
+    // certified against the integer-slice ground truth
+    val nl = operators.TextOps.newlineLines(docs, 7)
+    val seg = operators.TextOps.docLines(docs, 7)
+    assert(nl.exceptAll(seg).isEmpty && seg.exceptAll(nl).isEmpty,
+      "newline-path lines must equal the slice segmentation")
+    // end-to-end: the q93 entry equals lineDedupFor at segLen 7
+    val viaNewline = operators.TextOps.lineDedupNewline(spark, sf, segLen = 7)
+    val viaSlices = operators.TextOps.lineDedupFor(docs, segLen = 7)
+    assert(viaNewline.exceptAll(viaSlices).isEmpty
+        && viaSlices.exceptAll(viaNewline).isEmpty,
+      "q93 newline entry must equal the slice-segmented scrub")
+    // the fixture is non-vacuous: at this SF at least one document
+    // loses ≥ 2 lines (a MULTI-line boilerplate collapse — genuinely
+    // multi-line documents through the newline path, not single-line
+    // proxies), and at least one keeps everything
+    val collapsed = viaNewline.filter(col("n_removed") >= 2).count()
+    assert(collapsed >= 1, "expected a multi-line boilerplate collapse")
+    assert(viaNewline.filter(col("n_removed") === 0).count() >= 1)
+  }
+
   test("contaminated spans: two separate quotes merge into two maximal spans, not one (q88)") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.tokens
