@@ -115,6 +115,9 @@ object SparkEntry {
     "q91_bpe_fertility"     -> ((s: SparkSession, d: String) => Bpe.bpeFertility(s, d, BpeIters)),
     "q92_index_append_probe6" -> ((s: SparkSession, d: String) => DedupIndex.indexAppendProbe6(s, d)),
     "q93_line_dedup_newline" -> ((s: SparkSession, d: String) => TextOps.lineDedupNewline(s, d)),
+    "q94_cluster_canonical" -> ((s: SparkSession, d: String) => Dedup.clusterCanonical(s, d)),
+    "q95_repeated_gram_scrub" -> ((s: SparkSession, d: String) => TextOps.repeatedGramScrub(s, d)),
+    "q96_temperature_mix" -> Sampling.temperatureMixAudit _,
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1982,6 +1985,124 @@ object SparkEntry {
              coalesce(ka.retained_hash, md5('')) AS retained_hash
       FROM la LEFT JOIN ka ON la.doc_id = ka.doc_id
       ORDER BY la.doc_id""",
+
+    // q94: q51's recursive components over the SAME capped pair CTEs,
+    // then canonical = window rank by (quality_ok DESC, n_tokens DESC,
+    // doc_id ASC) — the q24 quality formula inlined; the engine's
+    // max_by-struct argmax and this rank agree because doc_id makes the
+    // order total. lab is MATERIALIZED: it's referenced twice and
+    // default inlining would run the recursion once per reference.
+    "q94_cluster_canonical" -> s"""
+      WITH RECURSIVE $ngramPairsCtes,
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.s, re.r FROM edges e JOIN reach re ON re.doc_id = e.t),
+      lab AS MATERIALIZED (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+      q AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT)              AS n_tokens,
+              CAST(length(text) AS BIGINT)                              AS char_len,
+              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+            FROM documents),
+      qq AS (SELECT doc_id, n_tokens,
+               CAST(n_tokens BETWEEN 5 AND 500
+                    AND CAST(n_uniq AS DOUBLE) / n_tokens > 0.2
+                    AND CAST(char_len - (n_tokens - 1) AS DOUBLE) / n_tokens
+                          BETWEEN 2.0 AND 12.0 AS INT) AS quality_ok
+             FROM q),
+      rk AS (SELECT l.doc_id, l.cluster_id,
+               row_number() OVER (PARTITION BY l.cluster_id
+                 ORDER BY qq.quality_ok DESC, qq.n_tokens DESC, l.doc_id ASC) AS rn
+             FROM lab l JOIN qq USING (doc_id)),
+      can AS (SELECT cluster_id, doc_id AS canonical_id FROM rk WHERE rn = 1)
+      SELECT l.doc_id, l.cluster_id,
+             CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size,
+             c.canonical_id,
+             CASE WHEN l.doc_id = c.canonical_id THEN 'keep' ELSE 'drop' END AS action
+      FROM lab l JOIN can c USING (cluster_id)
+      ORDER BY l.doc_id""",
+
+    // q95: positioned 3-gram hashes (same 60-bit md5Long as the
+    // engine's native pass), repeats = later occurrences of a hash
+    // within the doc, q88's sessionize merge with gap n over repeat
+    // positions, exploded span positions anti-joined against the token
+    // stream, retained bytes hashed in position order.
+    "q95_repeated_gram_scrub" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g AS (SELECT doc_id, i AS pos,
+              CAST('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15) AS BIGINT) AS gh
+            FROM t, unnest(generate_series(1, len(tk) - 2)) u(i)
+            WHERE len(tk) >= 3),
+      f AS (SELECT doc_id, gh, min(pos) AS first_pos FROM g GROUP BY 1, 2),
+      r AS (SELECT g.doc_id, g.pos FROM g
+            JOIN f ON f.doc_id = g.doc_id AND f.gh = g.gh
+            WHERE g.pos > f.first_pos),
+      sp0 AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 3
+                     THEN 1 ELSE 0 END AS ns
+              FROM r),
+      sp1 AS (SELECT doc_id, pos,
+                sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+              FROM sp0),
+      sp AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + 2 AS e
+             FROM sp1 GROUP BY 1, 2),
+      cov AS (SELECT DISTINCT doc_id, p FROM sp, unnest(generate_series(s, e)) v(p)),
+      tp AS (SELECT doc_id, i AS p, tk[i] AS tok
+             FROM t, unnest(generate_series(1, len(tk))) u(i)),
+      kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+               LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+               WHERE cov.p IS NULL),
+      ka AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS retained_hash
+             FROM kept GROUP BY 1),
+      sa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeat_spans,
+                    CAST(sum(e - s + 1) AS BIGINT) AS n_removed_tokens
+             FROM sp GROUP BY 1)
+      SELECT t.doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             coalesce(sa.n_removed_tokens, 0) AS n_removed_tokens,
+             coalesce(sa.n_repeat_spans, 0) AS n_repeat_spans,
+             coalesce(ka.retained_hash, md5('')) AS retained_hash
+      FROM t
+      LEFT JOIN sa ON sa.doc_id = t.doc_id
+      LEFT JOIN ka ON ka.doc_id = t.doc_id
+      ORDER BY t.doc_id""",
+
+    // q96: the whole plan is exact integers plus one correctly-rounded
+    // IEEE sqrt (identical doubles in both engines), so the isqrt
+    // weights, integer-division targets and md5-bucket fractional draw
+    // replay doc-for-doc; n_drawn/drawn_tokens aggregate the same draw
+    // the engine materializes.
+    "q96_temperature_mix" -> """
+      WITH d AS (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+                 FROM documents),
+      st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(nt) AS BIGINT) AS n_tokens
+             FROM d GROUP BY 1),
+      w AS (SELECT source, n_docs, n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+            FROM st),
+      tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS b,
+                     CAST(sum(weight) AS BIGINT) AS sw FROM w),
+      tgt AS (SELECT w.*, (tot.b * w.weight) // tot.sw AS n_target FROM w, tot),
+      dd AS (SELECT d.source, d.nt,
+               t.n_target // t.n_docs +
+                 CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                        % t.n_docs < t.n_target % t.n_docs
+                      THEN 1 ELSE 0 END AS c
+             FROM d JOIN tgt t USING (source)),
+      da AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_drawn,
+                    CAST(sum(c * nt) AS BIGINT) AS drawn_tokens
+             FROM dd GROUP BY 1)
+      SELECT t.source, t.n_docs, t.n_tokens, t.weight,
+             CAST(t.n_target AS BIGINT) AS n_target,
+             coalesce(da.n_drawn, 0) AS n_drawn,
+             coalesce(da.drawn_tokens, 0) AS drawn_tokens
+      FROM tgt t LEFT JOIN da USING (source)
+      ORDER BY t.source""",
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,

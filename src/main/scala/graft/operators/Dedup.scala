@@ -1366,4 +1366,59 @@ object Dedup {
         imageTier(newVid, corpusVid, videoMaxHamming, out = "vid_id"))))
       .orderBy(col("doc_id"))
   }
+
+  /** q94 — quality-aware CANONICAL selection per near-dup cluster: the
+    * op that turns q51's cluster labels into the keep/drop list a
+    * training pipeline actually applies. q51's `keeper_id` (min doc_id)
+    * is a fine cluster LABEL but a bad retention POLICY — the member a
+    * pipeline keeps should be the best document, not the one that
+    * happened to get the smallest id. Canonical = argmax of
+    * (quality_ok, n_tokens, −doc_id) within each component: the q24
+    * quality gate first ([[TextOps.qualityOk]] — ONE definition, shared
+    * so the gate can't drift), token count as the richness tiebreak,
+    * min doc_id as the total-order anchor. Every term is exact integer
+    * or IEEE-identical derived math, so the DuckDB oracle replays the
+    * ordering bit-for-bit via a window rank.
+    *
+    * Scale shape: labels cost exactly what q51 costs; the argmax
+    * aggregation runs ONLY over multi-doc-cluster members (near-dup
+    * docs — a small fraction of any real corpus), one partial-agg
+    * shuffle bounded by pair-subgraph size; the canonical table joins
+    * back to the corpus-sized label frame on cluster_id — broadcast in
+    * practice, plain hash join in the adversarial case. Singletons
+    * never enter the argmax: their canonical is themselves via the
+    * null-fill, so the corpus pays one broadcast probe per row and
+    * nothing else. */
+  def clusterCanonical(s: SparkSession, dir: String, threshold: Double = 0.5,
+                       maxDocFreq: Long = 100, maxIter: Int = 50): DataFrame =
+    clusterCanonicalFor(docsSpread(s, dir), threshold, maxDocFreq, maxIter)
+
+  /** [[clusterCanonical]] over any (doc_id, text) frame — specs plant
+    * clusters where the canonical is NOT the min-id member through the
+    * real pair pipeline. */
+  def clusterCanonicalFor(documents: DataFrame, threshold: Double = 0.5,
+                          maxDocFreq: Long = 100, maxIter: Int = 50): DataFrame = {
+    val clusters = dedupClustersFor(documents, threshold, maxDocFreq, maxIter)
+      .withColumnRenamed("keeper_id", "cluster_id")
+    // q24's derived stats, inline (qualityScoreFor's trailing global
+    // sort is oracle-shape, not wanted under a join)
+    val nTok = tokenCount(col("text"))
+    val metrics = documents.select(
+      col("doc_id"), nTok.as("n_tokens"),
+      TextOps.qualityOk(nTok,
+        distinctTokenCount(col("text")).cast("double") / nTok,
+        (length(col("text")).cast("long") - (nTok - lit(1L))).cast("double") / nTok)
+        .cast("int").as("quality_ok"))
+    val canon = clusters.filter(col("cluster_size") > 1)
+      .join(metrics, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("quality_ok"), col("n_tokens"), -col("doc_id"))).as("_canon"))
+    clusters.join(canon, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        coalesce(col("_canon"), col("doc_id")).as("canonical_id"))
+      .withColumn("action",
+        when(col("doc_id") === col("canonical_id"), lit("keep")).otherwise(lit("drop")))
+      .orderBy(col("doc_id"))
+  }
 }

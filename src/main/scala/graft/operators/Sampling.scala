@@ -297,6 +297,74 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  // q96 — TEMPERATURE-weighted source mix: q58 applies rates someone
+  // hands it; this op DERIVES them. Multilingual/multi-domain LM
+  // training resamples sources by p_s^α (α < 1 flattens the head so
+  // low-resource sources aren't drowned); α = 1/2 keeps every step in
+  // exact integer or correctly-rounded-IEEE math both engines share:
+  // weight_s = floor(sqrt(token mass)), per-source doc target =
+  // (total_docs × weight_s) div Σweight, realized as full corpus
+  // copies (target div n_docs) plus an md5-bucket fractional draw
+  // (bucket < target mod n_docs) — no float rates anywhere, so the
+  // oracle replays the draw doc-for-doc. The declared audit aggregates
+  // the MATERIALIZED mixed frame (not the closed-form counts), so an
+  // oracle-green run certifies the explode path a training pipeline
+  // actually consumes.
+  def temperatureMixAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("_nt"))
+    val planned = temperaturePlan(docs)
+    val mixed = temperatureMixedFor(docs, planned)
+    planned.select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("n_target"))
+      .join(mixed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_drawn"),
+          sum(col("_nt")).as("drawn_tokens")), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("n_target"), coalesce(col("n_drawn"), lit(0L)).as("n_drawn"),
+        coalesce(col("drawn_tokens"), lit(0L)).as("drawn_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source temperature plan over a (doc_id, source, _nt) frame:
+    * token mass, isqrt weight, and the integer doc target. One
+    * partial-agg shuffle over sources; the 1-row totals frame joins
+    * back broadcast (the documented tiny-side crossJoin). */
+  private[graft] def temperaturePlan(docs: DataFrame): DataFrame = {
+    val st = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val totals = st.agg(sum(col("n_docs")).as("_b"), sum(col("weight")).as("_sw"))
+    st.crossJoin(broadcast(totals))
+      .withColumn("n_target", expr("(_b * weight) div _sw"))
+      .drop("_b", "_sw")
+  }
+
+  /** The materialized temperature-resampled corpus: every doc repeated
+    * `target div n_docs` times plus one more for the fractional
+    * md5-bucket draw. The copy-count column is exploded through an
+    * explicit `_copies >= 1` guard — Spark's `sequence(1, 0)` is the
+    * DESCENDING [1, 0], not empty. Scale shape: the per-source plan
+    * broadcasts (sources are a config-sized set); copies are a per-row
+    * explode, no shuffle — the downstream consumer pays shuffles, not
+    * the mix. */
+  private[graft] def temperatureMixedFor(docs: DataFrame,
+                                         planned: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    docs
+      .join(broadcast(planned.select(col("source"), col("n_docs"), col("n_target"))),
+        Seq("source"))
+      .withColumn("_copies",
+        expr("n_target div n_docs") +
+          when(md5Long(col("doc_id").cast("string")) % col("n_docs")
+            < col("n_target") % col("n_docs"), 1L).otherwise(0L))
+      .filter(col("_copies") >= 1L)
+      .withColumn("_rep", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies", "n_docs", "n_target")
+  }
+
   /** Stratified sampling with exact per-stratum fractions via hash
     * buckets (sampleBy's reproducible cousin). */
   def stratifiedSample(df: DataFrame, stratum: String, key: Column,

@@ -278,6 +278,81 @@ object TextOps {
       .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
         col("line"))
 
+  // q95 — INTRA-document repeated n-gram scrub: remove every token
+  // covered by a LATER occurrence of an n-gram already seen in the
+  // same document (the exact-substring self-dedup pass of a training
+  // pipeline — generated/boilerplate text loops on itself long before
+  // it duplicates across documents, which is q87's axis; q48 SCORES
+  // repetition, this op CUTS it). First occurrences always survive, so
+  // a clean document passes through byte-identical.
+  def repeatedGramScrub(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    repeatedGramScrubFor(docsHeavy(s, dir), n)
+
+  /** Core of q95 over any (doc_id, text) frame.
+    *
+    * Semantics (1-based token positions): gram g_i spans tokens
+    * [i, i+n−1]; an occurrence at i is a REPEAT iff the same gram hash
+    * occurred at some j < i in the document; removed positions are the
+    * union of repeat spans; maximal contiguous removed runs (overlap
+    * OR adjacency merges, the q88 sessionize rule with gap n) are the
+    * reported spans. Token 1 is never removed (a repeat starts at
+    * pos ≥ 2), so the retained text is never empty.
+    *
+    * Scale shape: positioned gram hashes come from ONE native codegen'd
+    * pass per row ([[graft.plans.ShingleHashesMd5]] — 60-bit md5Long
+    * values the oracle replays); first-occurrence detection is a
+    * (doc_id, gram-hash) partial-agg shuffle — the word-count exchange,
+    * 16-byte keys; the span window partitions by doc_id over REPEAT
+    * hits only (repetition-volume-proportional, not corpus-
+    * proportional); the kept-token anti-join is equi-keyed on
+    * (doc_id, pos) against exploded span positions — bounded by removed
+    * volume; the final per-doc aggregate is the same sorted-collect
+    * bounded by one document that every per-doc reporter uses. */
+  def repeatedGramScrubFor(documents: DataFrame, n: Int = 3): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    graft.plans.ShingleHashesMd5.register(documents.sparkSession)
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("_tk"))
+    val grams = toks
+      .select(col("doc_id"),
+        posexplode(call_function("shingle_hashes_md5", col("_tk"), lit(n)))
+          .as(Seq("_p0", "_gh")))
+      .select(col("doc_id"), (col("_p0") + 1).cast("long").as("pos"), col("_gh"))
+    val firsts = grams.groupBy(col("doc_id"), col("_gh"))
+      .agg(min(col("pos")).as("_first"))
+    val repeats = grams.join(firsts, Seq("doc_id", "_gh"))
+      .filter(col("pos") > col("_first"))
+      .select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = repeats
+      .withColumn("_new", when(lag(col("pos"), 1).over(w).isNull ||
+        col("pos") - lag(col("pos"), 1).over(w) > n, 1L).otherwise(0L))
+      .withColumn("_span", sum(col("_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("_span"))
+      .agg(min(col("pos")).as("_s"), (max(col("pos")) + lit(n - 1)).as("_e"))
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("_s"), col("_e"))).as("_p"))
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("_tk")).as(Seq("_q0", "_tok")))
+      .select(col("doc_id"), (col("_q0") + 1).cast("long").as("_p"), col("_tok"))
+      .join(covered, Seq("doc_id", "_p"), "left_anti")
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(md5(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("_p"), col("_tok")))),
+        x => x.getField("_tok")))).as("_rh"))
+    val spanAgg = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_ns"), sum(col("_e") - col("_s") + 1).as("_nr"))
+    documents.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .join(spanAgg, Seq("doc_id"), "left")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("_nr"), lit(0L)).as("n_removed_tokens"),
+        coalesce(col("_ns"), lit(0L)).as("n_repeat_spans"),
+        coalesce(col("_rh"), md5(lit(""))).as("retained_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The BOILERPLATE TABLE of a lines frame: one `_lh` (60-bit line
     * hash) row per line appearing in more than `maxDocs` distinct
     * documents — the corpus-frequency pass, and the static artifact a

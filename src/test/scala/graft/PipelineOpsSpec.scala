@@ -1007,6 +1007,125 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(viaNewline.filter(col("n_removed") === 0).count() >= 1)
   }
 
+  test("cluster canonical: quality argmax beats min-id, singletons keep themselves (q94)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted cluster through the REAL pair pipeline: doc 2 is doc 1
+    // plus extra tail tokens — shared rare 3-gram shingles keep the
+    // capped-jaccard pair (28/31 ≈ 0.90 ≥ 0.5), both pass the quality
+    // gate, doc 2 has more tokens — so the canonical MUST be 2 while
+    // the min-id cluster label stays 1 (the policy-vs-label split q94
+    // exists for). Doc 3 shares no shingles: a singleton.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail1 tail2 tail3"),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.clusterCanonicalFor(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((1L, 2L, 2L, "drop")), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, 2L, 2L, "keep")), s"got ${out(2L)}")
+    assert(out(3L) == ((3L, 1L, 3L, "keep")), s"got ${out(3L)}")
+
+    // corpus invariants at sf: labels agree with q51, exactly one keep
+    // per cluster, every canonical is a member of its own cluster with
+    // the argmax (quality_ok, n_tokens, -doc_id) among members
+    val real = operators.Dedup.clusterCanonical(spark, sf).localCheckpoint()
+    val clusters = operators.Dedup.dedupClusters(spark, sf)
+    assert(real.count() == clusters.count())
+    assert(real.join(clusters, Seq("doc_id"))
+      .filter(col("cluster_id") =!= col("keeper_id")).count() == 0,
+      "cluster_id must be q51's keeper label")
+    val badKeep = real.groupBy("cluster_id")
+      .agg(sum(when(col("action") === "keep", 1L).otherwise(0L)).as("k"))
+      .filter(col("k") =!= 1L).count()
+    assert(badKeep == 0, "every cluster needs exactly one keep")
+    // canonical membership + argmax, brute-forced driver-side
+    val q = operators.TextOps.qualityScoreFor(
+      graft.sources.Tables(spark, sf, "documents").select(col("doc_id"), col("text")))
+      .select("doc_id", "quality_ok", "n_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val rows = real.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byCluster = rows.groupBy(_._2)
+    rows.foreach { case (_, cid, canon) =>
+      val members = byCluster(cid).map(_._1)
+      assert(members.contains(canon), s"canonical $canon not in cluster $cid")
+      val best = members.maxBy(d => (q(d)._1, q(d)._2, -d))
+      assert(canon == best, s"cluster $cid: canonical $canon != argmax $best")
+    }
+  }
+
+  test("repeated-gram scrub: spans merge, first occurrences survive, clean docs pass byte-identical (q95)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      // one repeat of (a b c) at pos 5 covers 5-7; kept "a b c d e"
+      (1L, "a b c d a b c e"),
+      // repeats at 3 and 4 — overlap merges into ONE span [3,6]; kept "x y z"
+      (2L, "x y x y x y z"),
+      // (p q r) repeats at 5 and 12, gap > 3 — TWO spans; kept "p q r s t u v w x"
+      (3L, "p q r s p q r t u v w p q r x"),
+      // no repeats: byte-identical pass-through
+      (4L, "m n o p q"),
+      // shorter than the gram: no grams, pass-through
+      (5L, "u v")
+    ).toDF("doc_id", "text")
+    val out = operators.TextOps.repeatedGramScrubFor(docs, n = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def h(s: String): String = spark.range(1)
+      .select(md5(lit(s))).head.getString(0)
+    assert(out(1L) == ((8L, 3L, 1L, h("a b c d e"))), s"got ${out(1L)}")
+    assert(out(2L) == ((7L, 4L, 1L, h("x y z"))), s"got ${out(2L)}")
+    assert(out(3L) == ((15L, 6L, 2L, h("p q r s t u v w x"))), s"got ${out(3L)}")
+    assert(out(4L) == ((5L, 0L, 0L, h("m n o p q"))), s"got ${out(4L)}")
+    assert(out(5L) == ((2L, 0L, 0L, h("u v"))), s"got ${out(5L)}")
+    // corpus non-vacuity: the declared query finds real intra-doc
+    // repetition at this SF (and most docs survive untouched)
+    val real = operators.TextOps.repeatedGramScrub(spark, sf)
+    assert(real.filter(col("n_removed_tokens") > 0).count() >= 1)
+    assert(real.filter(col("n_removed_tokens") === 0).count() >= 1)
+  }
+
+  test("temperature mix: small sources upsample toward uniform, draw equals closed form (q96)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // srcA has 4x srcB's token mass at equal doc length ⇒ isqrt weights
+    // 63 vs 31, and the realized RATE of the small source must be ~2x
+    // the big one (the α=1/2 flattening q96 exists for) — exact plan:
+    // targets 335/400 (downsample) and 164/100 (upsample past 1x)
+    val docs = ((1L to 400L).map(i => (i, "srcA", 10L)) ++
+      (401L to 500L).map(i => (i, "srcB", 10L))).toDF("doc_id", "source", "_nt")
+    val plan = operators.Sampling.temperaturePlan(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(plan("srcA") == ((400L, 4000L, 63L, 335L)), s"got ${plan("srcA")}")
+    assert(plan("srcB") == ((100L, 1000L, 31L, 164L)), s"got ${plan("srcB")}")
+    val mixed = operators.Sampling.temperatureMixedFor(
+      docs, operators.Sampling.temperaturePlan(docs))
+    val counts = mixed.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-doc duality: the materialized explode equals the closed-form
+    // copy count, checked against an INDEPENDENT JVM md5 (not Spark's)
+    def jvmMd5Bucket(id: Long, n: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16) % n
+    }
+    (1L to 500L).foreach { id =>
+      val (n, target) = if (id <= 400L) (400L, 335L) else (100L, 164L)
+      val exp = target / n + (if (jvmMd5Bucket(id, n) < target % n) 1L else 0L)
+      assert(counts.getOrElse(id, 0L) == exp, s"doc $id: got ${counts.get(id)}, want $exp")
+    }
+    // upsampling floor: every small-source doc survives; the big source
+    // genuinely loses docs
+    assert((401L to 500L).forall(counts.getOrElse(_, 0L) >= 1L))
+    assert(counts.keys.count(_ <= 400L) < 400)
+  }
+
   test("contaminated spans: two separate quotes merge into two maximal spans, not one (q88)") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.tokens
