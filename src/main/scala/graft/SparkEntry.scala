@@ -118,6 +118,7 @@ object SparkEntry {
     "q94_cluster_canonical" -> ((s: SparkSession, d: String) => Dedup.clusterCanonical(s, d)),
     "q95_repeated_gram_scrub" -> ((s: SparkSession, d: String) => TextOps.repeatedGramScrub(s, d)),
     "q96_temperature_mix" -> Sampling.temperatureMixAudit _,
+    "q97_pipeline_funnel" -> ((s: SparkSession, d: String) => Compose.pipelineFunnel(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -2103,6 +2104,47 @@ object SparkEntry {
              coalesce(da.drawn_tokens, 0) AS drawn_tokens
       FROM tgt t LEFT JOIN da USING (source)
       ORDER BY t.source""",
+
+    // q97: q62's staged CTE chain verbatim, minus the packing tail —
+    // one count+token-sum row per cumulative stage.
+    "q97_pipeline_funnel" -> s"""
+      WITH RECURSIVE
+      qstats AS (
+        SELECT doc_id, text,
+               length(text)                                AS char_len,
+               len(string_split(text, ' '))                AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+        FROM documents),
+      qd AS (
+        SELECT doc_id, text, n_tokens FROM qstats
+        WHERE n_tokens BETWEEN 5 AND 500
+          AND CAST(n_uniq_tokens AS DOUBLE) / n_tokens > 0.2
+          AND CAST(char_len - (n_tokens - 1) AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0),
+      ek AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+      d2 AS (SELECT qd.doc_id, qd.text, qd.n_tokens FROM qd JOIN ek USING (doc_id)),
+      ${ngramPairsCtesFrom("d2")},
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM d2
+        UNION
+        SELECT e.s, re.r FROM edges e JOIN reach re ON re.doc_id = e.t),
+      lab AS (SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id),
+      d3 AS (SELECT d2.doc_id, d2.n_tokens FROM d2
+             JOIN lab ON lab.doc_id = d2.doc_id AND lab.keeper_id = d2.doc_id)
+      SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             coalesce(CAST(sum(n_tokens) AS BIGINT), 0) AS n_tokens FROM qstats
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'quality', CAST(count(*) AS BIGINT),
+             coalesce(CAST(sum(n_tokens) AS BIGINT), 0) FROM qd
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'exact_dedup', CAST(count(*) AS BIGINT),
+             coalesce(CAST(sum(n_tokens) AS BIGINT), 0) FROM d2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'near_dedup', CAST(count(*) AS BIGINT),
+             coalesce(CAST(sum(n_tokens) AS BIGINT), 0) FROM d3
+      ORDER BY stage""",
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,

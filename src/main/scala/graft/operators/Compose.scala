@@ -104,7 +104,55 @@ object Compose {
   private def survivorsTokFor(documents: DataFrame,
                               threshold: Double = 0.5,
                               maxDocFreq: Long = 100,
-                              keepText: Boolean = true): DataFrame = {
+                              keepText: Boolean = true): DataFrame =
+    stagedTokFor(documents, threshold, maxDocFreq, keepText)._4
+
+  // q97 — pipeline ATTRITION FUNNEL: the per-stage survivor accounting
+  // every curation run publishes next to its cleaned shards (where did
+  // the corpus go — quality gate, exact dedup, or near dedup?). One row
+  // per cumulative stage with surviving doc and token counts. The stage
+  // frames are the SAME staged construction q62 consumes
+  // ([[stagedTokFor]] — single-sourced, so the funnel can never
+  // disagree with the pipeline it reports on); the oracle replays the
+  // q62 CTE chain minus the packing tail.
+  def pipelineFunnel(s: SparkSession, dir: String,
+                     threshold: Double = 0.5,
+                     maxDocFreq: Long = 100): DataFrame =
+    pipelineFunnelFor(
+      Tables.spreadTable(s, dir, "documents", col("doc_id")),
+      threshold, maxDocFreq)
+
+  /** [[pipelineFunnel]] over ANY (doc_id, text) frame. Scale shape:
+    * stages 0/1 are one aggregate each over the scan (count + token-sum,
+    * no shuffle beyond the 1-row partial agg); stages 2/3 read the same
+    * cached survivor frame q62 builds (the d2 cache pays for its two
+    * consumers here exactly as it does there). */
+  def pipelineFunnelFor(documents: DataFrame,
+                        threshold: Double = 0.5,
+                        maxDocFreq: Long = 100): DataFrame = {
+    val (base, q, d2, s3) = stagedTokFor(documents, threshold, maxDocFreq,
+      keepText = false)
+    def stageRow(df: DataFrame, stage: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(col("_t")).cast("long")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    stageRow(base, 0L, "raw")
+      .unionByName(stageRow(q, 1L, "quality"))
+      .unionByName(stageRow(d2, 2L, "exact_dedup"))
+      .unionByName(stageRow(s3, 3L, "near_dedup"))
+      .orderBy(col("stage"))
+  }
+
+  /** The staged pipeline frames (base, quality survivors, exact-dedup
+    * survivors, near-dedup survivors), each carrying the shared token
+    * array `_t` — the single source both [[survivorsTokFor]] (q62) and
+    * [[pipelineFunnelFor]] (q97) consume. */
+  private def stagedTokFor(documents: DataFrame,
+                           threshold: Double = 0.5,
+                           maxDocFreq: Long = 100,
+                           keepText: Boolean = true)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val base = documents
       .select(col("doc_id"), col("text"),
@@ -141,6 +189,6 @@ object Compose {
       Dedup.ngramJaccardPairsCappedTokRaw(
           d2.select(col("doc_id"), col("_t").as("t")), threshold, maxDocFreq)
         .select(col("doc_a"), col("doc_b")))
-    d2.join(drop, Seq("doc_id"), "left_anti")
+    (base, q, d2, d2.join(drop, Seq("doc_id"), "left_anti"))
   }
 }

@@ -1126,6 +1126,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(counts.keys.count(_ <= 400L) < 400)
   }
 
+  test("pipeline funnel: planted attrition at each stage, agrees with the q62 survivors (q97)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one doc per drop reason: 2 is an exact copy of 1 (dies at exact
+    // dedup), 3 a near-dup of 1 (dies at near dedup, keeper 1 wins),
+    // 4 a one-token doc (dies at the quality gate)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " tail1 tail2 tail3"), (4L, "x")
+    ).toDF("doc_id", "text")
+    val out = operators.Compose.pipelineFunnelFor(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, "raw", 4L, 94L),
+      (1L, "quality", 3L, 93L),
+      (2L, "exact_dedup", 2L, 63L),
+      (3L, "near_dedup", 1L, 30L)), s"got ${out.toSeq}")
+    // corpus consistency: the funnel's last row IS the q62 survivor set
+    val funnel = operators.Compose.pipelineFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val surv = operators.Compose.survivors(spark, sf)
+    assert(funnel(3L)._1 == surv.count(), "stage 3 must equal survivors()")
+    // monotone attrition
+    (1L to 3L).foreach { s =>
+      assert(funnel(s)._1 <= funnel(s - 1)._1 && funnel(s)._2 <= funnel(s - 1)._2)
+    }
+  }
+
   test("contaminated spans: two separate quotes merge into two maximal spans, not one (q88)") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.tokens

@@ -538,6 +538,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"hit drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
   }
 
+  test("streaming self dedup ≡ batch repeated-gram scrub under any chunking (q95 twin)") {
+    import graft.streaming.SelfDedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_selfdedup").toString
+    // sf0.01: 27 documents carry intra-doc repeated 3-grams, so the
+    // duality is non-vacuous on the scrubbed branch too
+    val sfSelf = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables(spark, sfSelf, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.withColumn("_chunk", pmod(col("doc_id"), lit(4)))
+      .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/feed")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+    val q = SelfDedup.start(stream, (rows, _) =>
+      got.synchronized {
+        got ++= rows.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      })
+    try q.processAllAvailable() finally q.stop()
+    // batch truth = the declared q95 rows themselves
+    val want = operators.TextOps.repeatedGramScrub(spark, sfSelf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(want.exists(_._3 > 0), "fixture should scrub repeated grams")
+    assert(got.size == want.size,
+      s"stream emitted ${got.size} per-doc rows, batch has ${want.size}")
+    assert(got.toSet == want,
+      s"scrub drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
+  }
+
   test("streaming line dedup ≡ batch scrub under any chunking (q87 twin)") {
     import graft.streaming.LineDedup
     val dir = java.nio.file.Files.createTempDirectory("graft_linededup").toString
