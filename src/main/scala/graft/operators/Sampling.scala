@@ -314,7 +314,10 @@ object Sampling {
     import graft.functions.TextFunctions.tokenCount
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), tokenCount(col("text")).as("_nt"))
-    val planned = temperaturePlan(docs)
+    // the plan is |sources| rows but COSTS a corpus scan — cached, its
+    // two consumers (the audit columns and the mixed frame's broadcast
+    // side) pay one scan instead of two
+    val planned = Caches.track(temperaturePlan(docs))
     val mixed = temperatureMixedFor(docs, planned)
     planned.select(col("source"), col("n_docs"), col("n_tokens"),
         col("weight"), col("n_target"))
