@@ -542,6 +542,29 @@ object SoakScale {
     if (!lineWallOk) failures += 1
     println(f"[soak] RATIO q87-wall                   ${lw1}%.2f -> ${lw10}%.2f s (${lineWallRatio}%.2fx, gate ${gate}%.1fx) ${if (lineWallOk) "PASS" else "FAIL"}")
 
+    // --- r12: q95 intra-doc repeated-gram scrub. THE claim: every
+    // exchange is keyed by (doc_id, gram-hash) or doc_id — token-
+    // stream-proportional, never pair-quadratic — so wall stays ~linear
+    // at 10× corpus, and the output keeps its row-per-doc invariant
+    // (the gate that catches an accidental cross-doc join fanout).
+    def selfDedupWall(df: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val (n, sc) = Caches.scope {
+        graft.operators.TextOps.repeatedGramScrubFor(df).count()
+      }
+      sc.release(); spark.catalog.clearCache()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (sd1, sdw1) = scoped("q95 scrub @1x")(selfDedupWall(base))
+    val (sd10, sdw10) = scoped("q95 scrub @10x")(selfDedupWall(corpus10))
+    val sdRowsOk = sd1 == n1 && sd10 == n10
+    if (!sdRowsOk) failures += 1
+    println(f"[soak] RATIO q95-row-per-doc               $sd1%7d /  $sd10%11d  (want $n1/$n10) ${if (sdRowsOk) "PASS" else "FAIL"}")
+    val sdWallRatio = sdw10 / math.max(sdw1, 1e-9)
+    val sdWallOk = sdWallRatio <= gate
+    if (!sdWallOk) failures += 1
+    println(f"[soak] RATIO q95-wall                   ${sdw1}%.2f -> ${sdw10}%.2f s (${sdWallRatio}%.2fx, gate ${gate}%.1fx) ${if (sdWallOk) "PASS" else "FAIL"}")
+
     // --- r11: q90 BPE trainer. THE claim is that after the one
     // corpus-scale word-count pass, every merge iteration runs on the
     // HISTOGRAM — so the trainer's wall must stay ~linear in corpus
