@@ -119,6 +119,7 @@ object SparkEntry {
     "q95_repeated_gram_scrub" -> ((s: SparkSession, d: String) => TextOps.repeatedGramScrub(s, d)),
     "q96_temperature_mix" -> Sampling.temperatureMixAudit _,
     "q97_pipeline_funnel" -> ((s: SparkSession, d: String) => Compose.pipelineFunnel(s, d)),
+    "q98_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -146,6 +147,14 @@ object SparkEntry {
     * per document (q27's signature family — same constants as
     * [[graft.operators.Dedup.minhashAB]]); shared by the q27 self-join
     * and the q65 incremental batch→corpus oracle. */
+  /** The 12 per-gram affine minima (mh_0..mh_11) — shared by every
+    * oracle that rebuilds the q27 signature over a distinct-gram CTE
+    * named `g`. */
+  private def minhashMinSelectSql: String = (0 until 12).map { i =>
+    val (a, b) = operators.Dedup.minhashAB(i)
+    s"        min((CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) * $a + $b) % ${operators.Dedup.MinhashM}) AS mh_$i"
+  }.mkString(",\n")
+
   private def minhashSigCtesSql: String =
     """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
                  WHERE len(string_split(text, ' ')) >= 3),
@@ -153,10 +162,7 @@ object SparkEntry {
                generate_series(1, len(tk) - 2),
                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram FROM t),
       sig AS (SELECT doc_id,
-""" + (0 until 12).map { i =>
-      val (a, b) = operators.Dedup.minhashAB(i)
-      s"        min((CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) * $a + $b) % ${operators.Dedup.MinhashM}) AS mh_$i"
-    }.mkString(",\n") + """
+""" + minhashMinSelectSql + """
         FROM g GROUP BY 1)"""
 
   /** Sum of per-minhash agreement indicators between sig aliases `a`
@@ -2145,6 +2151,26 @@ object SparkEntry {
       SELECT CAST(3 AS BIGINT), 'near_dedup', CAST(count(*) AS BIGINT),
              coalesce(CAST(sum(n_tokens) AS BIGINT), 0) FROM d3
       ORDER BY stage""",
+
+    // q98: the q26 capped pair chain at the wider calibration
+    // threshold 0.25, the q27 signature rebuilt over the SAME
+    // distinct-gram CTE, agreement as 12 integer equality indicators,
+    // decile by integer division — every cell exact.
+    "q98_minhash_calibration" -> s"""
+      WITH ${ngramPairsCtesFrom("documents").replace(">= 0.5", ">= 0.25")},
+      sig AS (SELECT doc_id,
+$minhashMinSelectSql
+        FROM g GROUP BY 1),
+      jt AS (SELECT
+               ${minhashAgreeSql("a", "b")} AS agree,
+               (p.n_common * 10) // (p.ng_a + p.ng_b - p.n_common) AS jaccard_decile
+             FROM pairs p
+             JOIN sig a ON a.doc_id = p.doc_a
+             JOIN sig b ON b.doc_id = p.doc_b)
+      SELECT CAST(agree AS BIGINT) AS agree,
+             CAST(jaccard_decile AS BIGINT) AS jaccard_decile,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM jt GROUP BY 1, 2 ORDER BY agree, jaccard_decile""",
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,

@@ -1421,4 +1421,49 @@ object Dedup {
         when(col("doc_id") === col("canonical_id"), lit("keep")).otherwise(lit("drop")))
       .orderBy(col("doc_id"))
   }
+
+  /** q98 — MinHash ESTIMATOR CALIBRATION: the contingency table of
+    * banded-signature agreement (0..k matching minima) against exact
+    * n-gram jaccard deciles over the capped candidate pairs — the
+    * table an operator reads before trusting an LSH threshold at
+    * 100 TB (is 6-of-12 agreement really ≈ jaccard 0.5 on THIS
+    * corpus?). Pure integers end to end: `agree` is a sum of k
+    * equality indicators over the q27 signature, the decile is
+    * `(n_common × 10) div union` — so the DuckDB oracle replays every
+    * cell exactly (same md5 base hash, same affine family, same capped
+    * candidate semantics at the wider calibration threshold 0.25).
+    *
+    * Scale shape: candidates and exact scores are
+    * [[ngramJaccardPairsCappedTokRaw]]'s (one gram-hash shuffle +
+    * upper-bound prune); signatures are the per-row
+    * [[minhashSigCol]] projection joined in on doc id —
+    * pair-volume-proportional, and the k agreement indicators unroll
+    * to codegen'd comparisons, never an interpreted HOF over the
+    * signature arrays. Output is ≤ (k+1)×9 rows. */
+  def minhashCalibration(s: SparkSession, dir: String,
+                         threshold: Double = 0.25,
+                         maxDocFreq: Long = 100, k: Int = 12): DataFrame =
+    minhashCalibrationFor(docsSpread(s, dir), threshold, maxDocFreq, k)
+
+  /** [[minhashCalibration]] over any (doc_id, text) frame. */
+  def minhashCalibrationFor(documents: DataFrame,
+                            threshold: Double = 0.25,
+                            maxDocFreq: Long = 100, k: Int = 12): DataFrame = {
+    val docToks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val pairs = ngramJaccardPairsCappedTokRaw(docToks, threshold, maxDocFreq)
+    val sigs = docToks.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), minhashSigCol(col("t"), k).as("_sig"))
+    val agree = (1 to k).map(i =>
+      when(element_at(col("_sa"), i) === element_at(col("_sb"), i), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("_sig").as("_sa")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("_sig").as("_sb")), Seq("doc_b"))
+      .withColumn("agree", agree)
+      .withColumn("jaccard_decile",
+        expr("(n_common * 10) div (ng_a + ng_b - n_common)"))
+      .groupBy(col("agree"), col("jaccard_decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("agree"), col("jaccard_decile"))
+  }
 }

@@ -1154,6 +1154,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash calibration: contingency equals a driver-side recompute from pairs + signatures (q98)") {
+    import org.apache.spark.sql.functions._
+    // brute-force duality: rebuild every (agree, decile) cell from the
+    // collected candidate pairs and the q27 signature table
+    val docToks = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+    val pairs = operators.Dedup
+      .ngramJaccardPairsCappedTokRaw(docToks, threshold = 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val sig = operators.Dedup.minhashSignatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> (0 until 12).map(i => r.getLong(i + 1)).toArray)
+      .toMap
+    val expected = pairs.groupBy { case (a, b, nc, na, nb) =>
+      val agree = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
+      (agree, (nc * 10L) / (na + nb - nc))
+    }.map { case (k, v) => k -> v.size.toLong }
+    val got = operators.Dedup.minhashCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.nonEmpty, "calibration fixture needs candidate pairs")
+    assert(got == expected,
+      s"cells drift: got-only=${got.toSet -- expected.toSet} want-only=${expected.toSet -- got.toSet}")
+    // the table is a real calibration surface, not one degenerate cell
+    assert(got.keys.map(_._1).toSet.size >= 2, "expected >= 2 agreement levels")
+    assert(got.keys.forall { case (a, d) => a >= 0 && a <= 12 && d >= 2 && d <= 10 })
+    operators.Caches.release(); spark.catalog.clearCache()
+  }
+
   test("contaminated spans: two separate quotes merge into two maximal spans, not one (q88)") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.tokens
