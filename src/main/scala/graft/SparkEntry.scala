@@ -120,6 +120,9 @@ object SparkEntry {
     "q96_temperature_mix" -> Sampling.temperatureMixAudit _,
     "q97_pipeline_funnel" -> ((s: SparkSession, d: String) => Compose.pipelineFunnel(s, d)),
     "q98_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.minhashCalibration(s, d)),
+    "q99_crossdoc_scrub"    -> ((s: SparkSession, d: String) => TextOps.crossDocGramScrub(s, d)),
+    "q100_quality_quota"    -> ((s: SparkSession, d: String) => Sampling.qualityQuota(s, d)),
+    "q101_bigram_lm"        -> ((s: SparkSession, d: String) => TextOps.bigramLmScore(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -2171,6 +2174,115 @@ $minhashMinSelectSql
              CAST(jaccard_decile AS BIGINT) AS jaccard_decile,
              CAST(count(*) AS BIGINT) AS n_pairs
       FROM jt GROUP BY 1, 2 ORDER BY agree, jaccard_decile""",
+
+    // q99: q95's replay with the firsts table flipped to the GLOBAL
+    // (doc_id, pos) first occurrence per gram hash — a window rank in
+    // SQL, a map-side-combining min(struct) agg on the Spark side (same
+    // survivor set: the (doc_id, pos) order is a strict total order and
+    // each position carries exactly one gram).
+    "q99_crossdoc_scrub" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g AS (SELECT doc_id, i AS pos,
+              CAST('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15) AS BIGINT) AS gh
+            FROM t, unnest(generate_series(1, len(tk) - 7)) u(i)
+            WHERE len(tk) >= 8),
+      f AS (SELECT gh, doc_id AS fd, pos AS fp FROM (
+              SELECT gh, doc_id, pos,
+                     row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+              FROM g) WHERE rn = 1),
+      r AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gh)
+            WHERE g.doc_id <> f.fd OR g.pos > f.fp),
+      sp0 AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                     THEN 1 ELSE 0 END AS ns
+              FROM r),
+      sp1 AS (SELECT doc_id, pos,
+                sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+              FROM sp0),
+      sp AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + 7 AS e
+             FROM sp1 GROUP BY 1, 2),
+      cov AS (SELECT DISTINCT doc_id, p FROM sp, unnest(generate_series(s, e)) v(p)),
+      tp AS (SELECT doc_id, i AS p, tk[i] AS tok
+             FROM t, unnest(generate_series(1, len(tk))) u(i)),
+      kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+               LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+               WHERE cov.p IS NULL),
+      ka AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS retained_hash
+             FROM kept GROUP BY 1),
+      sa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                    CAST(sum(e - s + 1) AS BIGINT) AS n_removed_tokens
+             FROM sp GROUP BY 1)
+      SELECT t.doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             coalesce(sa.n_removed_tokens, 0) AS n_removed_tokens,
+             coalesce(sa.n_dup_spans, 0) AS n_dup_spans,
+             coalesce(ka.retained_hash, md5('')) AS retained_hash
+      FROM t
+      LEFT JOIN sa ON sa.doc_id = t.doc_id
+      LEFT JOIN ka ON ka.doc_id = t.doc_id
+      ORDER BY t.doc_id""",
+
+    // q100: selection replays as ONE flat per-source rank — the Spark
+    // side's salted two-stage prune is exactness-preserving (pigeonhole;
+    // see Sampling.qualityQuotaFor), so the salt never reaches the
+    // oracle. uniq_ratio is one exact IEEE division of longs: identical
+    // doubles, identical ORDER BY, identical min() cutoff.
+    "q100_quality_quota" -> """
+      WITH d AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nu,
+              CAST(length(text) AS BIGINT) AS cl
+            FROM documents),
+      q AS (SELECT doc_id, source, n_tokens,
+              CAST(nu AS DOUBLE) / n_tokens AS uniq_ratio,
+              CAST(cl - (n_tokens - 1) AS DOUBLE) / n_tokens AS mtl
+            FROM d),
+      f AS (SELECT * FROM q WHERE n_tokens BETWEEN 5 AND 500
+              AND uniq_ratio > 0.2 AND mtl BETWEEN 2.0 AND 12.0),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY uniq_ratio DESC, doc_id) AS rn FROM f),
+      ka AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+               min(uniq_ratio) AS cutoff_uniq_ratio
+             FROM r WHERE rn <= 10 GROUP BY 1),
+      ca AS (SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(n_tokens) AS BIGINT) AS candidate_tokens
+             FROM f GROUP BY 1)
+      SELECT ca.source, ca.n_candidates, ca.candidate_tokens,
+             ka.n_kept, ka.kept_tokens, ka.cutoff_uniq_ratio
+      FROM ca JOIN ka USING (source) ORDER BY ca.source""",
+
+    // q101: every probability is assembled from exact integer counts by
+    // single IEEE ops (0.75/0.25 are exactly representable; DuckDB's
+    // DECIMAL literal converts exactly), so both engines feed ln() the
+    // same doubles; the 6dp rounding absorbs summation order and libm
+    // ulps exactly as q59's does.
+    "q101_bigram_lm" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      uni AS (SELECT token, CAST(count(*) AS BIGINT) AS n_tok
+              FROM tok GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_tok) AS BIGINT) + count(*) AS denom FROM uni),
+      t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      pr AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             FROM t, unnest(generate_series(1, len(tk) - 1)) u(i)
+             WHERE len(tk) >= 2),
+      occ AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+              FROM pr GROUP BY 1, 2, 3),
+      big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_big
+              FROM pr GROUP BY 1, 2),
+      sc AS (SELECT o.doc_id, o.m,
+               ln(0.75 * (n_big / CAST(u1.n_tok AS DOUBLE)) +
+                  0.25 * ((u2.n_tok + 1) / CAST(tt.denom AS DOUBLE))) AS logp
+             FROM occ o JOIN big USING (w1, w2)
+             JOIN uni u1 ON u1.token = o.w1
+             JOIN uni u2 ON u2.token = o.w2
+             CROSS JOIN tt)
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+             round(sum(m * logp) / sum(m), 6) AS avg_logp,
+             round(min(logp), 6) AS min_logp
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
   )
 
   /** Shared q80/q81 chunk-coordinate replay (CTEs t..f): tokenize,

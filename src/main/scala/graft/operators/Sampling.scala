@@ -277,6 +277,65 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  // q100 — QUALITY-ranked per-source quota (the curation step after
+  // q24's gate and q46's content-blind cap): within each source, rank
+  // the quality-passing docs by uniqueness (uniq_ratio desc, doc_id asc
+  // — a strict total order both engines share: the ratio is one exact
+  // IEEE division of longs) and keep the top `k`. Report per source:
+  // candidate and kept doc/token mass plus the binding CUTOFF (min kept
+  // uniq_ratio) — the number a curation run publishes so downstream
+  // consumers know how selective the quota was.
+  def qualityQuota(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    qualityQuotaFor(Tables(s, dir, "documents"), k)
+
+  /** Core of q100 over any (doc_id, source, text) frame.
+    *
+    * Scale shape — the reason this is not q46's one-window plan: a
+    * single `row_number() OVER (PARTITION BY source)` sorts EVERY doc
+    * of a source inside one task, and at 100 TB a head domain is
+    * billions of rows — a guaranteed straggler/spill. Selection here is
+    * the exact two-stage top-k: stage 1 ranks within (source, salt)
+    * buckets — `salts` hash buckets of the doc id — and keeps `k` per
+    * bucket, so no task ever sorts more than one bucket; stage 2 ranks
+    * the ≤ salts·k survivors per source, a bounded partition by
+    * construction. Exactness is the pigeonhole argument: every global
+    * top-k doc is top-k within its own bucket (fewer than k docs beat
+    * it anywhere, a fortiori in its bucket), so stage 1 never prunes a
+    * winner — the salt changes the PLAN, never the answer, which is why
+    * the oracle can replay selection as one flat rank. */
+  def qualityQuotaFor(documents: DataFrame, k: Int = 10,
+                      salts: Int = 16): DataFrame = {
+    require(k > 0 && salts > 0, s"need k > 0 and salts > 0, got k=$k salts=$salts")
+    import graft.functions.TextFunctions.{tokenCount, distinctTokenCount}
+    val W = org.apache.spark.sql.expressions.Window
+    val d = documents.select(
+      col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n_tokens"),
+      distinctTokenCount(col("text")).as("_nu"),
+      length(col("text")).cast("long").as("_cl"))
+      .withColumn("uniq_ratio", col("_nu").cast("double") / col("n_tokens"))
+      .withColumn("_mtl",
+        (col("_cl") - (col("n_tokens") - lit(1L))).cast("double") / col("n_tokens"))
+      .filter(TextOps.qualityOk(col("n_tokens"), col("uniq_ratio"), col("_mtl")))
+    val cand = Caches.track(d)
+    val w1 = W.partitionBy(col("source"), hashBucket(col("doc_id"), salts))
+      .orderBy(col("uniq_ratio").desc, col("doc_id"))
+    val w2 = W.partitionBy(col("source"))
+      .orderBy(col("uniq_ratio").desc, col("doc_id"))
+    val kept = cand
+      .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= k)
+      .withColumn("_r2", row_number().over(w2)).filter(col("_r2") <= k)
+    cand.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("n_tokens")).as("candidate_tokens"))
+      .join(kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"),
+          min(col("uniq_ratio")).as("cutoff_uniq_ratio")),
+        Seq("source"))
+      .orderBy(col("source"))
+  }
+
   // q58 — data-mixture audit: mixCorpora over the documents table with
   // per-source-group rates (2× upsample / keep / half / quarter by
   // source-number mod 4), then the per-source row+char accounting a

@@ -310,27 +310,60 @@ object TextOps {
     * bounded by one document that every per-doc reporter uses. */
   def repeatedGramScrubFor(documents: DataFrame, n: Int = 3): DataFrame = {
     require(n > 0, s"need n > 0, got $n")
-    graft.plans.ShingleHashesMd5.register(documents.sparkSession)
-    val toks = documents.select(col("doc_id"), tokens(col("text")).as("_tk"))
-    val grams = toks
-      .select(col("doc_id"),
-        posexplode(call_function("shingle_hashes_md5", col("_tk"), lit(n)))
-          .as(Seq("_p0", "_gh")))
-      .select(col("doc_id"), (col("_p0") + 1).cast("long").as("pos"), col("_gh"))
+    val (toks, grams) = positionedGrams(documents, n)
     val firsts = grams.groupBy(col("doc_id"), col("_gh"))
       .agg(min(col("pos")).as("_first"))
     val repeats = grams.join(firsts, Seq("doc_id", "_gh"))
       .filter(col("pos") > col("_first"))
       .select(col("doc_id"), col("pos"))
+    spanScrubReport(documents, toks, repeats, n, "n_repeat_spans")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokenized frame + 1-based positioned gram hashes of a (doc_id,
+    * text) frame — the shared head of every gram-scrub operator (q95,
+    * q99, the ingest twin). One native codegen'd pass per row
+    * ([[graft.plans.ShingleHashesMd5]], 60-bit md5Long values the
+    * oracles replay). */
+  private def positionedGrams(documents: DataFrame,
+                              k: Int): (DataFrame, DataFrame) = {
+    graft.plans.ShingleHashesMd5.register(documents.sparkSession)
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("_tk"))
+    val grams = toks
+      .select(col("doc_id"),
+        posexplode(call_function("shingle_hashes_md5", col("_tk"), lit(k)))
+          .as(Seq("_p0", "_gh")))
+      .select(col("doc_id"), (col("_p0") + 1).cast("long").as("pos"), col("_gh"))
+    (toks, grams)
+  }
+
+  /** Shared tail of the gram-scrub family: merge the repeat hits
+    * (doc_id, pos) into maximal spans (gap `k` — overlap OR adjacency
+    * merges, the q88 sessionize rule), cut every covered token, and
+    * report per doc: token count, removed tokens, span count (named
+    * `spanCol` — q95 says n_repeat_spans, the cross-doc ops say
+    * n_dup_spans), and the md5 of the retained text. UNSORTED — batch
+    * entries add the oracle sort, the streaming twin can't sort.
+    *
+    * Scale shape (inherited by every caller): the span window
+    * partitions by doc_id over repeat hits only (repetition-volume-
+    * proportional, never corpus-proportional); the kept-token anti-join
+    * is equi-keyed on (doc_id, pos) against exploded span positions —
+    * bounded by removed volume; the final per-doc aggregate is the
+    * sorted-collect bounded by one document that every per-doc reporter
+    * uses. */
+  private def spanScrubReport(documents: DataFrame, toks: DataFrame,
+                              repeats: DataFrame, k: Int,
+                              spanCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = repeats
       .withColumn("_new", when(lag(col("pos"), 1).over(w).isNull ||
-        col("pos") - lag(col("pos"), 1).over(w) > n, 1L).otherwise(0L))
+        col("pos") - lag(col("pos"), 1).over(w) > k, 1L).otherwise(0L))
       .withColumn("_span", sum(col("_new")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("_span"))
-      .agg(min(col("pos")).as("_s"), (max(col("pos")) + lit(n - 1)).as("_e"))
+      .agg(min(col("pos")).as("_s"), (max(col("pos")) + lit(k - 1)).as("_e"))
     val covered = spans.select(col("doc_id"),
       explode(sequence(col("_s"), col("_e"))).as("_p"))
     val kept = toks
@@ -348,8 +381,146 @@ object TextOps {
       .join(keptAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("_nr"), lit(0L)).as("n_removed_tokens"),
-        coalesce(col("_ns"), lit(0L)).as("n_repeat_spans"),
+        coalesce(col("_ns"), lit(0L)).as(spanCol),
         coalesce(col("_rh"), md5(lit(""))).as("retained_hash"))
+  }
+
+  // q99 — CROSS-document exact-substring scrub (the ExactSubstr pass of
+  // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  // Better"): every occurrence of a k-token gram that is not the gram's
+  // GLOBAL first occurrence — ordered by (doc_id, pos) corpus-wide — is
+  // a repeat; repeat spans merge per document (gap k, q95's rule) and
+  // are removed. This generalizes q95 to the corpus axis: the canonical
+  // copy of any duplicated passage survives byte-identical in exactly
+  // one document, and every later copy — in the same doc or any other —
+  // is cut. Unlike q95, a repeat CAN start at position 1 (a whole-doc
+  // copy of an earlier doc loses everything: retained_hash = md5('')).
+  def crossDocGramScrub(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    crossDocGramScrubFor(docsHeavy(s, dir), k)
+
+  /** Core of q99 over any (doc_id, text) frame.
+    *
+    * Scale shape vs q95 (which this deliberately mirrors): positioned
+    * gram hashes come from the same single native codegen'd pass per
+    * row ([[graft.plans.ShingleHashesMd5]]); the global-first table is
+    * one partial-agg shuffle on the 60-bit gram hash ALONE — `min` over
+    * the (doc_id, pos) struct combines map-side, so the exchange
+    * carries one candidate row per (partition, gram), never the
+    * positioned stream (a window `row_number() OVER (PARTITION BY gh)`
+    * formulation would shuffle + sort every occurrence; the agg
+    * formulation is the one that survives 100 TB). Repeat detection is
+    * the equi-join of positioned grams against that table on the hash —
+    * both sides hash-partition, no sort. The span window partitions by
+    * doc_id over repeat hits only (duplication-volume-proportional),
+    * and the kept-token anti-join + per-doc rollup are q95's verbatim
+    * tail. The (doc_id, pos) total order is unique per gram (one gram
+    * per position), so the survivor set is deterministic in any engine.
+    */
+  def crossDocGramScrubFor(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val (toks, grams) = positionedGrams(documents, k)
+    val firsts = grams
+      .groupBy(col("_gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("_f"))
+      .select(col("_gh"), col("_f.doc_id").as("_fd"), col("_f.pos").as("_fp"))
+    val repeats = grams.join(firsts, Seq("_gh"))
+      .filter(col("doc_id") =!= col("_fd") || col("pos") > col("_fp"))
+      .select(col("doc_id"), col("pos"))
+    spanScrubReport(documents, toks, repeats, k, "n_dup_spans")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The corpus GRAM INDEX: distinct k-gram hashes of a (doc_id, text)
+    * corpus — the static artifact ingest-time cross-doc scrubbing
+    * probes ([[graft.streaming.SpanScrub]]), refreshed on the
+    * deployment's cadence exactly like q87's boilerplate line table.
+    * One partial-agg distinct on 8-byte keys. */
+  def corpusGramIndex(corpus: DataFrame, k: Int = 8): DataFrame =
+    positionedGrams(corpus, k)._2.select(col("_gh")).distinct()
+
+  /** Scrub a (doc_id, text) frame against a [[corpusGramIndex]]: every
+    * position whose gram the corpus already contains is a repeat — the
+    * batch-directional incremental analogue of q99 (the corpus owns
+    * every gram it holds; an arriving duplicate passage is cut wherever
+    * it lands). Shared VERBATIM by the streaming twin so the scrub rule
+    * cannot drift between batch and ingest. UNSORTED (stream-safe);
+    * intra-batch novelty is deliberately NOT deduped — two new docs
+    * sharing a brand-new passage both survive until the index refresh
+    * folds them in, the same batch-directional contract as
+    * [[graft.operators.Dedup]]'s incremental classifiers.
+    *
+    * Scale shape: the index side is the small static operand (semi-join
+    * probe — broadcasts when it fits, degrades to a hash shuffle on the
+    * 8-byte key); per-trigger cost scales with feed rate, never corpus
+    * size. */
+  def scrubAgainstGramIndex(docs: DataFrame, index: DataFrame,
+                            k: Int = 8): DataFrame = {
+    val (toks, grams) = positionedGrams(docs, k)
+    val repeats = grams.join(index, Seq("_gh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    spanScrubReport(docs, toks, repeats, k, "n_dup_spans")
+  }
+
+  // q101 — bigram language-model scoring: fit an interpolated bigram LM
+  // on the corpus itself (λ·c(w₁w₂)/c(w₁) + (1−λ)·add-one-unigram, the
+  // classic Jelinek-Mercer backoff with q59's smoothed unigram as the
+  // fallback mass) and score every document by its mean and minimum
+  // bigram log-prob. The bigram axis catches what q59 structurally
+  // can't: shuffled-word junk scores HIGH on unigrams (every token is
+  // common) but LOW here (the transitions are improbable) — the
+  // standard step up the cheap-LM quality-filter ladder.
+  def bigramLmScore(s: SparkSession, dir: String,
+                    lambda: Double = 0.75): DataFrame =
+    bigramLmScoreFor(docsHeavy(s, dir), lambda)
+
+  /** Core of q101 over any (doc_id, text) frame. Only documents with
+    * ≥ 2 tokens appear (a one-token doc has no transitions to score).
+    *
+    * Scale shape: the UNIGRAM table is vocabulary-sized and BROADCASTS
+    * (q59's rule). The BIGRAM table is NOT — distinct bigrams grow with
+    * the corpus — so it hash-partitions on the (w1, w2) key; the
+    * scoring side first collapses the per-document occurrence stream to
+    * distinct (doc_id, w1, w2, m) rows (one partial-agg shuffle — the
+    * word-count exchange with a doc key), so the bigram-table join
+    * carries one row per distinct (doc, bigram), never per occurrence,
+    * and the per-doc rollup weights each transition's logp by its
+    * occurrence count m. Every probability is assembled from exact
+    * longs by single IEEE ops (identical doubles in any engine); the
+    * mean rounds to 6dp because summation ORDER differs across engines
+    * (q59's documented rule), and ln() libm ulps sit far below 1e-6. */
+  def bigramLmScoreFor(documents: DataFrame,
+                       lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"need λ in [0,1], got $lambda")
+    val tok = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val t = uni.agg(sum(col("n_tok")).cast("long"), count(lit(1))).head
+    val denom = (t.getLong(0) + t.getLong(1)).toDouble
+    val pairs = documents
+      .select(col("doc_id"), tokens(col("text")).as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_tk) - 1), " +
+          "i -> struct(element_at(_tk, i) AS w1, element_at(_tk, i + 1) AS w2))"))
+        .as("_p"))
+      .select(col("doc_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val occ = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_big"))
+    val scored = occ
+      .join(big, Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("token").as("w1"), col("n_tok").as("n_w1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("token").as("w2"), col("n_tok").as("n_w2"))),
+        Seq("w2"))
+      .withColumn("logp", log(
+        lit(lambda) * (col("n_big").cast("double") / col("n_w1")) +
+          lit(1.0 - lambda) * ((col("n_w2") + lit(1L)).cast("double") / lit(denom))))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * col("logp")) / sum(col("m")), 6).as("avg_logp"),
+        round(min(col("logp")), 6).as("min_logp"))
       .orderBy(col("doc_id"))
   }
 

@@ -565,6 +565,31 @@ object SoakScale {
     if (!sdWallOk) failures += 1
     println(f"[soak] RATIO q95-wall                   ${sdw1}%.2f -> ${sdw10}%.2f s (${sdWallRatio}%.2fx, gate ${gate}%.1fx) ${if (sdWallOk) "PASS" else "FAIL"}")
 
+    // --- r12: q99 CROSS-doc exact-substring scrub. Same exchange claim
+    // as q95 (gram-hash partial-agg + equi-join, doc-keyed windows),
+    // but the 10× corpus is ADVERSARIAL here, not just bigger: every
+    // copy-group doc has an exact twin (c and c+5 share the same token
+    // rewrite), so ~9/10 of all positions become repeats and the
+    // repeat-hit volume is corpus-proportional — the worst legal load.
+    // Wall must stay ~linear; rows keep the per-doc invariant.
+    def crossDedupWall(df: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val (n, sc) = Caches.scope {
+        graft.operators.TextOps.crossDocGramScrubFor(df).count()
+      }
+      sc.release(); spark.catalog.clearCache()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (cd1, cdw1) = scoped("q99 scrub @1x")(crossDedupWall(base))
+    val (cd10, cdw10) = scoped("q99 scrub @10x")(crossDedupWall(corpus10))
+    val cdRowsOk = cd1 == n1 && cd10 == n10
+    if (!cdRowsOk) failures += 1
+    println(f"[soak] RATIO q99-row-per-doc               $cd1%7d /  $cd10%11d  (want $n1/$n10) ${if (cdRowsOk) "PASS" else "FAIL"}")
+    val cdWallRatio = cdw10 / math.max(cdw1, 1e-9)
+    val cdWallOk = cdWallRatio <= gate
+    if (!cdWallOk) failures += 1
+    println(f"[soak] RATIO q99-wall                   ${cdw1}%.2f -> ${cdw10}%.2f s (${cdWallRatio}%.2fx, gate ${gate}%.1fx) ${if (cdWallOk) "PASS" else "FAIL"}")
+
     // --- r11: q90 BPE trainer. THE claim is that after the one
     // corpus-scale word-count pass, every merge iteration runs on the
     // HISTOGRAM — so the trainer's wall must stay ~linear in corpus

@@ -1224,4 +1224,115 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs88 == pairs72,
       s"span report must cover exactly the q72-contaminated eval docs ($pairs72 vs $pairs88)")
   }
+
+  test("cross-doc gram scrub: global first copy survives, later copies cut, whole-doc dup empties (q99)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1 owns every gram it has (lowest doc_id): byte-identical pass
+      (1L, "a b c d e"),
+      // quotes doc 1's (a b c)/(b c d) at pos 3/4 → one span [3,6];
+      // kept "x y z"
+      (2L, "x y a b c d z"),
+      // whole-doc copy of doc 1: every gram is a repeat, span [1,5],
+      // NOTHING survives (the q95-impossible case — repeats can start
+      // at position 1 on the corpus axis)
+      (3L, "a b c d e"),
+      // unique content: pass-through
+      (4L, "p q r s"),
+      // shorter than the gram: no grams, pass-through
+      (5L, "u v"),
+      // INTRA-doc repeat is also a later occurrence of a global first:
+      // (m n o) at pos 4 repeats pos 1 → span [4,6], kept "m n o"
+      (6L, "m n o m n o")
+    ).toDF("doc_id", "text")
+    val out = operators.TextOps.crossDocGramScrubFor(docs, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def h(s: String): String = spark.range(1)
+      .select(md5(lit(s))).head.getString(0)
+    assert(out(1L) == ((5L, 0L, 0L, h("a b c d e"))), s"got ${out(1L)}")
+    assert(out(2L) == ((7L, 4L, 1L, h("x y z"))), s"got ${out(2L)}")
+    assert(out(3L) == ((5L, 5L, 1L, h(""))), s"got ${out(3L)}")
+    assert(out(4L) == ((4L, 0L, 0L, h("p q r s"))), s"got ${out(4L)}")
+    assert(out(5L) == ((2L, 0L, 0L, h("u v"))), s"got ${out(5L)}")
+    assert(out(6L) == ((6L, 3L, 1L, h("m n o"))), s"got ${out(6L)}")
+    // corpus non-vacuity: real cross-doc shared 8-grams exist at this
+    // SF, and most docs survive untouched
+    val real = operators.TextOps.crossDocGramScrub(spark, sf)
+    assert(real.filter(col("n_removed_tokens") > 0).count() >= 1)
+    assert(real.filter(col("n_removed_tokens") === 0).count() >= 1)
+  }
+
+  test("quality quota: exact ranked top-k per source, salt changes the plan never the answer (q100)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // all-2-char-token docs: mtl = 2.0 exactly, n_tokens = 5 — only the
+    // uniq_ratio axis varies. srcA ratios: 1.0, 0.8, 0.6, 0.4 pass;
+    // 0.2 FAILS the strict > 0.2 gate. srcB: two docs, both pass.
+    val docs = Seq(
+      (1L, "srcA", "aa bb cc dd ee"), // 1.0
+      (2L, "srcA", "aa aa bb cc dd"), // 0.8
+      (3L, "srcA", "aa aa aa bb cc"), // 0.6
+      (4L, "srcA", "aa aa aa aa bb"), // 0.4
+      (5L, "srcA", "aa aa aa aa aa"), // 0.2 — gated out
+      (6L, "srcB", "pp qq rr ss tt"), // 1.0
+      (7L, "srcB", "pp pp qq rr ss")  // 0.8
+    ).toDF("doc_id", "source", "text")
+    val out = operators.Sampling.qualityQuotaFor(docs, k = 2, salts = 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // srcA: 4 candidates (doc 5 gated), top-2 = docs 1 (1.0) and 2
+    // (0.8) → cutoff 0.8; srcB: quota not binding, cutoff = its min
+    assert(out("srcA") == ((4L, 20L, 2L, 10L, 0.8)), s"got ${out("srcA")}")
+    assert(out("srcB") == ((2L, 10L, 2L, 10L, 0.8)), s"got ${out("srcB")}")
+    // the pigeonhole argument, executed: 1 salt (= the naive one-window
+    // plan) and 16 salts select identical rows
+    val a = operators.Sampling.qualityQuotaFor(docs, k = 2, salts = 1)
+      .collect().toSeq
+    val b = operators.Sampling.qualityQuotaFor(docs, k = 2, salts = 16)
+      .collect().toSeq
+    assert(a == b, s"salted prune changed the answer: $a vs $b")
+    operators.Caches.release()
+    // real corpus: the quota binds for at least one source
+    val real = operators.Sampling.qualityQuota(spark, sf)
+    assert(real.filter(col("n_kept") < col("n_candidates")).count() >= 1)
+    assert(real.filter(col("n_kept") > lit(10L)).count() == 0)
+    operators.Caches.release()
+  }
+
+  test("bigram LM: interpolated probabilities match the closed form (q101)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // corpus: a:3 b:2 c:1 → total 6, vocab 3, denom 9; bigrams (a,b):2,
+    // (a,c):1. Every doc has exactly one transition.
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = operators.TextOps.bigramLmScoreFor(docs, lambda = 0.75)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = 0.75 * (2.0 / 3.0) + 0.25 * (3.0 / 9.0)
+    val pAC = 0.75 * (1.0 / 3.0) + 0.25 * (2.0 / 9.0)
+    assert(out(1L) == ((1L, r6(math.log(pAB)), r6(math.log(pAB)))), s"got ${out(1L)}")
+    assert(out(2L) == out(1L))
+    assert(out(3L) == ((1L, r6(math.log(pAC)), r6(math.log(pAC)))), s"got ${out(3L)}")
+    // occurrence weighting: "a b a b" has (a,b)×2 and (b,a)×1 — the
+    // mean must weight (a,b) twice, and min must be the rarer (b,a)
+    val docs2 = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val o2 = operators.TextOps.bigramLmScoreFor(docs2, lambda = 0.75)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // corpus: a:3 b:3 → total 6, vocab 2, denom 8; (a,b):3, (b,a):1
+    val p2AB = 0.75 * (3.0 / 3.0) + 0.25 * (4.0 / 8.0)
+    val p2BA = 0.75 * (1.0 / 3.0) + 0.25 * (4.0 / 8.0)
+    val exp2 = (2.0 * math.log(p2AB) + math.log(p2BA)) / 3.0
+    assert(o2(1L) == ((3L, r6(exp2), r6(math.log(p2BA)))), s"got ${o2(1L)}")
+    // real corpus: every doc scored (all have >= 2 tokens), all logp < 0
+    val real = operators.TextOps.bigramLmScore(spark, sf)
+    val nDocs = graft.sources.Tables(spark, sf, "documents").count()
+    assert(real.count() == nDocs)
+    assert(real.filter(col("avg_logp") >= 0.0 || col("min_logp") > col("avg_logp")).count() == 0)
+  }
 }

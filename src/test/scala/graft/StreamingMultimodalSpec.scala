@@ -614,6 +614,49 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"scrub drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
   }
 
+  test("streaming cross-doc span scrub ≡ batch incremental form under any chunking (q99 twin)") {
+    import graft.streaming.SpanScrub
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanscrub").toString
+    // sf0.01: 7 of the 108 feed-bucket docs share an 8-gram with the
+    // corpus buckets, so the duality is non-vacuous
+    val sfSpan = "/root/testdata/sf0.01"
+    val all = graft.sources.Tables(spark, sfSpan, "documents")
+      .select(col("doc_id"), col("text"))
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 10)
+    val corpus = all.filter(bucket < 8)
+    val feed = all.filter(bucket >= 8)
+    feed.withColumn("_chunk", pmod(col("doc_id"), lit(4)))
+      .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
+    val index = SpanScrub.gramIndex(corpus).cache()
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/feed")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+    val q = SpanScrub.start(stream, index, (rows, _) =>
+      got.synchronized {
+        got ++= rows.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      })
+    try q.processAllAvailable() finally q.stop()
+    // batch truth = the shared incremental form over the whole feed
+    val want = operators.TextOps.scrubAgainstGramIndex(feed, index)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    index.unpersist()
+    assert(want.exists(_._3 > 0), "fixture should scrub corpus-owned spans")
+    assert(want.exists(_._3 == 0), "fixture should pass novel docs through")
+    assert(got.size == want.size,
+      s"stream emitted ${got.size} per-doc rows, batch has ${want.size}")
+    assert(got.toSet == want,
+      s"scrub drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
+  }
+
   test("three-tier index refresh: classify → refreshed3 → next batch ≡ one-shot") {
     import graft.streaming.IncrementalDedup
     import graft.operators.Dedup
