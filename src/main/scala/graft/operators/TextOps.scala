@@ -7,9 +7,14 @@ import graft.functions.TextFunctions._
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table — the per-document
-  * feature extraction stage of a training-data pipeline. All queries are
-  * pure per-row projections (no shuffle except the final order-by on
-  * small/bounded output), so they scale linearly with input splits.
+  * feature extraction and scrubbing stages of a training-data pipeline.
+  * The q21–q30 feature family is pure per-row projections (no shuffle
+  * except the final order-by on small/bounded output). The corpus-model
+  * operators that joined the file since (unigram/bigram LM scoring, the
+  * vocab/OOV audit, line dedup, the gram-scrub family) each add exactly
+  * the exchanges their Scaladoc declares — vocabulary-sized broadcast
+  * tables where the model side is bounded, partial-agg shuffles on
+  * content-hash keys where it grows with the corpus.
   */
 object TextOps {
 
@@ -489,14 +494,20 @@ object TextOps {
     * mean rounds to 6dp because summation ORDER differs across engines
     * (q59's documented rule), and ln() libm ulps sit far below 1e-6. */
   def bigramLmScoreFor(documents: DataFrame,
-                       lambda: Double = 0.75): DataFrame = {
-    require(lambda >= 0.0 && lambda <= 1.0, s"need λ in [0,1], got $lambda")
-    val tok = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
-    val t = uni.agg(sum(col("n_tok")).cast("long"), count(lit(1))).head
-    val denom = (t.getLong(0) + t.getLong(1)).toDouble
-    val pairs = documents
+                       lambda: Double = 0.75): DataFrame =
+    bigramLmScoreAgainst(documents, bigramLmFit(documents), lambda)
+      .orderBy(col("doc_id"))
+
+  /** A fitted bigram LM: the vocabulary-sized unigram table (broadcast
+    * operand), the corpus-growing bigram table (hash-join operand), and
+    * the add-one denominator. The static artifact ingest-time scoring
+    * probes ([[graft.streaming.LmScore]]); caller caches the frames. */
+  final case class BigramLm(uni: DataFrame, big: DataFrame, denom: Double)
+
+  /** The (doc_id, w1, w2) adjacent-token pair stream — per-row explode,
+    * shared by fit and score so the two sides see identical pairs. */
+  private def tokenPairs(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), tokens(col("text")).as("_tk"))
       .filter(size(col("_tk")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -504,24 +515,56 @@ object TextOps {
           "i -> struct(element_at(_tk, i) AS w1, element_at(_tk, i + 1) AS w2))"))
         .as("_p"))
       .select(col("doc_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
-    val occ = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("m"))
-    val big = pairs.groupBy(col("w1"), col("w2"))
+
+  /** Fit the LM tables on a (doc_id, text) corpus: one unigram and one
+    * bigram partial-agg shuffle (word-count exchanges), plus the 1-row
+    * totals fetch for the add-one denominator. */
+  def bigramLmFit(corpus: DataFrame): BigramLm = {
+    val uni = corpus
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val t = uni.agg(sum(col("n_tok")).cast("long"), count(lit(1))).head
+    val denom = (t.getLong(0) + t.getLong(1)).toDouble
+    val big = tokenPairs(corpus).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_big"))
+    BigramLm(uni, big, denom)
+  }
+
+  /** Score a (doc_id, text) frame against a fitted [[BigramLm]] — the
+    * incremental form the ingest twin shares verbatim. Out-of-model
+    * mass backs off exactly as Jelinek-Mercer prescribes: an unseen
+    * bigram contributes 0 to the ML term (left join, coalesce 0), an
+    * unseen history word w₁ zeroes the whole ML term (0/0 guarded to
+    * 0), and an unseen w₂ falls through to the add-one unigram floor
+    * 1/denom — so every probability stays strictly positive and a
+    * wholly-novel document scores at the floor instead of crashing.
+    * When scoring the SAME corpus the LM was fit on (the declared
+    * q101), no backoff branch fires and the arithmetic is the exact
+    * self-scoring form the oracle replays. UNSORTED (stream-safe).
+    *
+    * Scale shape: see q101's entry doc — distinct (doc, w₁, w₂, m)
+    * partial agg, hash join against the bigram table, broadcast
+    * unigram joins. */
+  def bigramLmScoreAgainst(docs: DataFrame, lm: BigramLm,
+                           lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"need λ in [0,1], got $lambda")
+    val occ = tokenPairs(docs).groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
     val scored = occ
-      .join(big, Seq("w1", "w2"))
-      .join(broadcast(uni.select(col("token").as("w1"), col("n_tok").as("n_w1"))),
-        Seq("w1"))
-      .join(broadcast(uni.select(col("token").as("w2"), col("n_tok").as("n_w2"))),
-        Seq("w2"))
+      .join(lm.big, Seq("w1", "w2"), "left")
+      .join(broadcast(lm.uni.select(col("token").as("w1"), col("n_tok").as("n_w1"))),
+        Seq("w1"), "left")
+      .join(broadcast(lm.uni.select(col("token").as("w2"), col("n_tok").as("n_w2"))),
+        Seq("w2"), "left")
       .withColumn("logp", log(
-        lit(lambda) * (col("n_big").cast("double") / col("n_w1")) +
-          lit(1.0 - lambda) * ((col("n_w2") + lit(1L)).cast("double") / lit(denom))))
+        lit(lambda) * when(col("n_w1").isNull, lit(0.0))
+          .otherwise(coalesce(col("n_big"), lit(0L)).cast("double") / col("n_w1")) +
+          lit(1.0 - lambda) *
+            ((coalesce(col("n_w2"), lit(0L)) + lit(1L)).cast("double") / lit(lm.denom))))
     scored.groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_bigrams"),
         round(sum(col("m") * col("logp")) / sum(col("m")), 6).as("avg_logp"),
         round(min(col("logp")), 6).as("min_logp"))
-      .orderBy(col("doc_id"))
   }
 
   /** The BOILERPLATE TABLE of a lines frame: one `_lh` (60-bit line

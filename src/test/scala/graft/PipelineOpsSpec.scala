@@ -1335,4 +1335,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(real.count() == nDocs)
     assert(real.filter(col("avg_logp") >= 0.0 || col("min_logp") > col("avg_logp")).count() == 0)
   }
+
+  test("bigram LM against a static model: out-of-model mass backs off to the add-one floor") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // model corpus: uni a:3 b:2 c:1 (denom 9), big (a,b):2 (a,c):1 —
+    // the q101 closed-form fixture
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val lm = operators.TextOps.bigramLmFit(corpus)
+    // feed doc 10 "a z b": z is NOVEL. (a,z): unseen bigram → ML term 0,
+    // unseen w2 → unigram floor (0+1)/9 ⇒ p = 0.25/9. (z,b): unseen
+    // HISTORY → whole ML term 0, w2=b seen ⇒ p = 0.25·(3/9). Doc 11
+    // "a b" is fully in-model and must score exactly the self-scoring
+    // interpolation.
+    val feed = Seq((10L, "a z b"), (11L, "a b")).toDF("doc_id", "text")
+    val out = operators.TextOps.bigramLmScoreAgainst(feed, lm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAZ = 0.25 * (1.0 / 9.0)
+    val pZB = 0.25 * (3.0 / 9.0)
+    val pAB = 0.75 * (2.0 / 3.0) + 0.25 * (3.0 / 9.0)
+    assert(out(10L) == ((2L, r6((math.log(pAZ) + math.log(pZB)) / 2.0),
+      r6(math.log(pAZ)))), s"got ${out(10L)}")
+    assert(out(11L) == ((1L, r6(math.log(pAB)), r6(math.log(pAB)))),
+      s"got ${out(11L)}")
+  }
 }

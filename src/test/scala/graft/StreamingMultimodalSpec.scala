@@ -657,6 +657,48 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"scrub drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
   }
 
+  test("streaming bigram-LM scoring ≡ batch incremental form under any chunking (q101 twin)") {
+    import graft.streaming.LmScore
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmscore").toString
+    val sfLm = "/root/testdata/sf0.01"
+    val all = graft.sources.Tables(spark, sfLm, "documents")
+      .select(col("doc_id"), col("text"))
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 10)
+    val corpus = all.filter(bucket < 8)
+    val feed = all.filter(bucket >= 8)
+    feed.withColumn("_chunk", pmod(col("doc_id"), lit(4)))
+      .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
+    val lm0 = LmScore.fit(corpus)
+    val lm = lm0.copy(uni = lm0.uni.cache(), big = lm0.big.cache())
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/feed")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    val q = LmScore.start(stream, lm, (rows, _) =>
+      got.synchronized {
+        got ++= rows.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      })
+    try q.processAllAvailable() finally q.stop()
+    // batch truth = the shared incremental form over the whole feed
+    val want = operators.TextOps.bigramLmScoreAgainst(feed, lm)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    lm.uni.unpersist(); lm.big.unpersist()
+    assert(want.nonEmpty && want.forall(_._3 < 0.0),
+      "fixture should score feed docs with negative log-probs")
+    assert(got.size == want.size,
+      s"stream emitted ${got.size} per-doc rows, batch has ${want.size}")
+    assert(got.toSet == want,
+      s"score drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
+  }
+
   test("three-tier index refresh: classify → refreshed3 → next batch ≡ one-shot") {
     import graft.streaming.IncrementalDedup
     import graft.operators.Dedup
