@@ -547,7 +547,10 @@ object TextOps {
     * unigram joins. */
   def bigramLmScoreAgainst(docs: DataFrame, lm: BigramLm,
                            lambda: Double = 0.75): DataFrame = {
-    require(lambda >= 0.0 && lambda <= 1.0, s"need λ in [0,1], got $lambda")
+    // λ = 1 is excluded: with no unigram mass an out-of-model bigram
+    // has p = 0 and log(0) = -Inf — the smoothing floor is the whole
+    // point of scoring AGAINST a static model
+    require(lambda >= 0.0 && lambda < 1.0, s"need λ in [0,1), got $lambda")
     val occ = tokenPairs(docs).groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
     val scored = occ

@@ -590,6 +590,55 @@ object SoakScale {
     if (!cdWallOk) failures += 1
     println(f"[soak] RATIO q99-wall                   ${cdw1}%.2f -> ${cdw10}%.2f s (${cdWallRatio}%.2fx, gate ${gate}%.1fx) ${if (cdWallOk) "PASS" else "FAIL"}")
 
+    // --- r12: q100 quality quota. THE claim: the two-stage top-k keeps
+    // every per-task sort bounded (stage 1 by bucket population, stage
+    // 2 by salts·k) so wall stays ~linear as sources grow 10× deeper;
+    // output rows stay pinned to the source count (copyDF keeps the
+    // same 20 sources) and n_kept never exceeds k.
+    def quotaWall(df: DataFrame): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val (r, sc) = Caches.scope {
+        val rows = graft.operators.Sampling.qualityQuotaFor(df, k = 10)
+          .agg(count(lit(1)), max(col("n_kept"))).head
+        (rows.getLong(0), rows.getLong(1))
+      }
+      sc.release(); spark.catalog.clearCache()
+      (r._1, r._2, (System.nanoTime() - t0) / 1e9)
+    }
+    val (qs1, qk1, qw1) = scoped("q100 quota @1x")(quotaWall(base))
+    val (qs10, qk10, qw10) = scoped("q100 quota @10x")(quotaWall(corpus10))
+    val quotaRowsOk = qs1 == qs10 && qk1 <= 10 && qk10 <= 10
+    if (!quotaRowsOk) failures += 1
+    println(f"[soak] RATIO q100-source-rows              $qs1%7d /  $qs10%11d  (max kept $qk1/$qk10, want equal rows, kept <= 10) ${if (quotaRowsOk) "PASS" else "FAIL"}")
+    val quotaWallRatio = qw10 / math.max(qw1, 1e-9)
+    val quotaWallOk = quotaWallRatio <= gate
+    if (!quotaWallOk) failures += 1
+    println(f"[soak] RATIO q100-wall                  ${qw1}%.2f -> ${qw10}%.2f s (${quotaWallRatio}%.2fx, gate ${gate}%.1fx) ${if (quotaWallOk) "PASS" else "FAIL"}")
+
+    // --- r12: q101 bigram LM. THE claim: the corpus is touched twice
+    // (unigram fit, pair stream) and the bigram join carries distinct
+    // (doc, transition) rows — all token-stream-proportional, so wall
+    // stays ~linear at 10× even though the copy transform grows the
+    // vocabulary (and the bigram table) with it. Row-per-scorable-doc
+    // invariant (every corpus doc has ≥ 2 tokens).
+    def lmWall(df: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val (n, sc) = Caches.scope {
+        graft.operators.TextOps.bigramLmScoreFor(df).count()
+      }
+      sc.release(); spark.catalog.clearCache()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (lm1, lmw1) = scoped("q101 lm score @1x")(lmWall(base))
+    val (lm10, lmw10) = scoped("q101 lm score @10x")(lmWall(corpus10))
+    val lmRowsOk = lm1 == n1 && lm10 == n10
+    if (!lmRowsOk) failures += 1
+    println(f"[soak] RATIO q101-row-per-doc              $lm1%7d /  $lm10%11d  (want $n1/$n10) ${if (lmRowsOk) "PASS" else "FAIL"}")
+    val lmWallRatio = lmw10 / math.max(lmw1, 1e-9)
+    val lmWallOk = lmWallRatio <= gate
+    if (!lmWallOk) failures += 1
+    println(f"[soak] RATIO q101-wall                  ${lmw1}%.2f -> ${lmw10}%.2f s (${lmWallRatio}%.2fx, gate ${gate}%.1fx) ${if (lmWallOk) "PASS" else "FAIL"}")
+
     // --- r11: q90 BPE trainer. THE claim is that after the one
     // corpus-scale word-count pass, every merge iteration runs on the
     // HISTOGRAM — so the trainer's wall must stay ~linear in corpus

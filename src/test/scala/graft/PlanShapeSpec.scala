@@ -106,4 +106,54 @@ class PlanShapeSpec extends AnyFunSuite {
       "exchange_hash" -> 2, "exchange_range" -> 1, "sort" -> 1,
       "cartesian" -> 0)
   }
+
+  test("q99 cross-doc scrub: global-first agg + hash joins, never a positioned-stream SMJ") {
+    // the global-first table and the repeat join ride the 60-bit gram
+    // hash; an SMJ or extra exchange means the positioned gram stream
+    // started shuffling for something other than its one partial agg.
+    pin("q99_crossdoc_scrub",
+      "sort_merge_join" -> 0, "exchange_hash" -> 8,
+      "exchange_range" -> 1, "sort" -> 7, "cartesian" -> 0)
+  }
+
+  test("q100 quality quota: two-stage top-k, bounded exchanges") {
+    pin("q100_quality_quota",
+      "sort_merge_join" -> 0, "broadcast_hash_join" -> 1,
+      "exchange_hash" -> 3, "exchange_range" -> 1, "sort" -> 5,
+      "cartesian" -> 0)
+  }
+
+  test("q100 quality quota: the stage-1 window is SALTED (no whole-source sort)") {
+    // the scale claim itself, asserted structurally: among the plan's
+    // Window nodes there must be one partitioned by (source, salt) —
+    // the md5-bucket `% 16` — and one by source alone over the pruned
+    // survivors. If the salted window disappears (a refactor collapsing
+    // to the naive one-window plan), a head domain at 100 TB sorts in
+    // ONE task and no count-ceiling pin would notice.
+    val plan = SparkEntry.queries("q100_quality_quota")(spark, sf)
+      .queryExecution.executedPlan.toString
+    operators.Caches.release()
+    spark.catalog.clearCache()
+    // the salt expression is pre-projected, so the salted window's
+    // partition spec renders as [source#N, _w0#M] — two columns — while
+    // stage 2 partitions by [source#N] alone; the md5-bucket salt
+    // itself ("% 16") must exist in the projection below
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.exists(w => w.contains("[source#") && w.contains(", _w0#")),
+      s"no salted (source, bucket) window in plan:\n${windows.mkString("\n")}")
+    assert(windows.exists(w => w.contains("], [source#") && !w.contains(", _w0#")),
+      s"no per-source stage-2 window in plan:\n${windows.mkString("\n")}")
+    assert(plan.contains("% 16"),
+      "the md5-bucket salt (% 16) disappeared from the plan")
+  }
+
+  test("q101 bigram LM: unigram joins broadcast, bigram join hash-partitioned") {
+    // the unigram (vocab-sized) tables must broadcast — an SMJ there
+    // would shuffle the scoring stream twice more; the bigram join and
+    // the distinct-(doc, transition) agg own the hash exchanges.
+    pin("q101_bigram_lm",
+      "sort_merge_join" -> 0, "broadcast_hash_join" -> 3,
+      "exchange_hash" -> 7, "exchange_range" -> 1, "sort" -> 1,
+      "cartesian" -> 0)
+  }
 }
