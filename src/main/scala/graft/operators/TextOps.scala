@@ -435,13 +435,19 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** A corpus gram index WITH the gram size it was built under: probe
+    * and build must shingle identically or the hash sets are disjoint
+    * and the scrub silently removes nothing — bundling k makes that
+    * mismatch unrepresentable (the [[BigramLm]] pattern). */
+  final case class GramIndex(grams: DataFrame, k: Int)
+
   /** The corpus GRAM INDEX: distinct k-gram hashes of a (doc_id, text)
     * corpus — the static artifact ingest-time cross-doc scrubbing
     * probes ([[graft.streaming.SpanScrub]]), refreshed on the
     * deployment's cadence exactly like q87's boilerplate line table.
     * One partial-agg distinct on 8-byte keys. */
-  def corpusGramIndex(corpus: DataFrame, k: Int = 8): DataFrame =
-    positionedGrams(corpus, k)._2.select(col("_gh")).distinct()
+  def corpusGramIndex(corpus: DataFrame, k: Int = 8): GramIndex =
+    GramIndex(positionedGrams(corpus, k)._2.select(col("_gh")).distinct(), k)
 
   /** Scrub a (doc_id, text) frame against a [[corpusGramIndex]]: every
     * position whose gram the corpus already contains is a repeat — the
@@ -458,12 +464,11 @@ object TextOps {
     * probe — broadcasts when it fits, degrades to a hash shuffle on the
     * 8-byte key); per-trigger cost scales with feed rate, never corpus
     * size. */
-  def scrubAgainstGramIndex(docs: DataFrame, index: DataFrame,
-                            k: Int = 8): DataFrame = {
-    val (toks, grams) = positionedGrams(docs, k)
-    val repeats = grams.join(index, Seq("_gh"), "left_semi")
+  def scrubAgainstGramIndex(docs: DataFrame, index: GramIndex): DataFrame = {
+    val (toks, grams) = positionedGrams(docs, index.k)
+    val repeats = grams.join(index.grams, Seq("_gh"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    spanScrubReport(docs, toks, repeats, k, "n_dup_spans")
+    spanScrubReport(docs, toks, repeats, index.k, "n_dup_spans")
   }
 
   // q101 — bigram language-model scoring: fit an interpolated bigram LM
@@ -518,12 +523,19 @@ object TextOps {
 
   /** Fit the LM tables on a (doc_id, text) corpus: one unigram and one
     * bigram partial-agg shuffle (word-count exchanges), plus the 1-row
-    * totals fetch for the add-one denominator. */
+    * totals fetch for the add-one denominator. The vocab-sized unigram
+    * table is cached ([[Caches.track]]) because THREE consumers read it
+    * — the denom action here and the two broadcast builds in
+    * [[bigramLmScoreAgainst]] — and each would otherwise re-run the
+    * corpus token count; with the cache the corpus is touched exactly
+    * twice (unigram fill + pair stream), the shape the soak gates. */
   def bigramLmFit(corpus: DataFrame): BigramLm = {
-    val uni = corpus
+    val uni = Caches.track(corpus
       .select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_tok")))
     val t = uni.agg(sum(col("n_tok")).cast("long"), count(lit(1))).head
+    require(!t.isNullAt(0),
+      "bigramLmFit: empty corpus — no tokens to fit an LM on")
     val denom = (t.getLong(0) + t.getLong(1)).toDouble
     val big = tokenPairs(corpus).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_big"))

@@ -32,8 +32,9 @@ import graft.operators.TextOps
   */
 object LmScore {
 
-  /** Fit the static LM on the corpus. Caller should `.cache()` the
-    * `uni`/`big` frames of the result. */
+  /** Fit the static LM on the corpus. The unigram table comes back
+    * cached (fit itself has three consumers of it); a long-lived
+    * deployment should also `.cache()` the `big` frame. */
   def fit(corpus: DataFrame): TextOps.BigramLm =
     TextOps.bigramLmFit(corpus)
 

@@ -34,20 +34,22 @@ import graft.operators.TextOps
   */
 object SpanScrub {
 
-  /** Build the static corpus gram index. Caller should `.cache()` it. */
-  def gramIndex(corpus: DataFrame, k: Int = 8): DataFrame =
+  /** Build the static corpus gram index (the [[TextOps.GramIndex]]
+    * carries its gram size, so probe and build can't shingle
+    * differently). Caller should `.cache()` the `grams` frame. */
+  def gramIndex(corpus: DataFrame, k: Int = 8): TextOps.GramIndex =
     TextOps.corpusGramIndex(corpus, k)
 
   /** Start scrubbing a streaming (doc_id, text) feed against `index`
     * ([[gramIndex]] output). Each micro-batch's per-doc rows —
     * (doc_id, n_tokens, n_removed_tokens, n_dup_spans, retained_hash),
     * q99's exact shape — go to `sink` with the batch id. */
-  def start(docs: DataFrame, index: DataFrame,
-            sink: (DataFrame, Long) => Unit, k: Int = 8): StreamingQuery =
+  def start(docs: DataFrame, index: TextOps.GramIndex,
+            sink: (DataFrame, Long) => Unit): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (microBatch: DataFrame, batchId: Long) =>
-        sink(TextOps.scrubAgainstGramIndex(microBatch, index, k), batchId)
+        sink(TextOps.scrubAgainstGramIndex(microBatch, index), batchId)
       }
       .start()
 }

@@ -1334,6 +1334,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val nDocs = graft.sources.Tables(spark, sf, "documents").count()
     assert(real.count() == nDocs)
     assert(real.filter(col("avg_logp") >= 0.0 || col("min_logp") > col("avg_logp")).count() == 0)
+    operators.Caches.release()
+    spark.catalog.clearCache()
   }
 
   test("bigram LM against a static model: out-of-model mass backs off to the add-one floor") {
@@ -1361,5 +1363,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       r6(math.log(pAZ)))), s"got ${out(10L)}")
     assert(out(11L) == ((1L, r6(math.log(pAB)), r6(math.log(pAB)))),
       s"got ${out(11L)}")
+    operators.Caches.release()
+    spark.catalog.clearCache()
   }
 }

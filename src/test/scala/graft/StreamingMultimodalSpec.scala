@@ -10,6 +10,25 @@ class StreamingMultimodalSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  /** Shared chunked-replay scaffold: write a (doc_id, text) frame as a
+    * 4-chunk parquet feed (pmod(doc_id, 4)) and return a
+    * maxFilesPerTrigger=1 stream over it — one micro-batch per chunk,
+    * the "any chunking" side of every duality spec below. */
+  private def chunkedFeed(docs: org.apache.spark.sql.DataFrame,
+                          tag: String): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    docs.withColumn("_chunk", pmod(col("doc_id"), lit(4)))
+      .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/feed")
+  }
+
   test("codec anchors: PNG/WAV/RAWV encode to real formats, decode recovers content") {
     import Multimodal.MediaCodec
     // PNG: correct signature, and ImageIO round-trips EXACT pixels
@@ -540,22 +559,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
 
   test("streaming self dedup ≡ batch repeated-gram scrub under any chunking (q95 twin)") {
     import graft.streaming.SelfDedup
-    val dir = java.nio.file.Files.createTempDirectory("graft_selfdedup").toString
     // sf0.01: 27 documents carry intra-doc repeated 3-grams, so the
     // duality is non-vacuous on the scrubbed branch too
     val sfSelf = "/root/testdata/sf0.01"
     val docs = graft.sources.Tables(spark, sfSelf, "documents")
       .select(col("doc_id"), col("text"))
-    docs.withColumn("_chunk", pmod(col("doc_id"), lit(4)))
-      .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
-    val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/feed")
+    val stream = chunkedFeed(docs, "selfdedup")
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
     val q = SelfDedup.start(stream, (rows, _) =>
       got.synchronized {
@@ -577,23 +586,13 @@ class StreamingMultimodalSpec extends AnyFunSuite {
 
   test("streaming line dedup ≡ batch scrub under any chunking (q87 twin)") {
     import graft.streaming.LineDedup
-    val dir = java.nio.file.Files.createTempDirectory("graft_linededup").toString
     // sf0.01: boilerplate lines actually exist there (127 cross-doc
     // line hashes), so the duality is non-vacuous
     val sfLine = "/root/testdata/sf0.01"
     val docs = graft.sources.Tables(spark, sfLine, "documents")
       .select(col("doc_id"), col("text"))
-    docs.withColumn("_chunk", pmod(col("doc_id"), lit(4)))
-      .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
     val boiler = LineDedup.boilerIndex(docs).cache()
-    val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/feed")
+    val stream = chunkedFeed(docs, "linededup")
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
     val q = LineDedup.start(stream, boiler, (rows, _) =>
       got.synchronized {
@@ -616,7 +615,6 @@ class StreamingMultimodalSpec extends AnyFunSuite {
 
   test("streaming cross-doc span scrub ≡ batch incremental form under any chunking (q99 twin)") {
     import graft.streaming.SpanScrub
-    val dir = java.nio.file.Files.createTempDirectory("graft_spanscrub").toString
     // sf0.01: 7 of the 108 feed-bucket docs share an 8-gram with the
     // corpus buckets, so the duality is non-vacuous
     val sfSpan = "/root/testdata/sf0.01"
@@ -625,17 +623,9 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 10)
     val corpus = all.filter(bucket < 8)
     val feed = all.filter(bucket >= 8)
-    feed.withColumn("_chunk", pmod(col("doc_id"), lit(4)))
-      .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
-    val index = SpanScrub.gramIndex(corpus).cache()
-    val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/feed")
+    val index0 = SpanScrub.gramIndex(corpus)
+    val index = index0.copy(grams = index0.grams.cache())
+    val stream = chunkedFeed(feed, "spanscrub")
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
     val q = SpanScrub.start(stream, index, (rows, _) =>
       got.synchronized {
@@ -648,7 +638,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
       .toSet
-    index.unpersist()
+    index.grams.unpersist()
     assert(want.exists(_._3 > 0), "fixture should scrub corpus-owned spans")
     assert(want.exists(_._3 == 0), "fixture should pass novel docs through")
     assert(got.size == want.size,
@@ -659,25 +649,16 @@ class StreamingMultimodalSpec extends AnyFunSuite {
 
   test("streaming bigram-LM scoring ≡ batch incremental form under any chunking (q101 twin)") {
     import graft.streaming.LmScore
-    val dir = java.nio.file.Files.createTempDirectory("graft_lmscore").toString
     val sfLm = "/root/testdata/sf0.01"
     val all = graft.sources.Tables(spark, sfLm, "documents")
       .select(col("doc_id"), col("text"))
     val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 10)
     val corpus = all.filter(bucket < 8)
     val feed = all.filter(bucket >= 8)
-    feed.withColumn("_chunk", pmod(col("doc_id"), lit(4)))
-      .write.partitionBy("_chunk").mode("overwrite").parquet(s"$dir/feed")
+    // fit returns uni already cached (Caches.track); cache big too
     val lm0 = LmScore.fit(corpus)
-    val lm = lm0.copy(uni = lm0.uni.cache(), big = lm0.big.cache())
-    val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/feed")
+    val lm = lm0.copy(big = lm0.big.cache())
+    val stream = chunkedFeed(feed, "lmscore")
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
     val q = LmScore.start(stream, lm, (rows, _) =>
       got.synchronized {
@@ -690,7 +671,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .toSet
-    lm.uni.unpersist(); lm.big.unpersist()
+    lm.big.unpersist(); operators.Caches.release()
+    spark.catalog.clearCache()
     assert(want.nonEmpty && want.forall(_._3 < 0.0),
       "fixture should score feed docs with negative log-probs")
     assert(got.size == want.size,
