@@ -150,10 +150,15 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q101 bigram LM: unigram joins broadcast, bigram join hash-partitioned") {
     // the unigram (vocab-sized) tables must broadcast — an SMJ there
     // would shuffle the scoring stream twice more; the bigram join and
-    // the distinct-(doc, transition) agg own the hash exchanges.
+    // the distinct-(doc, transition) agg own the hash exchanges. The
+    // exchange ceiling counts RENDERED text, and the cached unigram
+    // table's InMemoryRelation re-prints its one-time fill exchange at
+    // each of its consumers (the q27-family cache-rendering artifact) —
+    // so 11 rendered ≠ 11 executed; the executed inventory is the
+    // uncached 7 with the fill exchange running once.
     pin("q101_bigram_lm",
       "sort_merge_join" -> 0, "broadcast_hash_join" -> 3,
-      "exchange_hash" -> 7, "exchange_range" -> 1, "sort" -> 1,
+      "exchange_hash" -> 11, "exchange_range" -> 1, "sort" -> 1,
       "cartesian" -> 0)
   }
 }
