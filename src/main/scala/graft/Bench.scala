@@ -154,6 +154,58 @@ object Bench {
     else None
   }
 
+  /** Third guard on the committed artifact (r12): [[dirtyRunReason]]
+    * reads load BEFORE the run, but a box can degrade MID-run and
+    * produce a board uniformly 20–30% slower with a green load gate and
+    * one or two suspects (observed same-session: an 84.9 s capture over
+    * the committed 67.9 s clean board — load_before 0.00, load_after
+    * 10.2, every shared query inflated ~1.2–1.3×). A UNIFORM slowdown
+    * is a box signature, not an engine one: a real code regression
+    * localizes to the queries whose plans changed, moving the MEDIAN
+    * per-query ratio barely at all. So: if the median ratio over the
+    * shared set (committed median ≥ 0.1 s, so the noise floor can't
+    * vote) reaches [[UniformSlowdownRatio]], divert. A genuine broad
+    * regression still lands in bench_full.json, both stdout lines and
+    * the .dirty sibling — it just can't silently replace the clean
+    * number of record; fails open when there is no committed board or
+    * too few shared queries to call a distribution. */
+  val UniformSlowdownRatio = 1.15
+  val UniformSlowdownMinShared = 10
+
+  def uniformSlowdownReason(committed: Map[String, Double],
+                            fresh: Map[String, Double]): Option[String] = {
+    val ratios = committed.toSeq.collect {
+      case (k, old) if old >= 0.1 && fresh.contains(k) => fresh(k) / old
+    }
+    if (ratios.size < UniformSlowdownMinShared) None
+    else {
+      val m = medianOf(ratios.toVector)
+      if (m >= UniformSlowdownRatio)
+        Some(f"median per-query ratio $m%.2fx vs the committed board " +
+          s"over ${ratios.size} shared queries — uniform mid-run box slowdown")
+      else None
+    }
+  }
+
+  /** The committed compact board's per-query medians, or empty when the
+    * file is missing or unparseable (the guard fails open — a first
+    * capture must be able to write the artifact). */
+  def committedBoardQueries(path: String): Map[String, Double] =
+    try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      j \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JDecimal(v)) => k -> v.toDouble
+          case (k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   /** Cumulative GC time (millis) across all collector beans since JVM
     * start; per-rep deltas of this are the gcMs attribution. A bean that
     * doesn't report (-1) contributes 0. */
@@ -407,8 +459,14 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] could not write $path: ${e.getMessage}")
       }
-    if (args.isEmpty)
-      dirtyRunReason(loadBefore, results.count(_.suspect)) match {
+    if (args.isEmpty) {
+      // guards compose: pre-run load, suspect count, then the
+      // post-run uniform-slowdown comparison against the artifact this
+      // run would replace (see [[uniformSlowdownReason]])
+      val fresh = results.map(q => q.name.takeWhile(_ != '_') -> q.median).toMap
+      dirtyRunReason(loadBefore, results.count(_.suspect))
+        .orElse(uniformSlowdownReason(
+          committedBoardQueries(compactPath), fresh)) match {
         case None => writeCompact(compactPath)
         case Some(reason) =>
           val dirtyPath = compactPath.stripSuffix(".json") + ".dirty.json"
@@ -416,7 +474,7 @@ object Bench {
             s"$dirtyPath and leaving $compactPath (committed clean board) untouched")
           writeCompact(dirtyPath)
       }
-    else
+    } else
       System.err.println(s"[bench] subset run (${args.length} queries) — " +
         s"$compactPath left untouched (full-board artifact)")
     // padding before the compact line: the driver's ~2000-char stdout

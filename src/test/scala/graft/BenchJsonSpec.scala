@@ -282,4 +282,42 @@ class BenchJsonSpec extends AnyFunSuite {
     val s = Bench.loadavg()
     assert(s.isEmpty || s.split(" ").length === 3)
   }
+
+  test("uniform-slowdown guard diverts a uniformly-slow board but not a localized regression") {
+    val committed = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    // uniform 1.2x — the mid-run contention signature: divert
+    assert(Bench.uniformSlowdownReason(
+      committed, committed.view.mapValues(_ * 1.2).toMap).isDefined)
+    // one query 3x slower, the rest flat — a LOCALIZED engine
+    // regression must reach the committed artifact, not hide as dirty
+    val localized = committed.updated("q7", 3.0)
+    assert(Bench.uniformSlowdownReason(committed, localized) === None)
+    // uniformly FASTER boards always commit
+    assert(Bench.uniformSlowdownReason(
+      committed, committed.view.mapValues(_ * 0.8).toMap) === None)
+    // noise-floor queries (committed < 0.1 s) can't vote: 15 tiny
+    // queries doubling is 0 valid ratios + 5 valid — below the
+    // min-shared floor, fail open
+    val tiny = (1 to 15).map(i => s"t$i" -> 0.05).toMap ++
+      (1 to 5).map(i => s"q$i" -> 1.0).toMap
+    assert(Bench.uniformSlowdownReason(
+      tiny, tiny.view.mapValues(_ * 2.0).toMap) === None)
+    // no committed board / disjoint query sets: fail open
+    assert(Bench.uniformSlowdownReason(Map.empty, committed) === None)
+  }
+
+  test("committedBoardQueries parses the compact artifact and fails open otherwise") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_board")
+    val p = dir.resolve("bench_compact.json")
+    java.nio.file.Files.writeString(p,
+      """{"metric":"total","unit":"sec","queries":{"q01":0.5,"q02":1.25},""" +
+        """"suspect_n":0,"suspect":[],"retried_n":0,"retried":[],""" +
+        """"sf":"/x","value":1.75}""")
+    assert(Bench.committedBoardQueries(p.toString) ===
+      Map("q01" -> 0.5, "q02" -> 1.25))
+    assert(Bench.committedBoardQueries(
+      dir.resolve("missing.json").toString) === Map.empty)
+    java.nio.file.Files.writeString(p, "not json at all")
+    assert(Bench.committedBoardQueries(p.toString) === Map.empty)
+  }
 }
