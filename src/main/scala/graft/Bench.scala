@@ -172,6 +172,44 @@ object Bench {
   val UniformSlowdownRatio = 1.15
   val UniformSlowdownMinShared = 10
 
+  /** RE-BASELINE procedure: the guard family (load gate, suspect count,
+    * sf match, uniform-slowdown ratio) protects the committed clean
+    * board from box noise, which also means a GENUINE uniform engine
+    * regression (e.g. a Spark version bump) can never replace it by
+    * itself. To deliberately re-baseline, run the full board with
+    * `BENCH_FORCE_COMMIT=1` in the environment: every commit guard is
+    * bypassed with a loud stderr note recording the reason that would
+    * have diverted. Use only on a verified-quiet box — the override
+    * exists for re-baselining, not for rescuing a contended run. */
+  val ForceCommitEnv = "BENCH_FORCE_COMMIT"
+
+  /** Fourth guard (round-13 ADVICE): the ratio comparison is only
+    * meaningful between runs at the SAME scale factor — a larger-sf run
+    * would divert forever as a "uniform slowdown" while a smaller-sf
+    * run would read uniformly faster and silently replace the sf0.1
+    * board of record. A full run at a different sf never touches the
+    * committed artifact (fails open when the committed board predates
+    * the sf field or is missing). */
+  def sfMismatchReason(committedSf: Option[String], runSf: String): Option[String] =
+    committedSf.filter(_ != runSf).map(c =>
+      s"run sf '$runSf' differs from the committed board's sf '$c' — " +
+        "a different-scale run must not replace or be ratio-compared to " +
+        "the board of record")
+
+  /** The committed compact board's "sf" field, or None when the file is
+    * missing, unparseable, or predates the field. */
+  def committedBoardSf(path: String): Option[String] =
+    try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      j \ "sf" match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def uniformSlowdownReason(committed: Map[String, Double],
                             fresh: Map[String, Double]): Option[String] = {
     val ratios = committed.toSeq.collect {
@@ -205,6 +243,36 @@ object Bench {
         case _ => Map.empty
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Bounded PRE-RUN wait for an idle box (round 12's driver artifact
+    * was diverted twice running because the shared box was contended at
+    * launch time): poll the load average until [[dirtyRunReason]]'s
+    * load gate would pass, give up after [[IdleWaitMaxSec]] and let the
+    * run proceed (the guard family still diverts a dirty board — this
+    * loop only raises the odds that a SCHEDULED full run lands on a
+    * clean window). Reader and sleeper are injected so the wiring is
+    * spec-testable without real minutes; returns (final load string,
+    * seconds waited). An empty/unparseable load string exits
+    * immediately (same fail-open as the gate itself). Note the loop
+    * usually engages briefly even on a quiet box: sbt's own startup
+    * adds ~1.0 to the 1-min load, which takes ~40 idle seconds to decay
+    * below the 0.5 threshold — that settling time is exactly what the
+    * committed clean boards were captured under. */
+  val IdleWaitMaxSec = 480
+  val IdleWaitPollSec = 15
+
+  def waitForIdle(readLoad: () => String, sleepSec: Int => Unit,
+                  maxSec: Int = IdleWaitMaxSec,
+                  pollSec: Int = IdleWaitPollSec): (String, Int) = {
+    var waited = 0
+    var load = readLoad()
+    while (waited < maxSec && dirtyRunReason(load, 0).isDefined) {
+      sleepSec(pollSec)
+      waited += pollSec
+      load = readLoad()
+    }
+    (load, waited)
+  }
 
   /** Cumulative GC time (millis) across all collector beans since JVM
     * start; per-rep deltas of this are the gcMs attribution. A bean that
@@ -320,7 +388,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val loadBefore = loadavg()
+    // full-board runs wait (bounded) for the box to go idle before the
+    // load snapshot — see [[waitForIdle]]; subset profiling runs start
+    // immediately (they never touch the committed artifact anyway)
+    val (loadBefore, idleWaited) =
+      if (args.isEmpty) waitForIdle(() => loadavg(), s => Thread.sleep(s * 1000L))
+      else (loadavg(), 0)
+    if (idleWaited > 0)
+      System.err.println(s"[bench] waited ${idleWaited}s for an idle box " +
+        s"(load now '$loadBefore')")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -460,14 +536,25 @@ object Bench {
           System.err.println(s"[bench] could not write $path: ${e.getMessage}")
       }
     if (args.isEmpty) {
-      // guards compose: pre-run load, suspect count, then the
-      // post-run uniform-slowdown comparison against the artifact this
-      // run would replace (see [[uniformSlowdownReason]])
+      // guards compose: pre-run load, suspect count, the sf match, then
+      // the post-run uniform-slowdown comparison against the artifact
+      // this run would replace (see [[uniformSlowdownReason]]); the
+      // sf-mismatch guard runs FIRST among the board comparisons so a
+      // different-scale run is never ratio-compared at all.
+      // BENCH_FORCE_COMMIT=1 bypasses all of them for deliberate
+      // re-baselining (see [[ForceCommitEnv]]).
       val fresh = results.map(q => q.name.takeWhile(_ != '_') -> q.median).toMap
-      dirtyRunReason(loadBefore, results.count(_.suspect))
+      val gate = dirtyRunReason(loadBefore, results.count(_.suspect))
+        .orElse(sfMismatchReason(committedBoardSf(compactPath), sfDir))
         .orElse(uniformSlowdownReason(
-          committedBoardQueries(compactPath), fresh)) match {
+          committedBoardQueries(compactPath), fresh))
+      val force = sys.env.get(ForceCommitEnv).contains("1")
+      gate match {
         case None => writeCompact(compactPath)
+        case Some(reason) if force =>
+          System.err.println(s"[bench] $ForceCommitEnv=1 — bypassing commit " +
+            s"guards (would have diverted: $reason); RE-BASELINING $compactPath")
+          writeCompact(compactPath)
         case Some(reason) =>
           val dirtyPath = compactPath.stripSuffix(".json") + ".dirty.json"
           System.err.println(s"[bench] DIRTY RUN — $reason; writing " +

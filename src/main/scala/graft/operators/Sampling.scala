@@ -288,6 +288,13 @@ object Sampling {
   def qualityQuota(s: SparkSession, dir: String, k: Int = 10): DataFrame =
     qualityQuotaFor(Tables(s, dir, "documents"), k)
 
+  /** Default stage-1 salt-bucket count for [[qualityQuotaFor]]. Named
+    * (rather than inlined in the signature) so the plan-shape spec can
+    * assert the SALTED window against whatever the default actually is
+    * instead of hard-coding "% 16" — a changed default must move the
+    * spec's expectation with it, not fail it. */
+  val QuotaSalts = 16
+
   /** Core of q100 over any (doc_id, source, text) frame.
     *
     * Scale shape — the reason this is not q46's one-window plan: a
@@ -304,7 +311,7 @@ object Sampling {
     * winner — the salt changes the PLAN, never the answer, which is why
     * the oracle can replay selection as one flat rank. */
   def qualityQuotaFor(documents: DataFrame, k: Int = 10,
-                      salts: Int = 16): DataFrame = {
+                      salts: Int = QuotaSalts): DataFrame = {
     require(k > 0 && salts > 0, s"need k > 0 and salts > 0, got k=$k salts=$salts")
     import graft.functions.TextFunctions.{tokenCount, distinctTokenCount}
     val W = org.apache.spark.sql.expressions.Window

@@ -315,9 +315,52 @@ class BenchJsonSpec extends AnyFunSuite {
         """"sf":"/x","value":1.75}""")
     assert(Bench.committedBoardQueries(p.toString) ===
       Map("q01" -> 0.5, "q02" -> 1.25))
+    assert(Bench.committedBoardSf(p.toString) === Some("/x"))
     assert(Bench.committedBoardQueries(
       dir.resolve("missing.json").toString) === Map.empty)
+    assert(Bench.committedBoardSf(dir.resolve("missing.json").toString) === None)
     java.nio.file.Files.writeString(p, "not json at all")
     assert(Bench.committedBoardQueries(p.toString) === Map.empty)
+    assert(Bench.committedBoardSf(p.toString) === None)
+  }
+
+  test("sf-mismatch guard: a different-scale run never replaces the board of record") {
+    // the round-12 ADVICE scenario: committed board is sf0.1; a sf0.01
+    // run reads uniformly faster and would silently replace it, a sf1
+    // run would divert forever as a "uniform slowdown" — both must be
+    // named for what they are: a scale mismatch
+    assert(Bench.sfMismatchReason(
+      Some("/root/testdata/sf0.1"), "/root/testdata/sf0.01").isDefined)
+    assert(Bench.sfMismatchReason(
+      Some("/root/testdata/sf0.1"), "/root/testdata/sf1").isDefined)
+    // same sf: no objection
+    assert(Bench.sfMismatchReason(
+      Some("/root/testdata/sf0.1"), "/root/testdata/sf0.1") === None)
+    // no committed board (or one predating the sf field): fail open —
+    // a first capture must be able to write the artifact
+    assert(Bench.sfMismatchReason(None, "/root/testdata/sf0.1") === None)
+  }
+
+  test("waitForIdle polls until the load gate clears, bounded, fail-open") {
+    // scripted load sequence: hot, hot, clean — two sleeps then exit
+    var sleeps = 0
+    val seq = Iterator("3.1 1.0 0.5", "0.9 0.8 0.5", "0.12 0.6 0.5")
+    val (load, waited) = Bench.waitForIdle(
+      () => seq.next(), _ => sleeps += 1, maxSec = 480, pollSec = 15)
+    assert(load === "0.12 0.6 0.5")
+    assert(waited === 30 && sleeps === 2)
+    // already clean: no sleeps at all
+    var slept2 = 0
+    val (l2, w2) = Bench.waitForIdle(() => "0.01 0.2 0.3", _ => slept2 += 1)
+    assert(l2 === "0.01 0.2 0.3" && w2 === 0 && slept2 === 0)
+    // never clean: gives up at the bound instead of blocking the round
+    var slept3 = 0
+    val (_, w3) = Bench.waitForIdle(
+      () => "9.9 9.9 9.9", _ => slept3 += 1, maxSec = 60, pollSec = 15)
+    assert(w3 === 60 && slept3 === 4)
+    // unreadable loadavg (no /proc): same fail-open as the gate itself
+    var slept4 = 0
+    val (_, w4) = Bench.waitForIdle(() => "", _ => slept4 += 1)
+    assert(w4 === 0 && slept4 === 0)
   }
 }

@@ -124,27 +124,50 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q100 quality quota: the stage-1 window is SALTED (no whole-source sort)") {
-    // the scale claim itself, asserted structurally: among the plan's
-    // Window nodes there must be one partitioned by (source, salt) —
-    // the md5-bucket `% 16` — and one by source alone over the pruned
-    // survivors. If the salted window disappears (a refactor collapsing
-    // to the naive one-window plan), a head domain at 100 TB sorts in
-    // ONE task and no count-ceiling pin would notice.
-    val plan = SparkEntry.queries("q100_quality_quota")(spark, sf)
-      .queryExecution.executedPlan.toString
+    // the scale claim itself, asserted STRUCTURALLY on the analyzed
+    // logical plan's Window nodes (round-12 ADVICE: the rendered-text
+    // form hard-coded "% 16" and Spark's current alias rendering):
+    // there must be one Window partitioned by TWO expressions — source
+    // plus a remainder-by-[[operators.Sampling.QuotaSalts]] salt — and
+    // one partitioned by source alone over the pruned survivors. If the
+    // salted window disappears (a refactor collapsing to the naive
+    // one-window plan), a head domain at 100 TB sorts in ONE task and
+    // no count-ceiling pin would notice.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, AttributeReference, Expression, Literal, Remainder, Pmod}
+    val df = SparkEntry.queries("q100_quality_quota")(spark, sf)
+    val analyzed = df.queryExecution.analyzed
+    val specs = analyzed.collect { case w: LWindow => w.partitionSpec }
+    // the analyzer extracts complex partition expressions into projected
+    // `_w0` attributes, so resolve attribute references back through
+    // their defining Alias before testing the expression shape
+    val aliasDefs = analyzed.flatMap(_.expressions).flatMap(_.collect {
+      case a: Alias => a.toAttribute.exprId -> a.child
+    }).toMap
     operators.Caches.release()
     spark.catalog.clearCache()
-    // the salt expression is pre-projected, so the salted window's
-    // partition spec renders as [source#N, _w0#M] — two columns — while
-    // stage 2 partitions by [source#N] alone; the md5-bucket salt
-    // itself ("% 16") must exist in the projection below
-    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(windows.exists(w => w.contains("[source#") && w.contains(", _w0#")),
-      s"no salted (source, bucket) window in plan:\n${windows.mkString("\n")}")
-    assert(windows.exists(w => w.contains("], [source#") && !w.contains(", _w0#")),
-      s"no per-source stage-2 window in plan:\n${windows.mkString("\n")}")
-    assert(plan.contains("% 16"),
-      "the md5-bucket salt (% 16) disappeared from the plan")
+    def resolve(e: Expression, depth: Int = 0): Expression = e match {
+      case ar: AttributeReference if depth < 8 =>
+        aliasDefs.get(ar.exprId).map(resolve(_, depth + 1)).getOrElse(ar)
+      case other => other
+    }
+    def isSaltLit(e: Expression): Boolean = e.exists {
+      case Literal(v, _) => v != null &&
+        v.toString == operators.Sampling.QuotaSalts.toString
+      case _ => false
+    }
+    def isSaltExpr(e: Expression): Boolean =
+      resolve(e).exists {
+        case Remainder(_, r, _) => isSaltLit(r)
+        case Pmod(_, r, _) => isSaltLit(r)
+        case _ => false
+      }
+    assert(specs.exists(s => s.size == 2 && s.exists(isSaltExpr)),
+      s"no (source, hash % ${operators.Sampling.QuotaSalts}) salted window " +
+        s"in analyzed plan; partition specs: ${specs.mkString("; ")}")
+    assert(specs.exists(_.size == 1),
+      s"no per-source stage-2 window; partition specs: ${specs.mkString("; ")}")
   }
 
   test("q101 bigram LM: unigram joins broadcast, bigram join hash-partitioned") {
