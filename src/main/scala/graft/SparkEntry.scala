@@ -123,6 +123,7 @@ object SparkEntry {
     "q99_crossdoc_scrub"    -> ((s: SparkSession, d: String) => TextOps.crossDocGramScrub(s, d)),
     "q100_quality_quota"    -> ((s: SparkSession, d: String) => Sampling.qualityQuota(s, d)),
     "q101_bigram_lm"        -> ((s: SparkSession, d: String) => TextOps.bigramLmScore(s, d)),
+    "q102_crossdoc_scrub_min" -> ((s: SparkSession, d: String) => TextOps.crossDocGramScrubMin(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -211,6 +212,57 @@ object SparkEntry {
   private def ivfCentroidSql(j: Int): String =
     operators.IvfCentroids.cells(j)
       .map(f => f.toDouble.toString).mkString("[", ",", "]")
+
+  /** The q99/q102 oracle, parameterized by the minimum-match length:
+    * the cross-doc ExactSubstr replay with a post-merge span-length
+    * filter (`spf`) — minSpan=1 is the unthresholded q99 (a merged
+    * span is always >= the gram size 8), minSpan=L keeps sub-L spans
+    * exactly as [[operators.TextOps.crossDocGramScrubFor]] does. One
+    * SQL body for both queries so the shared replay can never drift
+    * between them. */
+  private def crossDocScrubSql(minSpan: Int): String = s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g AS (SELECT doc_id, i AS pos,
+              CAST('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15) AS BIGINT) AS gh
+            FROM t, unnest(generate_series(1, len(tk) - 7)) u(i)
+            WHERE len(tk) >= 8),
+      f AS (SELECT gh, doc_id AS fd, pos AS fp FROM (
+              SELECT gh, doc_id, pos,
+                     row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+              FROM g) WHERE rn = 1),
+      r AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gh)
+            WHERE g.doc_id <> f.fd OR g.pos > f.fp),
+      sp0 AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                     THEN 1 ELSE 0 END AS ns
+              FROM r),
+      sp1 AS (SELECT doc_id, pos,
+                sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+              FROM sp0),
+      sp AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + 7 AS e
+             FROM sp1 GROUP BY 1, 2),
+      spf AS (SELECT * FROM sp WHERE e - s + 1 >= $minSpan),
+      cov AS (SELECT DISTINCT doc_id, p FROM spf, unnest(generate_series(s, e)) v(p)),
+      tp AS (SELECT doc_id, i AS p, tk[i] AS tok
+             FROM t, unnest(generate_series(1, len(tk))) u(i)),
+      kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+               LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+               WHERE cov.p IS NULL),
+      ka AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS retained_hash
+             FROM kept GROUP BY 1),
+      sa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                    CAST(sum(e - s + 1) AS BIGINT) AS n_removed_tokens
+             FROM spf GROUP BY 1)
+      SELECT t.doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             coalesce(sa.n_removed_tokens, 0) AS n_removed_tokens,
+             coalesce(sa.n_dup_spans, 0) AS n_dup_spans,
+             coalesce(ka.retained_hash, md5('')) AS retained_hash
+      FROM t
+      LEFT JOIN sa ON sa.doc_id = t.doc_id
+      LEFT JOIN ka ON ka.doc_id = t.doc_id
+      ORDER BY t.doc_id"""
 
   /** The q38 oracle: identical literal centroids → identical cell
     * assignment (argmax of dot − ½‖c‖², first-index-of-max on ties),
@@ -2179,49 +2231,16 @@ $minhashMinSelectSql
     // (doc_id, pos) first occurrence per gram hash — a window rank in
     // SQL, a map-side-combining min(struct) agg on the Spark side (same
     // survivor set: the (doc_id, pos) order is a strict total order and
-    // each position carries exactly one gram).
-    "q99_crossdoc_scrub" -> """
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      g AS (SELECT doc_id, i AS pos,
-              CAST('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15) AS BIGINT) AS gh
-            FROM t, unnest(generate_series(1, len(tk) - 7)) u(i)
-            WHERE len(tk) >= 8),
-      f AS (SELECT gh, doc_id AS fd, pos AS fp FROM (
-              SELECT gh, doc_id, pos,
-                     row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
-              FROM g) WHERE rn = 1),
-      r AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gh)
-            WHERE g.doc_id <> f.fd OR g.pos > f.fp),
-      sp0 AS (SELECT doc_id, pos,
-                CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                       OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
-                     THEN 1 ELSE 0 END AS ns
-              FROM r),
-      sp1 AS (SELECT doc_id, pos,
-                sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-              FROM sp0),
-      sp AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + 7 AS e
-             FROM sp1 GROUP BY 1, 2),
-      cov AS (SELECT DISTINCT doc_id, p FROM sp, unnest(generate_series(s, e)) v(p)),
-      tp AS (SELECT doc_id, i AS p, tk[i] AS tok
-             FROM t, unnest(generate_series(1, len(tk))) u(i)),
-      kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
-               LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
-               WHERE cov.p IS NULL),
-      ka AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS retained_hash
-             FROM kept GROUP BY 1),
-      sa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
-                    CAST(sum(e - s + 1) AS BIGINT) AS n_removed_tokens
-             FROM sp GROUP BY 1)
-      SELECT t.doc_id,
-             CAST(len(tk) AS BIGINT) AS n_tokens,
-             coalesce(sa.n_removed_tokens, 0) AS n_removed_tokens,
-             coalesce(sa.n_dup_spans, 0) AS n_dup_spans,
-             coalesce(ka.retained_hash, md5('')) AS retained_hash
-      FROM t
-      LEFT JOIN sa ON sa.doc_id = t.doc_id
-      LEFT JOIN ka ON ka.doc_id = t.doc_id
-      ORDER BY t.doc_id""",
+    // each position carries exactly one gram). minSpan=1 makes the spf
+    // length filter a no-op (a merged span is >= 8 tokens by
+    // construction) — q99 is byte-identical to its pre-threshold form.
+    "q99_crossdoc_scrub" -> crossDocScrubSql(1),
+
+    // q102: the same replay with the minimum-match-length rule — only
+    // merged spans >= 20 tokens are cut (the spf filter is the entire
+    // semantic difference from q99, mirroring the single post-merge
+    // filter on the Spark side).
+    "q102_crossdoc_scrub_min" -> crossDocScrubSql(20),
 
     // q100: selection replays as ONE flat per-source rank — the Spark
     // side's salted two-stage prune is exactness-preserving (pigeonhole;

@@ -359,9 +359,16 @@ object TextOps {
     * uses. */
   private def spanScrubReport(documents: DataFrame, toks: DataFrame,
                               repeats: DataFrame, k: Int,
-                              spanCol: String): DataFrame = {
+                              spanCol: String,
+                              minSpanTokens: Long = 1L): DataFrame = {
+    require(minSpanTokens >= 1L,
+      s"need minSpanTokens >= 1, got $minSpanTokens")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // the length threshold applies AFTER span merge (the ExactSubstr
+    // rule: what matters is the length of the maximal duplicated RUN,
+    // not of any single k-gram hit) and BEFORE coverage/reporting —
+    // a sub-threshold span is not removed and not counted
     val spans = repeats
       .withColumn("_new", when(lag(col("pos"), 1).over(w).isNull ||
         col("pos") - lag(col("pos"), 1).over(w) > k, 1L).otherwise(0L))
@@ -369,6 +376,7 @@ object TextOps {
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("_span"))
       .agg(min(col("pos")).as("_s"), (max(col("pos")) + lit(k - 1)).as("_e"))
+      .filter(col("_e") - col("_s") + 1 >= minSpanTokens)
     val covered = spans.select(col("doc_id"),
       explode(sequence(col("_s"), col("_e"))).as("_p"))
     val kept = toks
@@ -403,6 +411,20 @@ object TextOps {
   def crossDocGramScrub(s: SparkSession, dir: String, k: Int = 8): DataFrame =
     crossDocGramScrubFor(docsHeavy(s, dir), k)
 
+  // q102 — q99 with the published pass's MINIMUM-MATCH-LENGTH rule
+  // (Lee et al. 2022 cut only duplicated runs >= ~50 tokens): merged
+  // repeat spans shorter than `minSpanTokens` survive. At real corpus
+  // scale the unthresholded q99 deletes common idioms and boilerplate
+  // phrases everywhere but their accidental first home; the threshold
+  // keeps short shared phrasing and cuts only genuinely duplicated
+  // passages. Declared at L=20 on this 10–99-token-doc corpus (the
+  // measured sf0.01 span-length distribution straddles it: spans of
+  // 8–20 tokens survive, 23+ are cut), scaled from the paper's ~50 the
+  // way its authors scaled from their corpus.
+  def crossDocGramScrubMin(s: SparkSession, dir: String, k: Int = 8,
+                           minSpanTokens: Long = 20L): DataFrame =
+    crossDocGramScrubFor(docsHeavy(s, dir), k, minSpanTokens)
+
   /** Core of q99 over any (doc_id, text) frame.
     *
     * Scale shape vs q95 (which this deliberately mirrors): positioned
@@ -421,7 +443,8 @@ object TextOps {
     * tail. The (doc_id, pos) total order is unique per gram (one gram
     * per position), so the survivor set is deterministic in any engine.
     */
-  def crossDocGramScrubFor(documents: DataFrame, k: Int = 8): DataFrame = {
+  def crossDocGramScrubFor(documents: DataFrame, k: Int = 8,
+                           minSpanTokens: Long = 1L): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     val (toks, grams) = positionedGrams(documents, k)
     val firsts = grams
@@ -431,7 +454,7 @@ object TextOps {
     val repeats = grams.join(firsts, Seq("_gh"))
       .filter(col("doc_id") =!= col("_fd") || col("pos") > col("_fp"))
       .select(col("doc_id"), col("pos"))
-    spanScrubReport(documents, toks, repeats, k, "n_dup_spans")
+    spanScrubReport(documents, toks, repeats, k, "n_dup_spans", minSpanTokens)
       .orderBy(col("doc_id"))
   }
 
@@ -464,11 +487,12 @@ object TextOps {
     * probe — broadcasts when it fits, degrades to a hash shuffle on the
     * 8-byte key); per-trigger cost scales with feed rate, never corpus
     * size. */
-  def scrubAgainstGramIndex(docs: DataFrame, index: GramIndex): DataFrame = {
+  def scrubAgainstGramIndex(docs: DataFrame, index: GramIndex,
+                            minSpanTokens: Long = 1L): DataFrame = {
     val (toks, grams) = positionedGrams(docs, index.k)
     val repeats = grams.join(index.grams, Seq("_gh"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    spanScrubReport(docs, toks, repeats, index.k, "n_dup_spans")
+    spanScrubReport(docs, toks, repeats, index.k, "n_dup_spans", minSpanTokens)
   }
 
   // q101 — bigram language-model scoring: fit an interpolated bigram LM

@@ -1264,6 +1264,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(real.filter(col("n_removed_tokens") === 0).count() >= 1)
   }
 
+  test("thresholded cross-doc scrub: short shared idiom survives, long passage cut (q102)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // k=3, minSpanTokens=5: the published ExactSubstr rule at planted
+    // scale — only merged duplicate runs of >= 5 tokens are removed
+    val docs = Seq(
+      // owns a long passage
+      (1L, "a b c d e f g h"),
+      // quotes doc 1's full 8-token run: grams at pos 3..8 merge to
+      // span [3,10] (8 tokens >= 5) -> CUT; kept "x y z"
+      (2L, "x y a b c d e f g h z"),
+      // owns the short idiom "p q r"
+      (3L, "p q r s t"),
+      // quotes ONLY the 3-token idiom: span [3,5] (3 tokens < 5) ->
+      // SURVIVES byte-identical — the unthresholded q99 would cut it
+      (4L, "k l p q r m n")
+    ).toDF("doc_id", "text")
+    def h(s: String): String = spark.range(1)
+      .select(md5(lit(s))).head.getString(0)
+    val out = operators.TextOps
+      .crossDocGramScrubFor(docs, k = 3, minSpanTokens = 5L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((8L, 0L, 0L, h("a b c d e f g h"))), s"got ${out(1L)}")
+    assert(out(2L) == ((11L, 8L, 1L, h("x y z"))), s"got ${out(2L)}")
+    assert(out(3L) == ((5L, 0L, 0L, h("p q r s t"))), s"got ${out(3L)}")
+    assert(out(4L) == ((7L, 0L, 0L, h("k l p q r m n"))), s"got ${out(4L)}")
+    // the SAME fixture unthresholded cuts doc 4's idiom — the filter is
+    // the entire semantic difference
+    val unthresholded = operators.TextOps
+      .crossDocGramScrubFor(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(unthresholded(4L) === 3L)
+    // real corpus at the declared L=20: strictly less is removed than
+    // by q99 (sub-20 spans exist at this SF) yet long passages still
+    // cut (20+ spans exist too) — the threshold is binding in BOTH
+    // directions, not vacuously pass-through or q99-identical
+    val t = operators.TextOps.crossDocGramScrubMin(spark, sf)
+      .agg(sum("n_removed_tokens"), sum("n_dup_spans")).head
+    val u = operators.TextOps.crossDocGramScrub(spark, sf)
+      .agg(sum("n_removed_tokens"), sum("n_dup_spans")).head
+    assert(t.getLong(0) > 0L, "no long passage cut at L=20 on the corpus")
+    assert(t.getLong(0) < u.getLong(0) && t.getLong(1) < u.getLong(1),
+      s"threshold not binding: thresholded ${t} vs unthresholded ${u}")
+  }
+
   test("quality quota: exact ranked top-k per source, salt changes the plan never the answer (q100)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
