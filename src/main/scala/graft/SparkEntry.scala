@@ -124,6 +124,7 @@ object SparkEntry {
     "q100_quality_quota"    -> ((s: SparkSession, d: String) => Sampling.qualityQuota(s, d)),
     "q101_bigram_lm"        -> ((s: SparkSession, d: String) => TextOps.bigramLmScore(s, d)),
     "q102_crossdoc_scrub_min" -> ((s: SparkSession, d: String) => TextOps.crossDocGramScrubMin(s, d)),
+    "q103_shard_write"      -> ((s: SparkSession, d: String) => Packing.writeShards(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1249,6 +1250,32 @@ object SparkEntry {
              count(*) AS n_docs,
              CAST(sum(nt) AS BIGINT) AS seq_tokens
       FROM c GROUP BY 1 ORDER BY seq_id""",
+
+    // q103: the q52 assignment CTE extended with the shard range
+    // partition (seq_id // 8) and the pack-order content hash. The
+    // LOGICAL replay — the Spark side reports from the parquet files it
+    // wrote and read back, so a green row certifies the physical
+    // artifact carries exactly the logical packing (row loss, wrong
+    // shard, or text corruption all break content_hash).
+    "q103_shard_write" -> """
+      WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ok,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                        md5(text) AS th
+                 FROM documents),
+      c AS (SELECT doc_id, ok, nt, th,
+                   sum(nt) OVER (ORDER BY ok, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d),
+      a AS (SELECT doc_id, ok, nt, th,
+                   CAST((cum - nt) // 512 AS BIGINT) AS seq_id
+            FROM c)
+      SELECT CAST(seq_id // 8 AS BIGINT) AS shard_id,
+             CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+             count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS shard_tokens,
+             md5(string_agg(seq_id || ':' || doc_id || ':' || th, ' '
+               ORDER BY ok, doc_id)) AS content_hash
+      FROM a GROUP BY 1 ORDER BY shard_id""",
 
     // Mirrors contaminationAudit: q30's winnowing fingerprint + q44's
     // hash-mod split rule, eval docs left-joined to distinct train

@@ -123,15 +123,103 @@ object Packing {
     * frame carries token arrays, so its counts are a `size()` away and
     * the texts are never re-split here. */
   def packSequencesCounts(docCounts: DataFrame,
-                          budget: Long = 2048): DataFrame = {
+                          budget: Long = 2048): DataFrame =
+    packAssignments(docCounts, budget)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("seq_tokens"))
+      .orderBy(col("seq_id"))
+
+  /** The per-document pack assignment under q52's deterministic order:
+    * (doc_id, _ok = md5(doc_id) order key, _nt, seq_id). The shared
+    * head of the packing audit and the shard writer — extracting it
+    * means the artifact q103 writes and the report q52 publishes can
+    * never disagree on which sequence a document landed in. */
+  private[graft] def packAssignments(docCounts: DataFrame,
+                                     budget: Long): DataFrame = {
     val d = docCounts
       .select(col("doc_id"),
         md5(col("doc_id").cast("string")).as("_ok"),
         col("_nt"))
     runningTotal(d, Seq(col("_ok"), col("doc_id")), col("_nt"))
       .withColumn("seq_id", expr(s"(_cum - _nt) div ${budget}L"))
-      .groupBy(col("seq_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("seq_tokens"))
-      .orderBy(col("seq_id"))
   }
+
+  // q103 — CLEANED-SHARD WRITER: the physical artifact a pretraining
+  // run actually ships. q52/q81 pin the LOGICAL packing; this op
+  // WRITES the packed corpus as deterministic parquet shards and then
+  // reports — from the files READ BACK, never from the frame it wrote —
+  // per-shard sequence/doc/token mass plus a content hash over the
+  // (seq_id, doc_id, md5(text)) stream in pack order. The DuckDB oracle
+  // replays the LOGICAL definition, so a green row certifies that what
+  // landed on disk is the packing the audit describes: a dropped row, a
+  // doc in the wrong shard, or corrupted text payload all break the
+  // hash.
+  def writeShards(s: SparkSession, dir: String, budget: Long = 512,
+                  seqsPerShard: Long = 8): DataFrame =
+    writeShardsFor(Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      budget, seqsPerShard, defaultShardPath(dir))
+
+  /** Deterministic per-corpus output location (overwritten each run —
+    * the artifact is a pure function of its inputs, so rewriting is
+    * idempotent by construction and the oracle-checked hash proves it). */
+  def defaultShardPath(dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_shards_" + dir.replaceAll("[^A-Za-z0-9]+", "_")).getAbsolutePath
+
+  /** Core of q103 over any (doc_id, text) frame.
+    *
+    * Shard layout: `shard_id = seq_id div seqsPerShard` — a FIXED RANGE
+    * partitioning of the sequence space, so shard membership is a pure
+    * function of the pack assignment (stable under cluster layout,
+    * executor count, and AQE decisions), and shard COUNT grows linearly
+    * with corpus token mass — the soak's 10× axis. Rows are written
+    * `partitionBy(shard_id)` with an explicit repartition on shard_id +
+    * sortWithinPartitions(ok, doc_id): one writer task per shard hash
+    * bucket, each shard's file(s) internally in pack order — the
+    * sorted-within-shard contract a training loader relies on for
+    * sequential reads. At 100 TB the only corpus-scale stages are the
+    * range shuffle the packer already pays, the equi-join that brings
+    * text to its assignment, and the write's one shard_id shuffle; the
+    * read-back report aggregates with a per-shard sorted-collect
+    * bounded by one shard (seqsPerShard × budget tokens by
+    * construction — the operator's own knobs bound its heaviest task).
+    *
+    * The report is computed from `spark.read.parquet(path)` — the
+    * written files are the thing under test, not an in-memory proxy. */
+  def writeShardsFor(documents: DataFrame, budget: Long, seqsPerShard: Long,
+                     path: String): DataFrame = {
+    require(budget > 0 && seqsPerShard > 0,
+      s"need budget > 0 and seqsPerShard > 0, got $budget / $seqsPerShard")
+    val s = documents.sparkSession
+    val counts = documents.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("_nt"))
+    val rows = packAssignments(counts, budget)
+      .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
+      .join(documents, Seq("doc_id"))
+      .select(col("shard_id"), col("seq_id"), col("_ok").as("ok"),
+        col("doc_id"), col("_nt").as("n_tokens"), col("text"))
+    rows.repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("ok"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    shardReport(s.read.parquet(path))
+  }
+
+  /** Per-shard audit of a written shard set: sequence/doc/token mass
+    * and the pack-order content hash (elements `seq:doc:md5(text)`,
+    * ordered by the pack key — seq_id is monotone in (ok, doc_id) by
+    * construction, so this IS global pack order). Split out so a spec
+    * can aim it at any path. */
+  def shardReport(shards: DataFrame): DataFrame =
+    shards
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(
+        countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        md5(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("ok"), col("doc_id"),
+            col("seq_id"), md5(col("text")).as("_th")))),
+          x => concat(x.getField("seq_id"), lit(":"), x.getField("doc_id"),
+            lit(":"), x.getField("_th"))))).as("content_hash"))
+      .orderBy(col("shard_id"))
 }

@@ -639,6 +639,41 @@ object SoakScale {
     if (!lmWallOk) failures += 1
     println(f"[soak] RATIO q101-wall                  ${lmw1}%.2f -> ${lmw10}%.2f s (${lmWallRatio}%.2fx, gate ${gate}%.1fx) ${if (lmWallOk) "PASS" else "FAIL"}")
 
+    // --- r13: q103 shard writer. TWO claims: (a) shard COUNT scales
+    // linearly with token mass — the fixed seq-range partitioning means
+    // 10× corpus ⇒ ~10× shards, never wider shards or a single fat
+    // tail; (b) the written artifact is a pure function of CONTENT —
+    // the identical per-shard report (hashes included) when the input
+    // arrives in a different partition layout, which is exactly the
+    // cross-cluster determinism a 1000-executor run needs. Wall gated
+    // ~linear like every corpus-scale pass.
+    def shardRun(df: DataFrame, sub: String, parts: Int): (Seq[Seq[Any]], Double) = {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_shards_soak_$sub").getAbsolutePath
+      val t0 = System.nanoTime()
+      val (rep, sc) = Caches.scope {
+        graft.operators.Packing.writeShardsFor(
+          df.repartition(parts, col("doc_id")).select(col("doc_id"), col("text")),
+          budget = 512, seqsPerShard = 8, path = path)
+          .collect().toSeq.map(_.toSeq)
+      }
+      sc.release(); spark.catalog.clearCache()
+      base.cache(); base.count(); corpus10.cache(); corpus10.count()
+      (rep, (System.nanoTime() - t0) / 1e9)
+    }
+    val (sh1, shw1) = scoped("q103 shards @1x")(shardRun(base, "1a", 32))
+    val (sh1b, _) = scoped("q103 shards @1x relayout")(shardRun(base, "1b", 5))
+    val shDetOk = sh1 == sh1b
+    if (!shDetOk) failures += 1
+    println(s"[soak] RATIO q103-layout-determinism     ${sh1.size} shards, " +
+      s"reports ${if (shDetOk) "IDENTICAL PASS" else "DIVERGED FAIL"}")
+    val (sh10, shw10) = scoped("q103 shards @10x")(shardRun(corpus10, "10", 32))
+    check("q103-shard-count", sh1.size.toLong, sh10.size.toLong)
+    val shWallRatio = shw10 / math.max(shw1, 1e-9)
+    val shWallOk = shWallRatio <= gate
+    if (!shWallOk) failures += 1
+    println(f"[soak] RATIO q103-wall                  ${shw1}%.2f -> ${shw10}%.2f s (${shWallRatio}%.2fx, gate ${gate}%.1fx) ${if (shWallOk) "PASS" else "FAIL"}")
+
     // --- r11: q90 BPE trainer. THE claim is that after the one
     // corpus-scale word-count pass, every merge iteration runs on the
     // HISTOGRAM — so the trainer's wall must stay ~linear in corpus

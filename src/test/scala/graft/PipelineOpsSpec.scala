@@ -344,6 +344,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard writer: one sorted file per shard, layout-invariant content (q103)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f"), (4L, "g h i j"),
+      (5L, "k"), (6L, "l m"), (7L, "n o p"), (8L, "q")
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_shards_spec")
+    val p1 = base.resolve("w1").toString
+    val rep1 = operators.Packing.writeShardsFor(docs, budget = 4,
+      seqsPerShard = 2, p1).collect()
+    operators.Caches.release()
+    // conservation: every doc and every token lands in exactly one shard
+    assert(rep1.map(_.getLong(2)).sum === 8L)
+    assert(rep1.map(_.getLong(3)).sum === 17L) // 3+2+1+4+1+2+3+1
+    // shard ids are the contiguous range partition of the seq space
+    assert(rep1.map(_.getLong(0)).toSeq === (0L until rep1.length).toSeq)
+    // physical layout: exactly ONE part file per shard dir (the
+    // repartition-on-shard_id writer contract), rows inside it in pack
+    // order (ok, doc_id) — the sequential-read contract a loader uses
+    val shardDirs = new java.io.File(p1).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(shardDirs.length === rep1.length)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length === 1, s"${d.getName}: ${parts.length} part files")
+      val rows = spark.read.parquet(parts.head.getAbsolutePath)
+        .select(col("ok"), col("doc_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows === rows.sorted, s"${d.getName} not in pack order")
+    }
+    // layout invariance: a differently-partitioned input writes the
+    // IDENTICAL report (assignment is a pure function of content; the
+    // range scan is partition-count-invariant by the spec above)
+    val p2 = base.resolve("w2").toString
+    val rep2 = operators.Packing.writeShardsFor(docs.repartition(7),
+      budget = 4, seqsPerShard = 2, p2).collect()
+    operators.Caches.release()
+    assert(rep1.map(_.toSeq).toSeq === rep2.map(_.toSeq).toSeq)
+  }
+
   test("contamination audit agrees with a brute-force fingerprint check") {
     import org.apache.spark.sql.functions._
     val audit = operators.Sampling.contaminationAudit(spark, sf)
