@@ -135,6 +135,92 @@ object Bpe {
     (merges.result(), state)
   }
 
+  /** Greedy rank-order selection of up to `batch` pairwise
+    * NON-INTERACTING pairs from a (lhs, rhs, cnt) candidate list
+    * already sorted by the trainer's total order: a pair is skipped —
+    * deferred to the next round, never dropped — when it shares a
+    * symbol (either side) with any already-selected pair. Symbol
+    * disjointness guarantees the selected merges commute: no selected
+    * pair consumes a symbol another selected pair needs, so folding
+    * them in any order equals folding them one-per-iteration, and each
+    * pair's count is exactly what the shared histogram pass measured.
+    * Pure and driver-side (the candidate list is a bounded collect). */
+  def selectNonInteracting(ranked: Seq[(String, String, Long)],
+                           batch: Int): Seq[(String, String, Long)] = {
+    require(batch > 0, s"need batch > 0, got $batch")
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val out = Seq.newBuilder[(String, String, Long)]
+    var n = 0
+    val it = ranked.iterator
+    while (n < batch && it.hasNext) {
+      val p @ (l, r, _) = it.next()
+      if (!used(l) && !used(r)) {
+        out += p; used += l; used += r; n += 1
+      }
+    }
+    out.result()
+  }
+
+  /** BATCHED merge learning: per round, ONE pair-count job + one
+    * bounded collect selects up to `batch` non-interacting pairs
+    * ([[selectNonInteracting]]) and folds them in a single projection +
+    * one localCheckpoint — ~batch× fewer driver round-trips than
+    * [[learnMerges]], whose measured per-iteration floor (0.16 s/merge
+    * at sf0.1, SCALE.md) is pure job-scheduling latency: a 32k-vocab
+    * production run is driver-bound, and this is the recorded remedy.
+    *
+    * Semantics — stated exactly, not hand-waved: the batched table
+    * equals the sequential table WHENEVER each round's sequential
+    * argmax sequence is exactly the round's selected pairs, which holds
+    * when (a) the selected pairs are symbol-disjoint in rank order
+    * (enforced — interacting pairs are deferred) and (b) no pair
+    * CREATED by one of the round's merges outranks the round's next
+    * selection (not checkable before the fold; on natural-language
+    * histograms a just-created symbol's follow-on pairs almost never
+    * beat the standing top-k, but adversarial inputs exist — BpeSpec
+    * plants one). Where (b) fails the result is still a VALID greedy
+    * BPE table (every selected pair had its true count at selection
+    * time); it is the standard batched-trainer approximation, traded
+    * knowingly for the k× driver-latency win. Callers who need the
+    * reference table exactly (the declared q90 oracle) use
+    * [[learnMerges]].
+    *
+    * Iteration numbering: merges keep GLOBAL sequential `iter` values
+    * (1-based across rounds) so [[ranksOf]]/[[segmentWithVocab]]
+    * consume either trainer's table identically. */
+  def learnMergesBatched(state0: DataFrame, iters: Int,
+                         batch: Int = 8): (Seq[Merge], DataFrame) = {
+    require(iters > 0, s"need iters > 0, got $iters")
+    require(batch > 0, s"need batch > 0, got $batch")
+    var state = state0.localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var done = 0
+    while (done < iters) {
+      val want = math.min(batch, iters - done)
+      // candidate pool 4× the ask: enough to survive skips (each
+      // selected pair blocks at most its two symbols; a pool of 4k
+      // rank-ordered pairs yields k disjoint ones on any histogram
+      // with >2k distinct symbols) — if the pool still comes up short
+      // the next round re-counts and continues, so nothing is lost.
+      val top = pairCounts(state)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(want * 4).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      require(top.nonEmpty,
+        s"pair space exhausted after $done merges — every word fully " +
+          "merged; ask for fewer merges on this corpus")
+      val picked = selectNonInteracting(top, want)
+      picked.foreach { case (l, r, c) =>
+        done += 1
+        merges += Merge(done.toLong, l, r, c)
+      }
+      state = picked.foldLeft(state) { case (df, (l, r, _)) =>
+        df.withColumn("syms", mergeSyms(col("syms"), l, r))
+      }.localCheckpoint()
+    }
+    (merges.result(), state)
+  }
+
   /** Apply an ORDERED merge list to a (word, syms) frame — one chained
     * projection (no shuffles, no per-merge actions). SMALL-VOCAB ONLY:
     * the plan chains one fold expression per merge, so analysis/codegen

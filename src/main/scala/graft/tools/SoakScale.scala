@@ -722,6 +722,27 @@ object SoakScale {
     require(m100.size == iters100)
     println(f"[soak] INFO  q90-100-iter-wall           ${w100}%.2f s (${w100 / iters100}%.4f s/iter driver-loop floor)")
 
+    // --- r13: BATCHED trainer (the recorded remedy for that floor —
+    // selectNonInteracting folds up to 8 disjoint pairs per round, so
+    // 100 merges cost ~13 driver round-trips instead of 100). Gated as
+    // a RATIO on wall vs the sequential 100-iter run just measured on
+    // the same box in the same JVM: the batch must recover at least 2×
+    // (measured ~4-6×; the non-driver component — pair-count job +
+    // fold — is shared, so k× round-trips never means k× wall).
+    val tB = System.nanoTime()
+    val (mB, scB) = Caches.scope {
+      val hist = graft.operators.Bpe.wordHistogram(
+        base.select(explode(tokens(col("text"))).as("word")))
+      graft.operators.Bpe.learnMergesBatched(hist, iters100, batch = 8)._1
+    }
+    scB.release(); spark.catalog.clearCache()
+    val wB = (System.nanoTime() - tB) / 1e9
+    require(mB.size == iters100)
+    val bSpeedup = w100 / math.max(wB, 1e-9)
+    val bOk = bSpeedup >= 2.0
+    if (!bOk) failures += 1
+    println(f"[soak] RATIO q90-batched-100-wall        ${wB}%.2f s vs sequential ${w100}%.2f s (${bSpeedup}%.2fx speedup, floor 2.0x) ${if (bOk) "PASS" else "FAIL"}")
+
     // --- r12: q91 frozen-vocab segmenter (the production tokenize
     // path). THE claim is O(1)-in-V wall: segmenting the same word
     // stream under a 1000-merge table must cost ≤2.5× the 100-merge

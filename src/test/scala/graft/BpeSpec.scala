@@ -167,6 +167,81 @@ class BpeSpec extends AnyFunSuite {
     assert(viaVocab.exists { case (w, syms) => syms.length < w.length + 1 })
   }
 
+  test("selectNonInteracting: rank order kept, shared symbols deferred, batch capped") {
+    val ranked = Seq(
+      ("a", "b", 10L),  // picked
+      ("b", "c", 9L),   // shares b -> deferred
+      ("c", "d", 8L),   // c free (b,c was NOT picked) -> picked
+      ("e", "e", 7L),   // self-pair, disjoint -> picked
+      ("e", "f", 6L),   // shares e -> deferred
+      ("g", "h", 5L))   // beyond batch=3
+    assert(Bpe.selectNonInteracting(ranked, 3) ===
+      Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "e", 7L)))
+    // cap respected even with plenty of disjoint candidates
+    assert(Bpe.selectNonInteracting(ranked, 1) === Seq(("a", "b", 10L)))
+    // an exhausted pool returns what it found, never throws
+    assert(Bpe.selectNonInteracting(Seq(("a", "b", 1L), ("a", "c", 1L)), 5) ===
+      Seq(("a", "b", 1L)))
+  }
+
+  test("batched trainer with batch=1 ≡ sequential trainer on the driver corpus") {
+    // batch=1 degenerates to one-pair-per-round: the batched machinery
+    // (pool collect, greedy select, fold, global iter numbering) must
+    // reproduce learnMerges EXACTLY — same table, same final state
+    val spark2 = spark
+    import spark2.implicits._
+    val words = graft.sources.Tables(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val hist = Bpe.wordHistogram(words)
+    val (seqM, seqF) = Bpe.learnMerges(hist, 10)
+    val (batM, batF) = Bpe.learnMergesBatched(hist, 10, batch = 1)
+    assert(batM === seqM)
+    def st(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("word"), col("syms")).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(st(batF) === st(seqF))
+  }
+
+  test("batched trainer ≡ sequential when the round's argmaxes don't interact; divergence case pinned") {
+    val spark2 = spark
+    import spark2.implicits._
+    // (a,b) count 10 is spread over TWO continuations, so its created
+    // pairs (ab,x)/(ab,y) carry count 5 each — BELOW (c,d)'s 9: the
+    // sequential argmax sequence [(a,b),(c,d)] is symbol-disjoint and
+    // no created pair outranks it, the exact precondition under which
+    // the batched table must be EQUAL
+    val words = Map("abx" -> 5L, "aby" -> 5L, "cdz" -> 9L)
+    val state0 = words.toSeq.toDF("word", "freq")
+      .withColumn("syms",
+        concat(split(col("word"), ""), array(lit(Bpe.EndMark))))
+    val (seq2, _) = Bpe.learnMerges(state0, 2)
+    val (bat2, _) = Bpe.learnMergesBatched(state0, 2, batch = 2)
+    assert(bat2 === seq2)
+    assert(seq2.map(m => (m.lhs, m.rhs)) === Seq(("a", "b"), ("c", "d")))
+    // iters=3 is the DOCUMENTED approximation boundary: sequential's
+    // third argmax is the created pair (cd,z) — invisible to the batch,
+    // which (correctly, per its contract) took the standing (z,</w>).
+    // Pinned explicitly so the trade stays visible, not hidden.
+    val (seq3, _) = Bpe.learnMerges(state0, 3)
+    val (bat3, bat3F) = Bpe.learnMergesBatched(state0, 3, batch = 3)
+    assert(seq3.last.lhs === "cd" && seq3.last.rhs === "z")
+    assert(bat3.map(m => (m.lhs, m.rhs)) ===
+      Seq(("a", "b"), ("c", "d"), ("z", Bpe.EndMark)))
+    // the batched table is still a VALID greedy table: its recorded
+    // counts are true selection-time counts, and applying it
+    // sequentially reproduces the batched final state exactly
+    assert(bat3.map(_.pairCount) === Seq(10L, 9L, 9L))
+    val replay = Bpe.applyMerges(state0, bat3)
+      .select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    val batF = bat3F.select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(batF === replay)
+    // and downstream consumers accept it: global iter numbering is
+    // sequential, so ranksOf/segmentWithVocab work unchanged
+    assert(Bpe.ranksOf(bat3).values.toSeq.sorted === Seq(0, 1, 2))
+  }
+
   test("frozen-vocab segmenter: 1000-merge table, plan constant in vocab size") {
     val spark2 = spark
     import spark2.implicits._
