@@ -979,9 +979,11 @@ object SparkEntry {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     },
 
-    // Mirrors ivfTopK (defaults nQueries=10, nProbe=4, k=5) with the
+    // Mirrors ivfTopK (defaults nQueries=10, nProbe=DefaultNProbe, k=5
+    // — the r13 measured-curve default; the literal below must track
+    // Similarity.DefaultNProbe) with the
     // IvfCentroids artifact embedded as literals — see ivfSql.
-    "q38_ann_ivf" -> ivfSql(10, 4, 5),
+    "q38_ann_ivf" -> ivfSql(10, operators.Similarity.DefaultNProbe, 5),
 
     "q32_grouped_ols" -> """
       SELECT l_returnflag,

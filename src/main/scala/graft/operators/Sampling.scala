@@ -310,11 +310,31 @@ object Sampling {
     * it anywhere, a fortiori in its bucket), so stage 1 never prunes a
     * winner — the salt changes the PLAN, never the answer, which is why
     * the oracle can replay selection as one flat rank. */
+  /** EXACT salted two-stage top-k per partition — q100's scale shape as
+    * a reusable primitive (the model-based quality quota rides it with
+    * a classifier score as the order key). `order` must be a strict
+    * total order (include a unique tiebreak); `saltKey` any column
+    * (usually the unique id). Stage 1 keeps k per (partition, salt
+    * bucket), stage 2 ranks the ≤ salts·k survivors — exact by the
+    * pigeonhole argument in [[qualityQuotaFor]]'s doc, so the salt
+    * changes the plan, never the answer. */
+  def saltedTopK(df: DataFrame, partition: Column, saltKey: Column,
+                 order: Seq[Column], k: Int,
+                 salts: Int = QuotaSalts): DataFrame = {
+    require(k > 0 && salts > 0, s"need k > 0 and salts > 0, got k=$k salts=$salts")
+    val W = org.apache.spark.sql.expressions.Window
+    val w1 = W.partitionBy(partition, hashBucket(saltKey, salts))
+      .orderBy(order: _*)
+    val w2 = W.partitionBy(partition).orderBy(order: _*)
+    df.withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= k)
+      .withColumn("_r2", row_number().over(w2)).filter(col("_r2") <= k)
+      .drop("_r1", "_r2")
+  }
+
   def qualityQuotaFor(documents: DataFrame, k: Int = 10,
                       salts: Int = QuotaSalts): DataFrame = {
     require(k > 0 && salts > 0, s"need k > 0 and salts > 0, got k=$k salts=$salts")
     import graft.functions.TextFunctions.{tokenCount, distinctTokenCount}
-    val W = org.apache.spark.sql.expressions.Window
     val d = documents.select(
       col("doc_id"), col("source"),
       tokenCount(col("text")).as("n_tokens"),
@@ -325,13 +345,8 @@ object Sampling {
         (col("_cl") - (col("n_tokens") - lit(1L))).cast("double") / col("n_tokens"))
       .filter(TextOps.qualityOk(col("n_tokens"), col("uniq_ratio"), col("_mtl")))
     val cand = Caches.track(d)
-    val w1 = W.partitionBy(col("source"), hashBucket(col("doc_id"), salts))
-      .orderBy(col("uniq_ratio").desc, col("doc_id"))
-    val w2 = W.partitionBy(col("source"))
-      .orderBy(col("uniq_ratio").desc, col("doc_id"))
-    val kept = cand
-      .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= k)
-      .withColumn("_r2", row_number().over(w2)).filter(col("_r2") <= k)
+    val kept = saltedTopK(cand, col("source"), col("doc_id"),
+      Seq(col("uniq_ratio").desc, col("doc_id")), k, salts)
     cand.groupBy(col("source"))
       .agg(count(lit(1)).as("n_candidates"),
         sum(col("n_tokens")).as("candidate_tokens"))

@@ -251,16 +251,40 @@ object Similarity {
   // recall<1 of probing nProbe/nCells lists is operator semantics, not
   // oracle slack (the q43 banding argument).
   def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
-              nProbe: Int = 4): DataFrame =
+              nProbe: Int = DefaultNProbe): DataFrame =
     ivfTopKFor(s, emb(s, dir).select(col("vec_id"), col("embedding")),
       k, nQueries, nProbe)
+
+  /** Default probe width, chosen from the MEASURED recall/cost curve
+    * (graft.tools.RecallCurve at sf0.1, r13) rather than assumed:
+    *
+    * {{{
+    * nProbe  frac_read  recall@1x  recall@10x
+    *      1      0.063      0.220       0.900
+    *      2      0.125      0.340       0.900
+    *      4      0.250      0.580       1.000
+    *      8      0.500      0.760       1.000
+    *     12      0.750      0.900       1.000
+    *     16      1.000      1.000       1.000
+    * }}}
+    *
+    * 12-of-16 is the smallest width with @1× recall ≥ 0.9 on this
+    * corpus — its synthetic embeddings are weakly clustered, so true
+    * neighbors spread across many cells and recall grows ~linearly in
+    * probed fraction. The 0.75 read fraction is a property of the
+    * 16-cell artifact at THIS corpus size, not of the operator: a
+    * production store sizes nCells ~ √N, where the same recall target
+    * needs a roughly constant nProbe and the probed FRACTION shrinks
+    * toward zero as the corpus grows. Deployments with a different
+    * recall/cost point calibrate with [[probeForRecall]]. */
+  val DefaultNProbe = 12
 
   /** [[ivfTopK]] over a caller (vec_id, embedding) frame — same literal
     * [[IvfCentroids]] partition function (a 100-TB deployment reuses
     * its fitted quantizer across corpus growth exactly like this; the
     * recall gate measures how the FIXED centroids hold up at 10×). */
   def ivfTopKFor(s: SparkSession, e0: DataFrame, k: Int = 5,
-                 nQueries: Int = 10, nProbe: Int = 4): DataFrame = {
+                 nQueries: Int = 10, nProbe: Int = DefaultNProbe): DataFrame = {
     FloatVectorExprs.register(s)
     val cents = IvfCentroids.cells
     val halfSq = cents.map(c => 0.5 * IvfCentroids.sqNorm(c))
@@ -304,6 +328,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** CALIBRATE nProbe for a recall target by MEASUREMENT (the q98
+    * pattern applied to IVF): compute the brute-force top-k for the
+    * query sample once, measure set recall at each candidate width, and
+    * return the smallest width meeting `targetRecall` (falling back to
+    * the largest candidate — i.e. exhaustive probing — when none does)
+    * plus the full measured curve for the caller's records.
+    *
+    * Cost model: one brute-force pass over the corpus for the query
+    * SAMPLE (nQueries × corpus dot products — the broadcast-query scan
+    * [[bruteForceTopKFor]] already bounds) plus one probe run per
+    * candidate. Run once per quantizer version, like the centroid fit
+    * itself — never per query. Deterministic end to end (literal
+    * centroids, no RNG), so the chosen width is stable. */
+  def probeForRecall(s: SparkSession, e0: DataFrame, targetRecall: Double,
+                     k: Int = 5, nQueries: Int = 10,
+                     candidates: Seq[Int] = Seq(1, 2, 4, 6, 8, 12, 16))
+      : (Int, Seq[(Int, Double)]) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"need 0 < targetRecall <= 1, got $targetRecall")
+    require(candidates.nonEmpty, "need at least one candidate width")
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(bruteForceTopKFor(s, e0, k, nQueries))
+    val denom = math.max(truth.size, 1)
+    val curve = candidates.distinct.sorted.map { p =>
+      p -> pairs(ivfTopKFor(s, e0, k, nQueries, p))
+        .intersect(truth).size.toDouble / denom
+    }
+    val chosen = curve.collectFirst {
+      case (p, r) if r >= targetRecall => p
+    }.getOrElse(curve.last._1)
+    (chosen, curve)
   }
 
   /** q60 — int8 quantization audit: symmetric per-vector scaling

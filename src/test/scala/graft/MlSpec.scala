@@ -156,6 +156,52 @@ class MlSpec extends AnyFunSuite {
     assert(Evaluate.binaryMetrics(pred)("accuracy") == 1.0)
   }
 
+  test("model-based quality filter: junk/clean separation on held-out docs, quota wiring") {
+    // planted corpora from disjoint vocabularies — junk is the spammy
+    // low-diversity register, clean the varied-prose one. Deterministic
+    // combos (no RNG), so the fit and every score are reproducible.
+    val junkVocab = Vector("buy", "cheap", "pills", "win", "prize",
+      "casino", "click", "bonus", "offer", "deal")
+    val cleanVocab = Vector("science", "river", "mountain", "history",
+      "garden", "music", "painting", "theory", "harvest", "journey")
+    def doc(v: Vector[String], i: Int): String =
+      (0 until 8).map(j => v((i * 3 + j * 2) % v.size)).mkString(" ")
+    val train = ((0 until 12).map(i => (doc(junkVocab, i), 0.0)) ++
+      (0 until 12).map(i => (doc(cleanVocab, i), 1.0))).toDF("text", "label")
+    val model = QualityModel.fit(train)
+    // held-out: UNSEEN index range — different token combinations from
+    // the same registers, labeled here only for the assertion
+    val held = ((12 until 20).map(i => (100L + i, "srcA", doc(junkVocab, i), 0)) ++
+      (12 until 20).map(i => (200L + i, "srcA", doc(cleanVocab, i), 1)) ++
+      (12 until 16).map(i => (300L + i, "srcB", doc(junkVocab, i + 7), 0)) ++
+      (12 until 16).map(i => (400L + i, "srcB", doc(cleanVocab, i + 7), 1)))
+      .toDF("doc_id", "source", "text", "truth")
+    val scored = QualityModel.score(model, held)
+    // score() keeps the caller's frame + one new column, nothing else
+    assert(scored.columns.toSeq ===
+      Seq("doc_id", "source", "text", "truth", "quality_prob"))
+    val rows = scored.select(col("truth"), col("quality_prob")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+    val junkMax = rows.collect { case (0, p) => p }.max
+    val cleanMin = rows.collect { case (1, p) => p }.min
+    assert(cleanMin > junkMax,
+      s"no separation: clean min $cleanMin <= junk max $junkMax")
+    assert(junkMax < 0.5 && cleanMin > 0.5,
+      s"0.5 threshold doesn't separate: junk up to $junkMax, clean from $cleanMin")
+    // the q100-style wiring: a salted per-source quota keyed on the
+    // MODEL score must pick only clean docs, identically at salts=1
+    // (the naive one-window plan) and the default 16 — the pigeonhole
+    // exactness of saltedTopK, executed on the new primitive
+    def picks(salts: Int): Set[Long] =
+      operators.Sampling.saltedTopK(scored, col("source"), col("doc_id"),
+        Seq(col("quality_prob").desc, col("doc_id")), k = 3, salts = salts)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val p16 = picks(16)
+    assert(p16 === picks(1))
+    assert(p16.size === 6 && p16.forall(id => id >= 200L),
+      s"quota picked a junk doc: $p16")
+  }
+
   test("VIF flags the collinear feature (M25)") {
     val df = regression
       .withColumn("x2", col("x") * 2.0 + randn(5) * 0.01) // ~perfectly collinear

@@ -282,6 +282,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("probeForRecall: measured curve is monotone, chosen width is minimal for the target") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (chosenFull, curve) = operators.Similarity.probeForRecall(
+      spark, e, targetRecall = 1.0)
+    operators.Caches.release()
+    // probe sets nest (top-p cells ⊂ top-(p+1) cells), so candidate
+    // sets nest and measured recall must be non-decreasing in width
+    curve.sliding(2).foreach {
+      case Seq((p1, r1), (p2, r2)) =>
+        assert(r2 >= r1, s"recall fell from $r1@$p1 to $r2@$p2: $curve")
+      case _ =>
+    }
+    // probing every cell IS brute force: recall exactly 1.0, and a
+    // target of 1.0 must land on the smallest width achieving it
+    assert(curve.last._1 === 16 && curve.last._2 === 1.0, curve.toString)
+    assert(curve.filter(_._1 < chosenFull).forall(_._2 < 1.0),
+      s"chosen $chosenFull not minimal for 1.0: $curve")
+    // targets compose: an easier target never needs a wider probe
+    val (chosenHalf, _) = operators.Similarity.probeForRecall(
+      spark, e, targetRecall = 0.5)
+    operators.Caches.release()
+    assert(chosenHalf <= chosenFull)
+  }
+
   test("connected components converge on a 64-node chain (pointer jumping beats O(diameter))") {
     import spark.implicits._
     // a 64-link chain has diameter 63 — plain min-label propagation
