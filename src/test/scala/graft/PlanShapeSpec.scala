@@ -116,6 +116,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "exchange_range" -> 1, "sort" -> 7, "cartesian" -> 0)
   }
 
+  test("q102 thresholded scrub: q99's exact plan — the length filter adds no exchange") {
+    // the minimum-match-length rule is ONE post-merge filter inside the
+    // shared spanScrubReport; if these ceilings ever diverge from
+    // q99's, the filter stopped being a filter (PlanFacts sf0.001 r13:
+    // byte-identical fact sets for the two queries)
+    pin("q102_crossdoc_scrub_min",
+      "sort_merge_join" -> 0, "exchange_hash" -> 8,
+      "exchange_range" -> 1, "sort" -> 7, "cartesian" -> 0)
+  }
+
+  test("q103 shard write: read-back report plan — grouped agg + oracle sort only") {
+    // the declared frame is the report over the files just written:
+    // one countDistinct two-phase agg on shard_id (2 hash exchanges),
+    // the oracle ORDER BY (1 range + its sort), no join anywhere — the
+    // write side's exchanges are paid inside the eager write, bounded
+    // by the packer's pinned runningTotal shape (q52's spec)
+    pin("q103_shard_write",
+      "sort_merge_join" -> 0, "broadcast_hash_join" -> 0,
+      "exchange_hash" -> 2, "exchange_range" -> 1, "sort" -> 1,
+      "cartesian" -> 0)
+  }
+
   test("q100 quality quota: two-stage top-k, bounded exchanges") {
     pin("q100_quality_quota",
       "sort_merge_join" -> 0, "broadcast_hash_join" -> 1,
