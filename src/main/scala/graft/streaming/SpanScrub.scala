@@ -43,13 +43,20 @@ object SpanScrub {
   /** Start scrubbing a streaming (doc_id, text) feed against `index`
     * ([[gramIndex]] output). Each micro-batch's per-doc rows —
     * (doc_id, n_tokens, n_removed_tokens, n_dup_spans, retained_hash),
-    * q99's exact shape — go to `sink` with the batch id. */
+    * q99's exact shape — go to `sink` with the batch id.
+    * `minSpanTokens` is q102's minimum-match-length rule (merged spans
+    * shorter than it survive), applied inside the shared
+    * [[TextOps.scrubAgainstGramIndex]] so batch and ingest can never
+    * disagree on the threshold semantics; default 1 = the
+    * unthresholded q99 twin. */
   def start(docs: DataFrame, index: TextOps.GramIndex,
-            sink: (DataFrame, Long) => Unit): StreamingQuery =
+            sink: (DataFrame, Long) => Unit,
+            minSpanTokens: Long = 1L): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (microBatch: DataFrame, batchId: Long) =>
-        sink(TextOps.scrubAgainstGramIndex(microBatch, index), batchId)
+        sink(TextOps.scrubAgainstGramIndex(microBatch, index, minSpanTokens),
+          batchId)
       }
       .start()
 }

@@ -638,13 +638,36 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
       .toSet
-    index.grams.unpersist()
     assert(want.exists(_._3 > 0), "fixture should scrub corpus-owned spans")
     assert(want.exists(_._3 == 0), "fixture should pass novel docs through")
     assert(got.size == want.size,
       s"stream emitted ${got.size} per-doc rows, batch has ${want.size}")
     assert(got.toSet == want,
       s"scrub drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
+    // q102's minimum-match-length rule at INGEST: the twin forwards
+    // minSpanTokens into the same shared scrub, so stream ≡ batch holds
+    // thresholded too, and a thresholded scrub never removes more than
+    // the unthresholded one
+    val streamT = chunkedFeed(feed, "spanscrub_min")
+    val gotT = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+    val qT = graft.streaming.SpanScrub.start(streamT, index, (rows, _) =>
+      gotT.synchronized {
+        gotT ++= rows.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      }, minSpanTokens = 20L)
+    try qT.processAllAvailable() finally qT.stop()
+    val wantT = operators.TextOps.scrubAgainstGramIndex(feed, index, 20L)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    index.grams.unpersist()
+    assert(gotT.toSet == wantT,
+      s"thresholded scrub drift: stream-only=${gotT.toSet -- wantT} batch-only=${wantT -- gotT.toSet}")
+    val unthreshRemoved = want.map(r => r._1 -> r._3).toMap
+    wantT.foreach { r =>
+      assert(r._3 <= unthreshRemoved(r._1),
+        s"doc ${r._1}: thresholded removed ${r._3} > unthresholded ${unthreshRemoved(r._1)}")
+    }
   }
 
   test("streaming bigram-LM scoring ≡ batch incremental form under any chunking (q101 twin)") {
