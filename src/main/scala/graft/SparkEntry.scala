@@ -125,6 +125,7 @@ object SparkEntry {
     "q101_bigram_lm"        -> ((s: SparkSession, d: String) => TextOps.bigramLmScore(s, d)),
     "q102_crossdoc_scrub_min" -> ((s: SparkSession, d: String) => TextOps.crossDocGramScrubMin(s, d)),
     "q103_shard_write"      -> ((s: SparkSession, d: String) => Packing.writeShards(s, d)),
+    "q104_shard_append"     -> ((s: SparkSession, d: String) => Packing.appendShards(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1271,6 +1272,44 @@ object SparkEntry {
       a AS (SELECT doc_id, ok, nt, th,
                    CAST((cum - nt) // 512 AS BIGINT) AS seq_id
             FROM c)
+      SELECT CAST(seq_id // 8 AS BIGINT) AS shard_id,
+             CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+             count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS shard_tokens,
+             md5(string_agg(seq_id || ':' || doc_id || ':' || th, ' '
+               ORDER BY ok, doc_id)) AS content_hash
+      FROM a GROUP BY 1 ORDER BY shard_id""",
+
+    // q104: both days' logical packing replayed — day 1 over md5
+    // buckets 0–7, day 2 over 8–9 with its sequence ids offset to the
+    // next whole-shard boundary ((max day-1 seq // 8 + 1) * 8, all
+    // integer) — then the q103 report over the union. The Spark side
+    // reports from the FULL STORE read back after the append, so a
+    // green row certifies both that the delta landed in fresh shards
+    // and that the day-1 shards still carry exactly their original
+    // content.
+    "q104_shard_append" -> """
+      WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ok,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                        md5(text) AS th,
+                        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS bkt
+                 FROM documents),
+      c1 AS (SELECT doc_id, ok, nt, th,
+                    sum(nt) OVER (ORDER BY ok, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM d WHERE bkt < 8),
+      a1 AS (SELECT doc_id, ok, nt, th,
+                    CAST((cum - nt) // 512 AS BIGINT) AS seq_id
+             FROM c1),
+      base AS (SELECT (max(seq_id) // 8 + 1) * 8 AS seq_base FROM a1),
+      c2 AS (SELECT doc_id, ok, nt, th,
+                    sum(nt) OVER (ORDER BY ok, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM d WHERE bkt >= 8),
+      a2 AS (SELECT doc_id, ok, nt, th,
+                    CAST((cum - nt) // 512 + (SELECT seq_base FROM base) AS BIGINT) AS seq_id
+             FROM c2),
+      a AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
       SELECT CAST(seq_id // 8 AS BIGINT) AS shard_id,
              CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
              count(*) AS n_docs,

@@ -190,17 +190,73 @@ object Packing {
                      path: String): DataFrame = {
     require(budget > 0 && seqsPerShard > 0,
       s"need budget > 0 and seqsPerShard > 0, got $budget / $seqsPerShard")
-    val s = documents.sparkSession
+    writeShardRows(documents, budget, seqsPerShard, seqBase = 0L,
+      path = path, mode = "overwrite")
+    shardReport(documents.sparkSession.read.parquet(path))
+  }
+
+  /** Shared write path of q103/q104: pack `documents` (sequence ids
+    * offset by `seqBase`), derive the shard range partition, and write
+    * sorted one-file-per-shard parquet under `path` with the given
+    * save mode. */
+  private def writeShardRows(documents: DataFrame, budget: Long,
+                             seqsPerShard: Long, seqBase: Long,
+                             path: String, mode: String): Unit = {
     val counts = documents.select(col("doc_id"),
       graft.functions.TextFunctions.tokenCount(col("text")).as("_nt"))
     val rows = packAssignments(counts, budget)
+      .withColumn("seq_id", col("seq_id") + lit(seqBase))
       .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
       .join(documents, Seq("doc_id"))
       .select(col("shard_id"), col("seq_id"), col("_ok").as("ok"),
         col("doc_id"), col("_nt").as("n_tokens"), col("text"))
     rows.repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("ok"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+      .write.mode(mode).partitionBy("shard_id").parquet(path)
+  }
+
+  // q104 — INCREMENTAL shard append: the day-2 shape of q103 (the
+  // q89/q92 steady-state pattern applied to the written artifact). A
+  // corpus refresh must not rewrite the shards a training run already
+  // consumed: the delta packs into FRESH sequences starting at the next
+  // whole-shard boundary, so new shards append and every existing shard
+  // stays byte-for-byte untouched (spec-asserted) — the immutability
+  // that makes checkpoint-resume and data-lineage audits possible.
+  // Declared as the two-day split the incremental dedup family uses
+  // (md5 buckets 0–7 = day 1 store, 8–9 = day 2 delta); the report is
+  // the full-store read-back, so the oracle — which replays BOTH days'
+  // logical packing with the integer shard-base offset — certifies old
+  // and new shards alike.
+  def appendShards(s: SparkSession, dir: String, budget: Long = 512,
+                   seqsPerShard: Long = 8): DataFrame = {
+    val all = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bucket = Sampling.hashBucket(col("doc_id"), 10)
+    val path = defaultShardPath(dir) + "_incr"
+    writeShardsFor(all.filter(bucket < 8), budget, seqsPerShard, path)
+    appendShardsFor(all.filter(bucket >= 8), budget, seqsPerShard, path)
+  }
+
+  /** Append a delta (doc_id, text) frame to an existing shard store.
+    *
+    * Scale shape — day-2 cost is DELTA-proportional: the only touch of
+    * the existing store is the max-shard-id lookup, which reads the
+    * PARTITION column alone — directory names, zero parquet row groups
+    * (the spec lints `ReadSchema: struct<>` on that plan). The delta
+    * then pays its own packer range shuffle + text join + one shard_id
+    * shuffle, and lands in fresh shard directories (`mode=append` can
+    * never collide: seqBase starts at the next whole-shard boundary).
+    * The read-back report re-reads the whole store because the REPORT
+    * certifies the whole store — a deployment publishing per-day
+    * reports would aim [[shardReport]] at the new shard range only. */
+  def appendShardsFor(delta: DataFrame, budget: Long, seqsPerShard: Long,
+                      path: String): DataFrame = {
+    require(budget > 0 && seqsPerShard > 0,
+      s"need budget > 0 and seqsPerShard > 0, got $budget / $seqsPerShard")
+    val s = delta.sparkSession
+    val maxShard = s.read.parquet(path)
+      .agg(max(col("shard_id").cast("long"))).head.getLong(0)
+    val seqBase = (maxShard + 1L) * seqsPerShard
+    writeShardRows(delta, budget, seqsPerShard, seqBase, path, "append")
     shardReport(s.read.parquet(path))
   }
 

@@ -411,6 +411,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rep1.map(_.toSeq).toSeq === rep2.map(_.toSeq).toSeq)
   }
 
+  test("shard append: day-1 files byte-untouched, delta in fresh shards, metadata-only max probe (q104)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day1 = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f"), (4L, "g h i j"),
+      (5L, "k"), (6L, "l m"), (7L, "n o p"), (8L, "q")
+    ).toDF("doc_id", "text")
+    val day2 = Seq(
+      (11L, "r s t"), (12L, "u v"), (13L, "w x y z")
+    ).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_shards_incr")
+      .resolve("store").toString
+    val rep1 = operators.Packing.writeShardsFor(day1, budget = 4,
+      seqsPerShard = 2, p).collect()
+    operators.Caches.release()
+    def partFiles(): Map[String, (Long, String)] =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("shard_id="))
+        .flatMap(_.listFiles()).filter(_.getName.startsWith("part-"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString
+          f.getAbsolutePath -> ((f.length(), h))
+        }.toMap
+    val before = partFiles()
+    // the existing-store probe must read DIRECTORY METADATA only: the
+    // partition column comes from the path, so the scan's ReadSchema is
+    // empty — day-2 cost never includes re-reading day-1 data
+    val probePlan = spark.read.parquet(p)
+      .agg(max(col("shard_id").cast("long")))
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("ReadSchema: struct<>"),
+      s"max-shard probe reads data columns:\n$probePlan")
+    val rep2 = operators.Packing.appendShardsFor(day2, budget = 4,
+      seqsPerShard = 2, p).collect()
+    operators.Caches.release()
+    // every day-1 part file is BYTE-identical after the append — the
+    // immutability that makes checkpoint-resume and lineage audits work
+    val after = partFiles()
+    before.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"day-1 file changed: $f")
+    }
+    // the full-store report extends the day-1 report without rewriting
+    // it: day-1 shard rows identical, delta rows only in fresh shards
+    val r1 = rep1.map(r => r.getLong(0) -> r.toSeq).toMap
+    val r2 = rep2.map(r => r.getLong(0) -> r.toSeq).toMap
+    r1.foreach { case (id, row) =>
+      assert(r2(id) === row, s"day-1 shard $id report changed: ${r2(id)} vs $row")
+    }
+    val maxDay1 = r1.keys.max
+    val fresh = r2.keys.toSet -- r1.keys.toSet
+    assert(fresh.nonEmpty && fresh.forall(_ > maxDay1),
+      s"delta landed in old shards: fresh=$fresh")
+    // conservation across the store: all 11 docs, all 17+9 tokens
+    assert(rep2.map(_.getLong(2)).sum === 11L)
+    assert(rep2.map(_.getLong(3)).sum === 26L)
+  }
+
   test("contamination audit agrees with a brute-force fingerprint check") {
     import org.apache.spark.sql.functions._
     val audit = operators.Sampling.contaminationAudit(spark, sf)

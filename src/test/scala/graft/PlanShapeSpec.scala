@@ -138,6 +138,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "cartesian" -> 0)
   }
 
+  test("q104 shard append: same read-back report shape as q103, no joins") {
+    // both days' writes are eager; the declared frame is the full-store
+    // report — identical ceilings to q103 (PlanFacts sf0.001 r13), and
+    // the delta-proportionality of the append itself is gated by the
+    // ReadSchema lint in the q104 spec
+    pin("q104_shard_append",
+      "sort_merge_join" -> 0, "broadcast_hash_join" -> 0,
+      "exchange_hash" -> 2, "exchange_range" -> 1, "sort" -> 1,
+      "cartesian" -> 0)
+  }
+
   test("q100 quality quota: two-stage top-k, bounded exchanges") {
     pin("q100_quality_quota",
       "sort_merge_join" -> 0, "broadcast_hash_join" -> 1,
