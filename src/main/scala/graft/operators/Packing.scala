@@ -253,8 +253,12 @@ object Packing {
     require(budget > 0 && seqsPerShard > 0,
       s"need budget > 0 and seqsPerShard > 0, got $budget / $seqsPerShard")
     val s = delta.sparkSession
-    val maxShard = s.read.parquet(path)
-      .agg(max(col("shard_id").cast("long"))).head.getLong(0)
+    val probe = s.read.parquet(path)
+      .agg(max(col("shard_id").cast("long"))).head
+    require(!probe.isNullAt(0),
+      s"$path holds no shards — write the initial store with writeShardsFor " +
+        "before appending")
+    val maxShard = probe.getLong(0)
     val seqBase = (maxShard + 1L) * seqsPerShard
     writeShardRows(delta, budget, seqsPerShard, seqBase, path, "append")
     shardReport(s.read.parquet(path))
