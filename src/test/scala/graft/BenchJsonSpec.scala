@@ -126,6 +126,22 @@ class BenchJsonSpec extends AnyFunSuite {
     assert((j \ "load_before") === JNothing)
   }
 
+  test("calibration wall rides in both artifact lines (box-throughput normalizer)") {
+    // r13: every cross-round board comparison needs the box factor —
+    // "cal" is the fixed 2e9-row xxhash64 fold's median wall; -1.0
+    // (the default) marks an artifact whose caller didn't calibrate
+    val jc = JsonMethods.parse(Bench.renderCompactJson(Seq(clean), 3, "/sf", cal = 0.714))
+    val JDouble(cc) = (jc \ "cal"): @unchecked
+    assert(cc === 0.714)
+    val jf = JsonMethods.parse(Bench.renderJson(Seq(clean), 3, "/sf", "a", "b", cal = 0.714))
+    val JDouble(cf) = (jf \ "cal"): @unchecked
+    assert(cf === 0.714)
+    // default marks absence, and the compact headline stays LAST
+    val line = Bench.renderCompactJson(Seq(clean), 3, "/sf")
+    assert(line.contains("\"cal\":-1.0"))
+    assert(line.indexOf("\"value\":") > line.indexOf("\"cal\":"))
+  }
+
   test("short compact keys must be unique (a qNN collision fails loudly)") {
     val a = Bench.QueryTimes("q05_one", Vector(0.1))
     val b = Bench.QueryTimes("q05_two", Vector(0.2))
