@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain stdout passes through UNWRAPPED: sbt's default
+// logged strategy prefixes every line with "[info] " and SWALLOWS blank
+// lines, which defeated the bench artifact contract for 13 straight
+// rounds — the padding that isolates the final JSON line in a bounded
+// stdout tail never survived, and the line itself stopped being valid
+// JSON under the prefix. StdoutOutput hands the forked JVM the real
+// stdout fd, so the artifact line (and its whitespace isolation) reaches
+// the caller's capture verbatim.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -412,8 +412,95 @@ object Bench {
   /** Newline padding printed between the full line and the compact line:
     * wider than any plausible driver tail window, so the window's content
     * is exactly (whitespace + compact line) — parseable as a whole, as a
-    * last line, or as a grep. */
+    * last line, or as a grep. Requires the raw pass-through
+    * `outputStrategy` in build.sbt: sbt's default logged strategy swallows
+    * blank lines, which silently deleted this pad in every driver round
+    * until r14. */
   val TailPad: String = "\n" * 2100
+
+  /** The FINAL artifact line of a run (r13 VERDICT #3): the clean and
+    * force-committed paths emit the fresh compact board; a DIVERTED run
+    * emits the COMMITTED board of record with the divert reason riding
+    * along as `diverted_reason` — so the driver's per-round artifact
+    * always carries the numbers of record (three straight rounds carried
+    * only the refusal), and the dirty diagnostics stay in the full line
+    * and the .dirty sibling. Falls back to the fresh board (reason still
+    * attached) when no committed board exists to stand on. Pure;
+    * spec-pinned in BenchJsonSpec. */
+  def divertedFinalLine(committedLine: Option[String], fresh: String,
+                        reason: String): String = {
+    val esc = reason.take(120).map {
+      case '"' => '\''
+      case '\\' => '/'
+      case c if c.isControl => ' '
+      case c => c
+    }.mkString
+    val base = committedLine.map(_.trim).filter(l =>
+      l.startsWith("{") && l.endsWith("}")).getOrElse(fresh)
+    base.dropRight(1) + s""","diverted_reason":"$esc"}"""
+  }
+
+  /** Re-emit the final artifact line from a DETACHED child process,
+    * shortly AFTER the sbt wrapper dies, preceded by a fresh [[TailPad]].
+    *
+    * Why: under `sbt runMain` the forked JVM's last println is NOT the
+    * last line of the caller's capture — sbt appends its own
+    * "[success] Total time: …" trailer after the JVM exits, so a consumer
+    * that parses the last line (or the whole tail) of its stdout capture
+    * always read sbt's trailer instead of the artifact (13 rounds of
+    * `"parsed": null`).
+    *
+    * Why this SHAPE (each clause bought by an r14 probe experiment):
+    *  - The forked tree's fd 1 is sbt's internal pipe even under the
+    *    pass-through outputStrategy — bytes written there after sbt
+    *    exits VANISH, so the child cannot use its inherited stdout for
+    *    the late write. Instead it pre-opens the wrapper's REAL stdout
+    *    target via `/proc/<wrapper>/fd/1` (O_APPEND — appends correctly
+    *    to a `> file` capture; extra-writer semantics on a pipe/tty)
+    *    and holds that fd across the wrapper's death.
+    *  - sbt's run task WAITS for EOF on the forked-output pipe, so the
+    *    child must CLOSE its inherited stdout/stderr before waiting for
+    *    the wrapper to die, or bench → child → sbt deadlocks (probe 3
+    *    hung sbt indefinitely exactly this way).
+    *  - The wrapper's death is POLLED (`kill -0`): fixed sleeps mis-time
+    *    it — spark.stop + sbt teardown took 5–10 s in the dry runs and
+    *    the trailer landed after a fixed 6 s echo.
+    *  - When /proc/<wrapper>/fd/1 is unavailable (no wrapper, non-proc
+    *    OS), the child falls back to the inherited fd and a FIXED delay,
+    *    never the wrapper wait (holding that fd while waiting would be
+    *    the deadlock above); the fallback can only add bytes mid-stream,
+    *    which is the pre-r14 behavior.
+    * A pipe-based capturer reads until EOF and sees the echo as its
+    * final window (whitespace + line — the child's held write-end keeps
+    * the pipe open until it finishes); a `> file` capturer gets the
+    * append even after everything exits. Failure to spawn is non-fatal
+    * by design. */
+  def scheduleLateEcho(line: String): Unit =
+    try {
+      val wrapper = ProcessHandle.current().parent()
+        .map[String](p => p.pid().toString).orElse("0")
+      val script =
+        "if [ -e \"/proc/$GRAFT_BENCH_WRAP/fd/1\" ] && " +
+          "exec 4>>\"/proc/$GRAFT_BENCH_WRAP/fd/1\" 2>/dev/null; then M=proc; " +
+          "else exec 4>&1; M=inherit; fi; " +
+          "exec >/dev/null 2>/dev/null; " + // release sbt's pipe: it waits for EOF
+          "if [ \"$M\" = proc ]; then " +
+          "n=0; while [ $n -lt 1200 ] && kill -0 \"$GRAFT_BENCH_WRAP\" 2>/dev/null; " +
+          "do sleep 0.5; n=$((n+1)); done; sleep 1; " +
+          "else sleep 8; fi; " +
+          "printf '%s' \"$GRAFT_BENCH_LINE\" >&4; " +
+          "sleep 4; printf '%s' \"$GRAFT_BENCH_LINE\" >&4"
+      val pb = new ProcessBuilder("/bin/sh", "-c", script)
+      pb.environment().put("GRAFT_BENCH_LINE", TailPad + line + "\n")
+      pb.environment().put("GRAFT_BENCH_WRAP", wrapper)
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      pb.start()
+      ()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] late-echo spawn failed: ${e.getMessage}")
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -442,10 +529,17 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // box-throughput calibration rides in both artifact lines — one
-    // untimed warmup rep (codegen), then median of 3
-    calibrationRun(spark)
-    val cal = medianOf(Vector.fill(3)(calibrationRun(spark)))
-    System.err.println(f"[bench] calibration: $cal%.3f s (2e9-row xxhash64 fold)")
+    // untimed warmup rep (codegen), then median of 3. FULL runs only
+    // (r13 ADVICE): a subset profiling run never touches the committed
+    // artifact and its cal is purely informational, so it skips the
+    // ~tens-of-seconds workload and carries the existing "not
+    // calibrated" marker instead.
+    val cal = if (args.nonEmpty) -1.0 else {
+      calibrationRun(spark)
+      val c = medianOf(Vector.fill(3)(calibrationRun(spark)))
+      System.err.println(f"[bench] calibration: $c%.3f s (2e9-row xxhash64 fold)")
+      c
+    }
     // caches are cleared between queries so one query's persist can't skew
     // the next. Each query runs `reps` times in THIS one JVM; the headline
     // number per query is the MEDIAN (machine-load noise swings single
@@ -467,13 +561,18 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.functions.{col, xxhash64}
       import spark.implicits._
+      // .rdd.fold, not Dataset.reduce: a query whose result is EMPTY at
+      // this sf can plan to zero partitions (AQE), where reduce throws
+      // "empty collection" and the harness would mis-report the QUERY
+      // as failed (q88 at sf0.001, r14). XOR's identity makes fold
+      // correct on any partition count.
       df.select(xxhash64(df.columns.map(col): _*).as("_h")).as[Long]
         .mapPartitions { rows =>
           var acc = 0L
           rows.foreach(h => acc = acc * 1000003L + h)
           Iterator.single(acc)
         }
-        .reduce(_ ^ _)
+        .rdd.fold(0L)(_ ^ _)
       ()
     }
     // Optional args = query-name filter for profiling a subset under the
@@ -570,7 +669,7 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] could not write $path: ${e.getMessage}")
       }
-    if (args.isEmpty) {
+    val finalLine: String = if (args.isEmpty) {
       // guards compose: pre-run load, suspect count, the sf match, then
       // the post-run uniform-slowdown comparison against the artifact
       // this run would replace (see [[uniformSlowdownReason]]); the
@@ -585,26 +684,42 @@ object Bench {
           committedBoardQueries(compactPath), fresh))
       val force = sys.env.get(ForceCommitEnv).contains("1")
       gate match {
-        case None => writeCompact(compactPath)
+        case None => writeCompact(compactPath); compact
         case Some(reason) if force =>
           System.err.println(s"[bench] $ForceCommitEnv=1 — bypassing commit " +
             s"guards (would have diverted: $reason); RE-BASELINING $compactPath")
-          writeCompact(compactPath)
+          writeCompact(compactPath); compact
         case Some(reason) =>
           val dirtyPath = compactPath.stripSuffix(".json") + ".dirty.json"
           System.err.println(s"[bench] DIRTY RUN — $reason; writing " +
             s"$dirtyPath and leaving $compactPath (committed clean board) untouched")
           writeCompact(dirtyPath)
+          // the final stdout line carries the board of RECORD (with the
+          // divert reason attached), never the dirty board — see
+          // [[divertedFinalLine]]
+          divertedFinalLine(
+            try Some(new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(compactPath)),
+              java.nio.charset.StandardCharsets.UTF_8))
+            catch { case scala.util.control.NonFatal(_) => None },
+            compact, reason)
       }
-    } else
+    } else {
       System.err.println(s"[bench] subset run (${args.length} queries) — " +
         s"$compactPath left untouched (full-board artifact)")
-    // padding before the compact line: the driver's ~2000-char stdout
-    // tail then holds ONLY whitespace + the compact line — a complete,
+      compact
+    }
+    // padding before the final line: the driver's ~2000-char stdout
+    // tail then holds ONLY whitespace + the final line — a complete,
     // parseable object however the tail is consumed (whole-tail parse,
     // last line, grep). See renderCompactJson's docstring.
     print(TailPad)
-    println(compact)
+    println(finalLine)
+    // …and again AFTER sbt's own "[success]" trailer, from a detached
+    // child — the trailer otherwise ends the capture (see
+    // [[scheduleLateEcho]]). Full runs only: profiling subsets don't
+    // need to linger.
+    if (args.isEmpty) scheduleLateEcho(finalLine)
     spark.stop()
   }
 }

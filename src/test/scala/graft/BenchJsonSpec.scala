@@ -357,6 +357,35 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(Bench.sfMismatchReason(None, "/root/testdata/sf0.1") === None)
   }
 
+  test("diverted runs still end with a parseable board of record (r13 #3)") {
+    val committed = Bench.renderCompactJson(Seq(clean), 3, "/sf", cal = 4.96)
+    val fresh = Bench.renderCompactJson(Seq(dirty), 3, "/sf", cal = 6.5)
+    val reason = "4 suspect queries (>= 4): box was load-spiked mid-run"
+    // with a committed board: the final line IS that board + the reason
+    val line = Bench.divertedFinalLine(Some(committed + "\n"), fresh, reason)
+    val j = JsonMethods.parse(line)
+    assert((j \ "diverted_reason") === JString(reason))
+    val JDouble(q01) = (j \ "queries" \ "q01"): @unchecked
+    assert(q01 === 0.50) // the COMMITTED median, not the dirty run's
+    val JDouble(cal) = (j \ "cal"): @unchecked
+    assert(cal === 4.96) // the committed board's own cal rides along
+    // no committed board (first capture diverted): fall back to the
+    // fresh board so the artifact still carries numbers
+    val j2 = JsonMethods.parse(Bench.divertedFinalLine(None, fresh, reason))
+    assert((j2 \ "diverted_reason") === JString(reason))
+    val JDouble(q42) = (j2 \ "queries" \ "q42"): @unchecked
+    assert(q42 === 0.72)
+    // an unreadable/garbage committed file also falls back
+    val j3 = JsonMethods.parse(
+      Bench.divertedFinalLine(Some("not json"), fresh, reason))
+    assert((j3 \ "queries" \ "q42") !== JNothing)
+    // reasons with JSON-hostile characters can't break the line
+    val j4 = JsonMethods.parse(Bench.divertedFinalLine(Some(committed), fresh,
+      "a \"quoted\" reason\nwith\\controls" + ("x" * 300)))
+    val JString(r4) = (j4 \ "diverted_reason"): @unchecked
+    assert(r4.length <= 120 && !r4.contains('"') && !r4.contains('\n'))
+  }
+
   test("waitForIdle polls until the load gate clears, bounded, fail-open") {
     // scripted load sequence: hot, hot, clean — two sleeps then exit
     var sleeps = 0
