@@ -126,6 +126,10 @@ object SparkEntry {
     "q102_crossdoc_scrub_min" -> ((s: SparkSession, d: String) => TextOps.crossDocGramScrubMin(s, d)),
     "q103_shard_write"      -> ((s: SparkSession, d: String) => Packing.writeShards(s, d)),
     "q104_shard_append"     -> ((s: SparkSession, d: String) => Packing.appendShards(s, d)),
+    "q105_clean_shards"     -> ((s: SparkSession, d: String) => Packing.writeCleanShards(s, d)),
+    "q106_bpe_packing"      -> ((s: SparkSession, d: String) => Packing.packSequencesBpe(s, d, iters = BpeIters)),
+    "q107_ann_ivf_indexed"  -> ((s: SparkSession, d: String) => Similarity.ivfIndexedTopK(s, d)),
+    "q108_model_quota"      -> ((s: SparkSession, d: String) => Sampling.modelQuota(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -265,6 +269,26 @@ object SparkEntry {
       LEFT JOIN sa ON sa.doc_id = t.doc_id
       LEFT JOIN ka ON ka.doc_id = t.doc_id
       ORDER BY t.doc_id"""
+
+  /** The q108 oracle's margin: the frozen QualityCoefficients fold
+    * rendered over a token-list column `tk` — intercept + Σ
+    * (coef·tf)·idf, left-assoc addition in vocabulary order, exactly
+    * [[operators.Sampling.modelMargin]]'s evaluation order, so both
+    * engines produce bit-identical doubles (no exp/log at query time). */
+  private def qualityMarginSql: String = {
+    // Two DuckDB parity traps live here (both bitten in r14):
+    // (a) ::DOUBLE on every literal — a bare decimal literal is DECIMAL,
+    //     and the whole fold would run in exact decimal arithmetic;
+    // (b) ONE weight literal per term (coef·idf pre-multiplied in Scala,
+    //     the same product Sampling.marginOf embeds) — written as
+    //     coef * tf * idf, the optimizer reassociates the commutative
+    //     multiply to fold the constants together, drifting a ulp per
+    //     term against the tree-as-written evaluation.
+    val qc = operators.QualityCoefficients
+    qc.vocab.indices.map(i =>
+      s"(${qc.coef(i) * qc.idf(i)})::DOUBLE * len(list_filter(tk, x -> x = '${qc.vocab(i)}'))")
+      .foldLeft(s"(${qc.intercept})::DOUBLE")((acc, t) => s"$acc + $t")
+  }
 
   /** The q38 oracle: identical literal centroids → identical cell
     * assignment (argmax of dot − ½‖c‖², first-index-of-max on ties),
@@ -986,6 +1010,15 @@ object SparkEntry {
     // IvfCentroids artifact embedded as literals — see ivfSql.
     "q38_ann_ivf" -> ivfSql(10, operators.Similarity.DefaultNProbe, 5),
 
+    // q107: the SAME verdicts computed through the PERSISTED
+    // cell-partitioned store (build once, probe partition-pruned) — the
+    // oracle doesn't model the storage, only the answers it must
+    // produce, so q107's oracle IS q38's SQL verbatim: a q107/q38
+    // divergence would fail both against this one definition. The
+    // pruned physical shape is linted in-query
+    // (Similarity.assertIvfProbePruned).
+    "q107_ann_ivf_indexed" -> ivfSql(10, operators.Similarity.DefaultNProbe, 5),
+
     "q32_grouped_ols" -> """
       SELECT l_returnflag,
              count(*) AS n,
@@ -1317,6 +1350,86 @@ object SparkEntry {
              md5(string_agg(seq_id || ':' || doc_id || ':' || th, ' '
                ORDER BY ok, doc_id)) AS content_hash
       FROM a GROUP BY 1 ORDER BY shard_id""",
+
+    // q105: q62's staged CTE chain (quality gate → exact-dedup keepers →
+    // near-dup cluster keepers — verbatim, the q97 prefix) COMPOSED with
+    // q103's packing replay over the survivor set d3. The Spark side
+    // reports from the parquet files the composed pipeline wrote and
+    // read back, so a green row certifies the cleaned artifact
+    // end-to-end: a wrong survivor handed over by ANY stage, a dropped
+    // or misplaced row, or corrupted text payload all break the
+    // per-shard content hash.
+    "q105_clean_shards" -> s"""
+      WITH RECURSIVE
+      qstats AS (
+        SELECT doc_id, text,
+               length(text)                                AS char_len,
+               len(string_split(text, ' '))                AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+        FROM documents),
+      qd AS (
+        SELECT doc_id, text FROM qstats
+        WHERE n_tokens BETWEEN 5 AND 500
+          AND CAST(n_uniq_tokens AS DOUBLE) / n_tokens > 0.2
+          AND CAST(char_len - (n_tokens - 1) AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0),
+      ek AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+      d2 AS (SELECT qd.doc_id, qd.text FROM qd JOIN ek USING (doc_id)),
+      ${ngramPairsCtesFrom("d2")},
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM d2
+        UNION
+        SELECT e.s, re.r FROM edges e JOIN reach re ON re.doc_id = e.t),
+      lab AS (SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id),
+      d3 AS (SELECT d2.doc_id, d2.text FROM d2
+             JOIN lab ON lab.doc_id = d2.doc_id AND lab.keeper_id = d2.doc_id),
+      p AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ok,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                   md5(text) AS th
+            FROM d3),
+      c AS (SELECT doc_id, ok, nt, th,
+                   sum(nt) OVER (ORDER BY ok, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM p),
+      a AS (SELECT doc_id, ok, nt, th,
+                   CAST((cum - nt) // 512 AS BIGINT) AS seq_id
+            FROM c)
+      SELECT CAST(seq_id // 8 AS BIGINT) AS shard_id,
+             CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+             count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS shard_tokens,
+             md5(string_agg(seq_id || ':' || doc_id || ':' || th, ' '
+               ORDER BY ok, doc_id)) AS content_hash
+      FROM a GROUP BY 1 ORDER BY shard_id""",
+
+    // q106: the q90 train chain unrolled (10 iterations over the TRAIN
+    // split histogram), the learned rules applied to every DISTINCT
+    // corpus word (the q91 apply chain re-aimed at the whole table),
+    // per-document subword sums through the occurrence stream, then
+    // q52's packing tail over those sums — tokenizer-budget packing
+    // replayed end to end.
+    "q106_bpe_packing" -> (bpeBaseSql + "," +
+      (1 to BpeIters).map(bpeTrainIterSql).mkString(",") + s""",
+      tw AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+      t0 AS MATERIALIZED (SELECT word,
+             list_append(string_split(word, ''), '</w>') AS syms
+           FROM (SELECT DISTINCT word FROM tw)),""" +
+      (1 to BpeIters).map(bpeApplyIterSql).mkString(",") + s""",
+      dc AS (SELECT tw.doc_id,
+                    CAST(sum(len(t$BpeIters.syms)) AS BIGINT) AS nt
+             FROM tw JOIN t$BpeIters ON tw.word = t$BpeIters.word
+             GROUP BY tw.doc_id),
+      pk AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ok, nt FROM dc),
+      ck AS (SELECT doc_id, nt,
+                    sum(nt) OVER (ORDER BY ok, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM pk)
+      SELECT CAST((cum - nt) // 2048 AS BIGINT) AS seq_id,
+             count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS seq_tokens
+      FROM ck GROUP BY 1 ORDER BY seq_id"""),
 
     // Mirrors contaminationAudit: q30's winnowing fingerprint + q44's
     // hash-mod split rule, eval docs left-joined to distinct train
@@ -2309,6 +2422,31 @@ $minhashMinSelectSql
     // semantic difference from q99, mirroring the single post-merge
     // filter on the Spark side).
     "q102_crossdoc_scrub_min" -> crossDocScrubSql(20),
+
+    // q108: the frozen QualityCoefficients margin as ONE literal
+    // expression (the same left-to-right fold over the same literals the
+    // Spark side evaluates — see Sampling.modelMargin; qualityMarginSql
+    // renders it from the artifact, so the two engines cannot drift),
+    // then the q100 technique: selection replays as one flat per-source
+    // rank, kept mass + cutoff margin per source.
+    "q108_model_quota" -> s"""
+      WITH m AS (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   $qualityMarginSql AS margin
+                 FROM (SELECT doc_id, source, text,
+                         string_split(lower(text), ' ') AS tk
+                       FROM documents)),
+      r AS (SELECT source, n_tokens, margin,
+              row_number() OVER (PARTITION BY source
+                ORDER BY margin DESC, doc_id) AS rk
+            FROM m)
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN rk <= 10 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+             min(CASE WHEN rk <= 10 THEN margin END) AS cutoff_margin
+      FROM r GROUP BY source ORDER BY source""",
 
     // q100: selection replays as ONE flat per-source rank — the Spark
     // side's salted two-stage prune is exactness-preserving (pigeonhole;

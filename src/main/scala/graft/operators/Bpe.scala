@@ -138,24 +138,30 @@ object Bpe {
   /** Greedy rank-order selection of up to `batch` pairwise
     * NON-INTERACTING pairs from a (lhs, rhs, cnt) candidate list
     * already sorted by the trainer's total order: a pair is skipped —
-    * deferred to the next round, never dropped — when it shares a
-    * symbol (either side) with any already-selected pair. Symbol
-    * disjointness guarantees the selected merges commute: no selected
-    * pair consumes a symbol another selected pair needs, so folding
-    * them in any order equals folding them one-per-iteration, and each
-    * pair's count is exactly what the shared histogram pass measured.
-    * Pure and driver-side (the candidate list is a bounded collect). */
+    * deferred to the next round, never dropped — when any of its three
+    * symbols (lhs, rhs, or the CREATED symbol lhs+rhs) collides with a
+    * previously-selected pair's lhs, rhs, or created symbol. The created
+    * symbol is tracked too (r13 ADVICE): with only side-symbol tracking,
+    * (a,bc) and (abc,d) could be selected together when 'abc' already
+    * exists from an earlier (ab,c) merge — folding (a,bc) first creates
+    * NEW 'abc' tokens, so folding (abc,d) after it would merge
+    * occurrences not present at count time. Closing over the created
+    * symbols restores the full claim: no selected pair consumes OR
+    * produces a symbol another selected pair reads, so folding them in
+    * any order equals folding them one-per-iteration, and each pair's
+    * count is exactly what the shared histogram pass measured. Pure and
+    * driver-side (the candidate list is a bounded collect). */
   def selectNonInteracting(ranked: Seq[(String, String, Long)],
                            batch: Int): Seq[(String, String, Long)] = {
     require(batch > 0, s"need batch > 0, got $batch")
-    val used = scala.collection.mutable.HashSet.empty[String]
+    val touched = scala.collection.mutable.HashSet.empty[String]
     val out = Seq.newBuilder[(String, String, Long)]
     var n = 0
     val it = ranked.iterator
     while (n < batch && it.hasNext) {
       val p @ (l, r, _) = it.next()
-      if (!used(l) && !used(r)) {
-        out += p; used += l; used += r; n += 1
+      if (!touched(l) && !touched(r) && !touched(l + r)) {
+        out += p; touched += l; touched += r; touched += (l + r); n += 1
       }
     }
     out.result()
@@ -331,6 +337,39 @@ object Bpe {
       segmentSyms(chars, bc.value)
     }
     words.withColumn("syms", seg(col(wordCol)))
+  }
+
+  /** Per-document SUBWORD counts under a frozen merge table — the
+    * budget column tokenizer-budget packing ([[Packing.packSequencesBpe]],
+    * q106) feeds the packer: production shards are sized by what the
+    * MODEL consumes (BPE tokens), not by whitespace words. Segmentation
+    * is the production path ([[segmentWithVocab]]: one broadcast rank
+    * map, plan constant in vocab size), run on DISTINCT words and joined
+    * back to the per-document occurrence stream — the q91 shape, so a
+    * 100-TB corpus segments its vocabulary once, never its token stream.
+    * Output is (doc_id, _nt), the exact frame
+    * [[Packing.packSequencesCounts]] consumes. An EMPTY merge table is
+    * the maximally-fragmented tokenizer by BPE semantics: every word
+    * counts as its characters + `</w>` (len+1) — pinned in BpeSpec, as
+    * is the opposite end (a saturating table that fully merges every
+    * word makes subword counts ≡ whitespace counts). */
+  def subwordCountsFor(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val seg = segmentWithVocab(words.select(col("word")).distinct(), merges)
+      .select(col("word"), size(col("syms")).cast("long").as("_ns"))
+    words.join(seg, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_ns")).as("_nt"))
+  }
+
+  /** The q90 merge table re-learned for a composing consumer (same
+    * train-split histogram, same sequential trainer — so the q106
+    * oracle's unrolled train chain replays it exactly). */
+  def trainedMerges(s: SparkSession, dir: String, iters: Int): Seq[Merge] = {
+    val hist = wordHistogram(splitWords(s, dir, train = true).select("word"))
+    learnMerges(hist, iters)._1
   }
 
   /** The q82-family train split (hash bucket < 80) exploded to words.

@@ -118,6 +118,32 @@ object Packing {
       budget)
       .withColumnRenamed("n_docs", "n_chunks")
 
+  /** q106 — TOKENIZER-budget packing: the q52 packer with the budget
+    * column counted in BPE SUBWORDS instead of whitespace words.
+    * Production shards are sized by what the model consumes — a
+    * 2048-token training sequence is 2048 tokenizer tokens — so the
+    * packer's `_nt` comes from [[Bpe.subwordCountsFor]] under the q90
+    * merge table (re-learned via [[Bpe.trainedMerges]]: same train
+    * split, same sequential trainer, so the oracle's unrolled train
+    * chain replays it exactly). Scale shape: the q90 histogram pass +
+    * 10 histogram-sized merge iterations, ONE distinct-word
+    * segmentation joined back to the occurrence stream (q91's shape —
+    * the token stream never re-segments), then the packer's two-pass
+    * range scan; budgets count the same rows either way, so the packing
+    * tail is q52's verbatim. */
+  def packSequencesBpe(s: SparkSession, dir: String, budget: Long = 2048,
+                       iters: Int = 10): DataFrame =
+    packSequencesSubwordFor(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      Bpe.trainedMerges(s, dir, iters), budget)
+
+  /** [[packSequencesBpe]]'s core over ANY (doc_id, text) frame and any
+    * frozen merge table — BpeSpec pins both degenerate ends (empty
+    * table = chars+1 per word; saturating table ≡ whitespace packing). */
+  def packSequencesSubwordFor(documents: DataFrame, merges: Seq[Bpe.Merge],
+                              budget: Long): DataFrame =
+    packSequencesCounts(Bpe.subwordCountsFor(documents, merges), budget)
+
   /** [[packSequencesFor]] when the caller already has token counts —
     * expects (doc_id, _nt). The composed pipeline's cached survivor
     * frame carries token arrays, so its counts are a `size()` away and
@@ -159,12 +185,19 @@ object Packing {
     writeShardsFor(Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       budget, seqsPerShard, defaultShardPath(dir))
 
-  /** Deterministic per-corpus output location (overwritten each run —
-    * the artifact is a pure function of its inputs, so rewriting is
-    * idempotent by construction and the oracle-checked hash proves it). */
+  /** Deterministic per-corpus, PER-PROCESS output location (overwritten
+    * each run — the artifact is a pure function of its inputs, so
+    * rewriting is idempotent by construction and the oracle-checked hash
+    * proves it). The pid suffix (r13 ADVICE) keeps two concurrent
+    * processes over the same corpus dir — e.g. a bench rep and a Verify
+    * run — from racing one shard store: one side's mode=overwrite delete
+    * could land mid-read of the other's read-back report. Within one
+    * process the path is stable, which is all q103/q104's write→read-back
+    * and the day-1-immutability spec rely on. */
   def defaultShardPath(dir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_shards_" + dir.replaceAll("[^A-Za-z0-9]+", "_")).getAbsolutePath
+      "graft_shards_p" + ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]+", "_")).getAbsolutePath
 
   /** Core of q103 over any (doc_id, text) frame.
     *
@@ -214,6 +247,25 @@ object Packing {
       .sortWithinPartitions(col("shard_id"), col("ok"), col("doc_id"))
       .write.mode(mode).partitionBy("shard_id").parquet(path)
   }
+
+  // q105 — the CLEANED-shard artifact, gated END-TO-END: q103 shards
+  // the RAW corpus, but the file a pretraining run actually ships is
+  // the cleaned one — the composed pipeline's survivors (q62's staged
+  // quality→exact-dedup→near-dedup chain, the same frames q97 audits)
+  // fed through the SAME writer, reported from the files READ BACK.
+  // This was the last ungated seam: the funnel and the packer were each
+  // oracle-gated separately, but nothing certified their COMPOSITION
+  // all the way to disk. The DuckDB oracle replays q62's staged CTE
+  // chain composed with q103's packing replay, so a green row breaks if
+  // ANY pipeline stage hands over the wrong survivor set OR the write
+  // drops, misplaces, or corrupts a row. Scale shape: the pipeline's
+  // own stages (one scan, one hash shuffle, the capped pair subgraph)
+  // plus the writer's range shuffle + text join + one shard_id shuffle
+  // — nothing new beyond the two composed operators.
+  def writeCleanShards(s: SparkSession, dir: String, budget: Long = 512,
+                       seqsPerShard: Long = 8): DataFrame =
+    writeShardsFor(Compose.survivors(s, dir), budget, seqsPerShard,
+      defaultShardPath(dir) + "_clean")
 
   // q104 — INCREMENTAL shard append: the day-2 shape of q103 (the
   // q89/q92 steady-state pattern applied to the written artifact). A

@@ -322,13 +322,22 @@ object Sampling {
                  order: Seq[Column], k: Int,
                  salts: Int = QuotaSalts): DataFrame = {
     require(k > 0 && salts > 0, s"need k > 0 and salts > 0, got k=$k salts=$salts")
+    // collision-free temp rank columns (r13 ADVICE): this is a public
+    // generic primitive now — hard-coded `_r1`/`_r2` would silently
+    // overwrite-and-drop a caller column of the same name. Suffix until
+    // free; deterministic, so the plan stays stable across calls.
+    def freeName(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val r1 = freeName("_r1")
+    val r2 = freeName("_r2")
     val W = org.apache.spark.sql.expressions.Window
     val w1 = W.partitionBy(partition, hashBucket(saltKey, salts))
       .orderBy(order: _*)
     val w2 = W.partitionBy(partition).orderBy(order: _*)
-    df.withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= k)
-      .withColumn("_r2", row_number().over(w2)).filter(col("_r2") <= k)
-      .drop("_r1", "_r2")
+    df.withColumn(r1, row_number().over(w1)).filter(col(r1) <= k)
+      .withColumn(r2, row_number().over(w2)).filter(col(r2) <= k)
+      .drop(r1, r2)
   }
 
   def qualityQuotaFor(documents: DataFrame, k: Int = 10,
@@ -354,6 +363,80 @@ object Sampling {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_tokens")).as("kept_tokens"),
           min(col("uniq_ratio")).as("cutoff_uniq_ratio")),
+        Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  /** The frozen quality model's raw logistic MARGIN over a text column:
+    * intercept + Σᵢ coef(i)·tf(i)·idf(i) folded LEFT-TO-RIGHT in
+    * vocabulary order, tf(i) = count of vocab word i among the
+    * lowercased whitespace tokens. Every operation is IEEE-identical
+    * across engines (counting, double multiply, left-assoc add; no
+    * exp/log), and ranking by the margin is order-equivalent to ranking
+    * by sigmoid(margin) = P(clean) — which is why q108 can be
+    * oracle-exact where the model FIT never could be. Per-row compute,
+    * shuffle-free; the |vocab| filter folds are the broadcast-scoring
+    * shape [[graft.ml.QualityModel.score]] runs with the live model
+    * (MlSpec pins this literal margin ≡ the fitted model's margin). */
+  def modelMargin(text: Column): Column =
+    marginOf(text, QualityCoefficients.vocab, QualityCoefficients.idf,
+      QualityCoefficients.coef, QualityCoefficients.intercept)
+
+  /** [[modelMargin]]'s fold over ANY frozen (vocab, idf, coef,
+    * intercept) tuple — MlSpec fits a live model, extracts the tuple
+    * the way graft.tools.FitQualityModel does, and pins this fold ≈
+    * the PipelineModel's own margin (BLAS sums in a different order, so
+    * the pin is a tight tolerance, not bit-equality — the ORACLE
+    * comparison never involves the live model and stays exact).
+    *
+    * Per-term shape: coef(i)·idf(i) is PRE-multiplied into one weight
+    * literal HERE, on the driver (r14 lesson: written as
+    * `coef * tf * idf`, DuckDB's optimizer reassociates the commutative
+    * multiply to fold the two constants together — term-level ulp drift
+    * against any engine that evaluates the tree as written; one literal
+    * per term leaves no reassociation freedom anywhere). */
+  def marginOf(text: Column, vocab: Seq[String], idf: Seq[Double],
+               coef: Seq[Double], intercept: Double): Column = {
+    require(vocab.size == idf.size && idf.size == coef.size,
+      s"shape mismatch: ${vocab.size} vocab / ${idf.size} idf / ${coef.size} coef")
+    val toks = split(lower(text), " ")
+    vocab.indices.foldLeft(lit(intercept)) { (acc, i) =>
+      acc + lit(coef(i) * idf(i)) *
+        size(filter(toks, t => t === lit(vocab(i)))).cast("double")
+    }
+  }
+
+  // q108 — MODEL-scored quality quota: q100's salted exact top-k with
+  // the order key swapped from the single heuristic (uniq_ratio) to the
+  // frozen classifier's margin ([[modelMargin]] over the checked-in
+  // QualityCoefficients artifact — the IvfCentroids technique applied
+  // to a scoring model). This is the CCNet-style selection a curation
+  // pipeline actually ships: score every document with a broadcast
+  // linear model, keep the top-k per source. The FIT stays out of the
+  // oracle (iterative L-BFGS); the SCORE is a pure literal expression
+  // both engines evaluate bit-identically. Same two-stage salted plan
+  // as q100 — no per-source global sort ever materializes.
+  def modelQuota(s: SparkSession, dir: String, k: Int = 10,
+                 salts: Int = QuotaSalts): DataFrame =
+    modelQuotaFor(Tables(s, dir, "documents"), k, salts)
+
+  /** Core of q108 over any (doc_id, source, text) frame. */
+  def modelQuotaFor(documents: DataFrame, k: Int = 10,
+                    salts: Int = QuotaSalts): DataFrame = {
+    require(k > 0 && salts > 0, s"need k > 0 and salts > 0, got k=$k salts=$salts")
+    val d = Caches.track(documents.select(
+      col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      modelMargin(col("text")).as("margin")))
+    val kept = saltedTopK(d, col("source"), col("doc_id"),
+      Seq(col("margin").desc, col("doc_id")), k, salts)
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .join(kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"),
+          min(col("margin")).as("cutoff_margin")),
         Seq("source"))
       .orderBy(col("source"))
   }

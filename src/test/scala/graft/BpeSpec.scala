@@ -184,6 +184,57 @@ class BpeSpec extends AnyFunSuite {
       Seq(("a", "b", 1L)))
   }
 
+  test("subword-budget packing: degenerate ends pin the budget semantics (q106)") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = Seq((1L, "ab cd ab"), (2L, "ef ab"), (3L, "cd cd gh"))
+      .toDF("doc_id", "text")
+    // EMPTY merge table = maximally-fragmented tokenizer: every word
+    // counts as its characters + </w> (len+1), by BPE semantics
+    val empty = Bpe.subwordCountsFor(docs, Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(empty === Map(1L -> 9L, 2L -> 6L, 3L -> 9L))
+    // SATURATING table (every corpus word fully merged to one symbol):
+    // subword counts ≡ whitespace counts, so subword-budget packing is
+    // row-identical to the q52 whitespace-budget packer
+    val sat = Seq(
+      Bpe.Merge(1, "a", "b", 0), Bpe.Merge(2, "c", "d", 0),
+      Bpe.Merge(3, "e", "f", 0), Bpe.Merge(4, "g", "h", 0),
+      Bpe.Merge(5, "ab", Bpe.EndMark, 0), Bpe.Merge(6, "cd", Bpe.EndMark, 0),
+      Bpe.Merge(7, "ef", Bpe.EndMark, 0), Bpe.Merge(8, "gh", Bpe.EndMark, 0))
+    val satCounts = Bpe.subwordCountsFor(docs, sat)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(satCounts === Map(1L -> 3L, 2L -> 2L, 3L -> 3L))
+    val viaSubword = Packing.packSequencesSubwordFor(docs, sat, budget = 4)
+      .collect().map(_.toSeq).toSeq
+    graft.operators.Caches.release()
+    val viaWhitespace = Packing.packSequencesFor(docs, budget = 4)
+      .collect().map(_.toSeq).toSeq
+    graft.operators.Caches.release()
+    assert(viaSubword === viaWhitespace)
+    assert(viaSubword.nonEmpty)
+  }
+
+  test("selectNonInteracting: created-symbol collisions are deferred too (r13 ADVICE)") {
+    // (a,bc) creates 'abc'; (abc,d) reads a symbol the round CREATES —
+    // if both were selected, folding (a,bc) first would let (abc,d)
+    // merge occurrences that did not exist at count time. Sides are
+    // disjoint ({a,bc} vs {abc,d}), so only the created-symbol rule
+    // catches it.
+    assert(Bpe.selectNonInteracting(
+      Seq(("a", "bc", 10L), ("abc", "d", 9L), ("x", "y", 8L)), 3) ===
+      Seq(("a", "bc", 10L), ("x", "y", 8L)))
+    // the mirror image: a selected pair READS 'abc', a later one would
+    // CREATE it — commutativity requires deferring that one as well
+    assert(Bpe.selectNonInteracting(
+      Seq(("abc", "d", 10L), ("a", "bc", 9L), ("x", "y", 8L)), 3) ===
+      Seq(("abc", "d", 10L), ("x", "y", 8L)))
+    // two creators of the same symbol ('abc' via (a,bc) and (ab,c)):
+    // second deferred — both folding would double-source one symbol
+    assert(Bpe.selectNonInteracting(
+      Seq(("a", "bc", 10L), ("ab", "c", 9L)), 2) === Seq(("a", "bc", 10L)))
+  }
+
   test("batched trainer with batch=1 ≡ sequential trainer on the driver corpus") {
     // batch=1 degenerates to one-pair-per-round: the batched machinery
     // (pool collect, greedy select, fold, global iter numbering) must

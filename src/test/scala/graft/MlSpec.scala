@@ -200,6 +200,41 @@ class MlSpec extends AnyFunSuite {
     assert(p16 === picks(1))
     assert(p16.size === 6 && p16.forall(id => id >= 200L),
       s"quota picked a junk doc: $p16")
+    // r13 ADVICE: caller frames that already carry the old hard-coded
+    // temp names must survive — the rank columns pick collision-free
+    // names instead of overwriting-and-dropping the caller's `_r1`/`_r2`
+    val withClash = scored.withColumn("_r1", lit(77)).withColumn("_r2", lit(88))
+    val kept = operators.Sampling.saltedTopK(withClash, col("source"),
+      col("doc_id"), Seq(col("quality_prob").desc, col("doc_id")), k = 3)
+    assert(kept.columns.count(_ == "_r1") === 1 &&
+      kept.columns.count(_ == "_r2") === 1)
+    assert(kept.select("_r1", "_r2").distinct().collect().map(r =>
+      (r.getInt(0), r.getInt(1))).toSeq === Seq((77, 88)))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet === p16)
+    // the FROZEN-artifact contract (q108): extracting (vocab, idf, coef,
+    // intercept) the way graft.tools.FitQualityModel does and evaluating
+    // the literal left-fold margin must reproduce the live model's
+    // probability — sigmoid(margin) ≈ quality_prob (BLAS sums in a
+    // different order, hence tolerance, not bit-equality; the DuckDB
+    // oracle never sees the live model and compares the fold exactly)
+    val inner = model.stages(0)
+      .asInstanceOf[org.apache.spark.ml.PipelineModel].stages
+    val cv = inner.collectFirst {
+      case m: org.apache.spark.ml.feature.CountVectorizerModel => m }.get
+    val idfM = inner.collectFirst {
+      case m: org.apache.spark.ml.feature.IDFModel => m }.get
+    val lr = model.stages(1)
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val viaFold = scored.withColumn("_m",
+      operators.Sampling.marginOf(col("text"), cv.vocabulary.toSeq,
+        idfM.idf.toArray.toSeq, lr.coefficients.toArray.toSeq, lr.intercept))
+      .select(col("doc_id"), col("quality_prob"),
+        (lit(1.0) / (lit(1.0) + exp(-col("_m")))).as("_p"))
+      .collect()
+    viaFold.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+        s"doc ${r.getLong(0)}: model ${r.getDouble(1)} vs fold ${r.getDouble(2)}")
+    }
   }
 
   test("VIF flags the collinear feature (M25)") {

@@ -254,6 +254,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r8 >= r4 + 0.05, s"recall@8=$r8 not meaningfully above recall@4=$r4")
   }
 
+  test("persisted IVF store: probe-only answers ≡ q38, pruned scan linted (q107)") {
+    import org.apache.spark.sql.functions._
+    // row-identical verdicts through the STORED cell-partitioned index
+    val viaStore = operators.Similarity.ivfIndexedTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    operators.Caches.release()
+    val inQuery = operators.Similarity.ivfTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    operators.Caches.release()
+    assert(viaStore === inQuery && viaStore.size == 50)
+    // the lint is NOT vacuous: an unpruned scan of the same store is
+    // detected (plan built non-adaptive, same as the in-query lint)
+    val path = operators.Similarity.ivfStorePath(sf)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val unpruned = spark.read.parquet(path)
+        .filter(col("vec_id") < 10) // data filter, no cell predicate
+      assert(operators.Similarity.ivfUnprunedStoreScans(
+        unpruned.queryExecution.executedPlan, path).nonEmpty,
+        "lint failed to flag an unpruned store scan")
+      val pruned = spark.read.parquet(path)
+        .filter(col("cell").cast("long").isin(1L, 3L))
+      assert(operators.Similarity.ivfUnprunedStoreScans(
+        pruned.queryExecution.executedPlan, path).isEmpty,
+        "lint flagged a correctly-pruned scan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // and the in-query lint entry actually rejects an unpruned probe
+    // (memo cleared so the assertion runs; a FAILED lint never
+    // memoizes, so later real queries still re-prove the clean shape)
+    operators.Similarity.clearLintMemo()
+    val err = intercept[IllegalArgumentException] {
+      operators.Similarity.assertIvfProbePruned(spark, path)(
+        spark.read.parquet(path).filter(col("vec_id") < 10))
+    }
+    assert(err.getMessage.contains("partition pruning"), err.getMessage)
+  }
+
   test("dedup clusters: valid connected-components labeling of the pair graph") {
     import org.apache.spark.sql.functions._
     val pairs = operators.Dedup.ngramJaccardPairsCapped(spark, sf)

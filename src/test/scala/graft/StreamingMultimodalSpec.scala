@@ -584,6 +584,59 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"scrub drift: stream-only=${got.toSet -- want} batch-only=${want -- got.toSet}")
   }
 
+  test("streaming shard append: two-trigger replay ≡ the declared q104 rows (zero keyed state)") {
+    import graft.streaming.ShardAppend
+    val sfInc = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sfInc, "documents")
+      .select(col("doc_id"), col("text"))
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 10)
+    def day(p: org.apache.spark.sql.Column): Seq[(Long, String)] =
+      docs.filter(p).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val day1 = day(bucket < 8)
+    val day2 = day(bucket >= 8)
+    assert(day1.nonEmpty && day2.nonEmpty, "both days must carry docs")
+    // the q104 day-1/day-2 split replayed as two micro-batches: trigger 1
+    // creates the store, trigger 2 appends from the next whole-shard
+    // boundary — the ingest twin of the batch two-day shape
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val path = java.nio.file.Files.createTempDirectory("graft_shard_stream")
+      .resolve("store").toString
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Seq[Any]])]
+    val q = ShardAppend.start(ms.toDF().toDF("doc_id", "text"), path,
+      budget = 512, seqsPerShard = 8, (rows, id) =>
+        reports.synchronized {
+          reports += ((id, rows.collect().toSeq.map(_.toSeq)))
+        })
+    try {
+      ms.addData(day1: _*); q.processAllAvailable()
+      ms.addData(day2: _*); q.processAllAvailable()
+    } finally q.stop()
+    graft.operators.Caches.release()
+    assert(reports.size === 2, s"expected 2 per-trigger reports, got ${reports.size}")
+    // zero keyed state: the query plan holds no stateful operators — the
+    // shard store itself is the state (restart-safe by construction)
+    // (foreachBatch sinks have no state store; pinned by the progress
+    // metrics reporting no state operators)
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty,
+      s"unexpected keyed state: ${q.lastProgress.stateOperators.mkString(",")}")
+    // trigger-2's full-store read-back == the DECLARED q104 rows (same
+    // split, same knobs, pure functions all the way down)
+    val want = graft.operators.Packing.appendShards(spark, sfInc)
+      .collect().toSeq.map(_.toSeq)
+    graft.operators.Caches.release()
+    assert(reports.last._2 === want,
+      s"stream store drifted from the declared q104 rows")
+    // trigger-1 rows are a PREFIX story: day-1 shards unchanged by the
+    // append (the batch spec pins bytes; here we pin the report rows)
+    val day1Rows = reports.head._2.map(r => r.head -> r).toMap
+    reports.last._2.filter(r => day1Rows.contains(r.head)).foreach { r =>
+      assert(day1Rows(r.head) === r, s"day-1 shard ${r.head} report changed")
+    }
+  }
+
   test("streaming line dedup ≡ batch scrub under any chunking (q87 twin)") {
     import graft.streaming.LineDedup
     // sf0.01: boilerplate lines actually exist there (127 cross-doc
