@@ -604,6 +604,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .resolve("store").toString
     val reports = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Seq[Seq[Any]])]
+    val day3 = Seq((900001L, "fresh delta alpha"), (900002L, "fresh delta beta"))
     val q = ShardAppend.start(ms.toDF().toDF("doc_id", "text"), path,
       budget = 512, seqsPerShard = 8, (rows, id) =>
         reports.synchronized {
@@ -612,9 +613,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     try {
       ms.addData(day1: _*); q.processAllAvailable()
       ms.addData(day2: _*); q.processAllAvailable()
+      // day-3 trigger exercised further down, against the SAME query —
+      // a fresh query on the same MemoryStream would replay days 1+2
+      ms.addData(day3: _*); q.processAllAvailable()
     } finally q.stop()
     graft.operators.Caches.release()
-    assert(reports.size === 2, s"expected 2 per-trigger reports, got ${reports.size}")
+    assert(reports.size === 3, s"expected 3 per-trigger reports, got ${reports.size}")
     // zero keyed state: the query plan holds no stateful operators — the
     // shard store itself is the state (restart-safe by construction)
     // (foreachBatch sinks have no state store; pinned by the progress
@@ -627,14 +631,31 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val want = graft.operators.Packing.appendShards(spark, sfInc)
       .collect().toSeq.map(_.toSeq)
     graft.operators.Caches.release()
-    assert(reports.last._2 === want,
+    val day2Report = reports(1)._2
+    assert(day2Report === want,
       s"stream store drifted from the declared q104 rows")
     // trigger-1 rows are a PREFIX story: day-1 shards unchanged by the
     // append (the batch spec pins bytes; here we pin the report rows)
     val day1Rows = reports.head._2.map(r => r.head -> r).toMap
-    reports.last._2.filter(r => day1Rows.contains(r.head)).foreach { r =>
+    day2Report.filter(r => day1Rows.contains(r.head)).foreach { r =>
       assert(day1Rows(r.head) === r, s"day-1 shard ${r.head} report changed")
     }
+    // day 3 — append on top of an APPEND: the boundary probe must read
+    // the GROWN store's max shard (day 2's), not day 1's, and both
+    // prior days' report rows must ride through untouched
+    val day2Max = day2Report.map(_.head.asInstanceOf[Long]).max
+    val day3Report = reports(2)._2
+    val prior = day2Report.map(r => r.head -> r).toMap
+    day3Report.filter(r => prior.contains(r.head)).foreach { r =>
+      assert(prior(r.head) === r, s"prior shard ${r.head} report changed by day 3")
+    }
+    val freshShards = day3Report.map(_.head.asInstanceOf[Long]).toSet --
+      prior.keySet.map(_.asInstanceOf[Long])
+    assert(freshShards.nonEmpty && freshShards.forall(_ > day2Max),
+      s"day-3 delta landed in old shards: $freshShards (day-2 max $day2Max)")
+    // mass conservation across all three days
+    assert(day3Report.map(_(2).asInstanceOf[Long]).sum ===
+      day1.size + day2.size + day3.size)
   }
 
   test("streaming line dedup ≡ batch scrub under any chunking (q87 twin)") {
