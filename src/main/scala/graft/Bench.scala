@@ -418,15 +418,19 @@ object Bench {
     * until r14. */
   val TailPad: String = "\n" * 2100
 
-  /** The FINAL artifact line of a run (r13 VERDICT #3): the clean and
-    * force-committed paths emit the fresh compact board; a DIVERTED run
-    * emits the COMMITTED board of record with the divert reason riding
-    * along as `diverted_reason` — so the driver's per-round artifact
-    * always carries the numbers of record (three straight rounds carried
-    * only the refusal), and the dirty diagnostics stay in the full line
-    * and the .dirty sibling. Falls back to the fresh board (reason still
-    * attached) when no committed board exists to stand on. Pure;
-    * spec-pinned in BenchJsonSpec. */
+  /** The FINAL artifact line of a run. A DIVERTED run emits the FRESH
+    * run's own numbers (r14 ADVICE, reversing the r13 shape): the
+    * per-run artifact must attribute to this run only measurements this
+    * run produced — the r13 form put the previously COMMITTED board's
+    * numbers under the normal `queries`/`value`/`cal` keys, so a genuine
+    * uniform regression would have been reported with the old good
+    * numbers, distinguishable only by the reason string. The divert
+    * reason rides as `diverted_reason`, and the board of record rides
+    * along NESTED under `committed_board` (headline `value` + `cal`
+    * only — the full committed dict would push the line past the
+    * driver's ~2000-char tail window), where no consumer can parse its
+    * stale numbers as this run's result. Pure; spec-pinned in
+    * BenchJsonSpec. */
   def divertedFinalLine(committedLine: Option[String], fresh: String,
                         reason: String): String = {
     val esc = reason.take(120).map {
@@ -435,9 +439,23 @@ object Bench {
       case c if c.isControl => ' '
       case c => c
     }.mkString
-    val base = committedLine.map(_.trim).filter(l =>
-      l.startsWith("{") && l.endsWith("}")).getOrElse(fresh)
-    base.dropRight(1) + s""","diverted_reason":"$esc"}"""
+    val committed = committedLine.map(_.trim).flatMap { l =>
+      try {
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(l)
+        def num(f: String): Option[Double] = j \ f match {
+          case JDouble(d) => Some(d)
+          case JDecimal(d) => Some(d.toDouble)
+          case JInt(i) => Some(i.toDouble)
+          case _ => None
+        }
+        val fields = Seq("value" -> num("value"), "cal" -> num("cal"))
+          .collect { case (k, Some(v)) => s""""$k":$v""" }
+        if (fields.isEmpty) None
+        else Some(s""","committed_board":{${fields.mkString(",")}}""")
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse("")
+    fresh.dropRight(1) + s""","diverted_reason":"$esc"$committed}"""
   }
 
   /** Re-emit the final artifact line from a DETACHED child process,
@@ -474,9 +492,45 @@ object Bench {
     * final window (whitespace + line — the child's held write-end keeps
     * the pipe open until it finishes); a `> file` capturer gets the
     * append even after everything exits. Failure to spawn is non-fatal
-    * by design. */
+    * by design.
+    *
+    * r14-ADVICE hardening (the plumbing is aggressive by necessity —
+    * the driver tail-parses past sbt's trailer and this ended four
+    * rounds of `"parsed": null` — but each named harm is closed):
+    *  - the artifact line is written ONCE, not twice (the second write
+    *    triplicated the line in file captures and garbled an
+    *    interactive prompt twice over);
+    *  - the wrapper-death poll compares the wrapper's /proc stat
+    *    STARTTIME against the value recorded at spawn, so a recycled
+    *    PID can never hold the child in the poll loop for its full
+    *    600 s bound — reuse reads as a starttime mismatch and the
+    *    write proceeds immediately (the held fd 4 still points at the
+    *    ORIGINAL wrapper's stdout target; PID reuse can't redirect it);
+    *  - `GRAFT_BENCH_NO_LATE_ECHO=1` disables the echo entirely for
+    *    interactive/manual runs. It stays ON by default because the
+    *    driver's capture — the artifact this mechanism exists for —
+    *    runs without the variable; an opt-IN default would regress
+    *    BENCH_r{N}.json to `"parsed": null`. */
+  val NoLateEchoEnv = "GRAFT_BENCH_NO_LATE_ECHO"
+
+  /** starttime (field 22) of /proc/<pid>/stat, "" where unavailable.
+    * Parsed from after the last ')' — the comm field may contain spaces
+    * — making starttime field 20 of the remainder. */
+  def procStartTime(pid: String): String =
+    try {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/proc/$pid/stat")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rest = stat.substring(stat.lastIndexOf(')') + 1).trim.split("\\s+")
+      if (rest.length >= 20) rest(19) else ""
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
   def scheduleLateEcho(line: String): Unit =
     try {
+      if (sys.env.get(NoLateEchoEnv).contains("1")) {
+        System.err.println(s"[bench] late echo disabled ($NoLateEchoEnv=1)")
+        return
+      }
       val wrapper = ProcessHandle.current().parent()
         .map[String](p => p.pid().toString).orElse("0")
       val script =
@@ -484,15 +538,22 @@ object Bench {
           "exec 4>>\"/proc/$GRAFT_BENCH_WRAP/fd/1\" 2>/dev/null; then M=proc; " +
           "else exec 4>&1; M=inherit; fi; " +
           "exec >/dev/null 2>/dev/null; " + // release sbt's pipe: it waits for EOF
+          // alive = same PID *and* same starttime (PID-reuse guard); with
+          // no recorded starttime, fall back to bare kill -0
+          "st() { s=$(cat \"/proc/$1/stat\" 2>/dev/null) || return 1; " +
+          "s=${s##*) }; set -- $s; echo \"${20}\"; }; " +
+          "alive() { if [ -n \"$GRAFT_BENCH_WRAP_START\" ]; then " +
+          "[ \"$(st \"$GRAFT_BENCH_WRAP\")\" = \"$GRAFT_BENCH_WRAP_START\" ]; " +
+          "else kill -0 \"$GRAFT_BENCH_WRAP\" 2>/dev/null; fi; }; " +
           "if [ \"$M\" = proc ]; then " +
-          "n=0; while [ $n -lt 1200 ] && kill -0 \"$GRAFT_BENCH_WRAP\" 2>/dev/null; " +
+          "n=0; while [ $n -lt 1200 ] && alive; " +
           "do sleep 0.5; n=$((n+1)); done; sleep 1; " +
           "else sleep 8; fi; " +
-          "printf '%s' \"$GRAFT_BENCH_LINE\" >&4; " +
-          "sleep 4; printf '%s' \"$GRAFT_BENCH_LINE\" >&4"
+          "printf '%s' \"$GRAFT_BENCH_LINE\" >&4"
       val pb = new ProcessBuilder("/bin/sh", "-c", script)
       pb.environment().put("GRAFT_BENCH_LINE", TailPad + line + "\n")
       pb.environment().put("GRAFT_BENCH_WRAP", wrapper)
+      pb.environment().put("GRAFT_BENCH_WRAP_START", procStartTime(wrapper))
       pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       pb.start()

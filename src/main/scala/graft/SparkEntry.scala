@@ -1409,10 +1409,15 @@ object SparkEntry {
     // per-document subword sums through the occurrence stream, then
     // q52's packing tail over those sums — tokenizer-budget packing
     // replayed end to end.
+    // tw keeps the Spark side's empty-word filter (r14 ADVICE: DuckDB's
+    // string_split yields '' for repeated/leading/trailing spaces, which
+    // Bpe.subwordCountsFor drops — without the WHERE, per-document sums
+    // would diverge on any text containing them)
     "q106_bpe_packing" -> (bpeBaseSql + "," +
       (1 to BpeIters).map(bpeTrainIterSql).mkString(",") + s""",
-      tw AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-           FROM documents),
+      tw AS MATERIALIZED (SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents) WHERE word <> ''),
       t0 AS MATERIALIZED (SELECT word,
              list_append(string_split(word, ''), '</w>') AS syms
            FROM (SELECT DISTINCT word FROM tw)),""" +
@@ -2616,7 +2621,9 @@ $minhashMinSelectSql
           FROM documents),
       s0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,
              list_append(string_split(word, ''), '</w>') AS syms
-           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM d WHERE b < 80)
+           FROM (SELECT word FROM (
+                   SELECT unnest(string_split(text, ' ')) AS word
+                   FROM d WHERE b < 80) WHERE word <> '')
            GROUP BY word)"""
 
   private lazy val bpeMergesSql: String =
@@ -2631,8 +2638,9 @@ $minhashMinSelectSql
   private lazy val bpeFertilitySql: String =
     bpeBaseSql + "," +
       (1 to BpeIters).map(bpeTrainIterSql).mkString(",") + s""",
-      tw AS MATERIALIZED (SELECT source, unnest(string_split(text, ' ')) AS word
-           FROM d WHERE b >= 90),
+      tw AS MATERIALIZED (SELECT source, word FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS word
+             FROM d WHERE b >= 90) WHERE word <> ''),
       t0 AS MATERIALIZED (SELECT word,
              list_append(string_split(word, ''), '</w>') AS syms
            FROM (SELECT DISTINCT word FROM tw)),""" +

@@ -397,10 +397,11 @@ object Similarity {
       writeIvfStore(emb(s, dir).select(col("vec_id"), col("embedding")), path)
       builtStores.add(path)
     }
-    def probe() = ivfProbeStore(s, path,
-      emb(s, dir).select(col("vec_id"), col("embedding")), k, nQueries, nProbe)
-    assertIvfProbePruned(s, path)(probe())
-    probe()
+    // the lint returns the frame it linted (r14 ADVICE): constructing the
+    // probe twice doubled the bounded probed-cell driver collect and its
+    // tracked cache on the first call per path
+    assertIvfProbePruned(s, path)(ivfProbeStore(s, path,
+      emb(s, dir).select(col("vec_id"), col("embedding")), k, nQueries, nProbe))
   }
 
   /** The probe-only query against a written IVF store: probe cells are
@@ -472,14 +473,21 @@ object Similarity {
     new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
 
   /** Require every scan of the store under `mkFrame`'s plan to carry a
-    * `cell` partition filter; memoized per (session, path). Plan-only —
-    * nothing executes. The frame is CONSTRUCTED and planned under
+    * `cell` partition filter; memoized per (session, path). Returns the
+    * frame it linted (r14 ADVICE: the caller would otherwise construct
+    * the probe a second time, re-running the bounded probed-cells
+    * driver collect and registering a second tracked cache), so the
+    * frame is built exactly once per call whether or not the lint runs.
+    * On the lint pass the frame is CONSTRUCTED and planned under
     * non-adaptive conf (the DedupIndex lint's reason: AQE wraps the
     * physical plan in an AdaptiveSparkPlanExec whose children are
-    * hidden from `collect`, which would make the lint vacuously green);
-    * confs are restored before returning. */
+    * hidden from `collect`, which would make the lint vacuously green)
+    * — its memoized QueryExecution then executes that same non-adaptive
+    * plan, which is exactly the shape the lint certified; confs are
+    * restored before returning. Already-linted paths get the normally
+    * (AQE-) planned frame untouched. */
   def assertIvfProbePruned(s: SparkSession, path: String)
-                          (mkFrame: => DataFrame): Unit = {
+                          (mkFrame: => DataFrame): DataFrame = {
     val seen = lintedStores.synchronized {
       var set = lintedStores.get(s)
       if (set == null) {
@@ -488,28 +496,33 @@ object Similarity {
       }
       set
     }
-    if (!seen.contains(path)) {
+    if (seen.contains(path)) mkFrame
+    else {
       val conf = "spark.sql.adaptive.enabled"
       val prev = s.conf.getOption(conf)
       s.conf.set(conf, "false")
-      try {
-        val plan = mkFrame.queryExecution.executedPlan
-        val scanned = plan.collect {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec
-              if f.relation.location.rootPaths
-                .exists(_.toString.contains(path)) => f
+      val frame =
+        try {
+          val f = mkFrame
+          val plan = f.queryExecution.executedPlan
+          val scanned = plan.collect {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec
+                if sc.relation.location.rootPaths
+                  .exists(_.toString.contains(path)) => sc
+          }
+          require(scanned.nonEmpty,
+            s"lint is vacuous: no scan of $path found in the probe plan")
+          val offending = ivfUnprunedStoreScans(plan, path)
+          require(offending.isEmpty,
+            s"IVF store scanned WITHOUT cell partition pruning " +
+              s"(${offending.size} scan(s)):\n" + offending.mkString("\n---\n"))
+          f
+        } finally prev match {
+          case Some(v) => s.conf.set(conf, v)
+          case None    => s.conf.unset(conf)
         }
-        require(scanned.nonEmpty,
-          s"lint is vacuous: no scan of $path found in the probe plan")
-        val offending = ivfUnprunedStoreScans(plan, path)
-        require(offending.isEmpty,
-          s"IVF store scanned WITHOUT cell partition pruning " +
-            s"(${offending.size} scan(s)):\n" + offending.mkString("\n---\n"))
-      } finally prev match {
-        case Some(v) => s.conf.set(conf, v)
-        case None    => s.conf.unset(conf)
-      }
       seen.add(path)
+      frame
     }
   }
 

@@ -357,28 +357,39 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(Bench.sfMismatchReason(None, "/root/testdata/sf0.1") === None)
   }
 
-  test("diverted runs still end with a parseable board of record (r13 #3)") {
+  test("diverted runs end with the FRESH run's numbers + nested committed board (r14 ADVICE)") {
     val committed = Bench.renderCompactJson(Seq(clean), 3, "/sf", cal = 4.96)
     val fresh = Bench.renderCompactJson(Seq(dirty), 3, "/sf", cal = 6.5)
     val reason = "4 suspect queries (>= 4): box was load-spiked mid-run"
-    // with a committed board: the final line IS that board + the reason
+    // the final line carries THIS run's own measurements under the
+    // normal keys — a consumer parsing the artifact attributes fresh
+    // numbers, never the stale board of record, to this run
     val line = Bench.divertedFinalLine(Some(committed + "\n"), fresh, reason)
     val j = JsonMethods.parse(line)
     assert((j \ "diverted_reason") === JString(reason))
-    val JDouble(q01) = (j \ "queries" \ "q01"): @unchecked
-    assert(q01 === 0.50) // the COMMITTED median, not the dirty run's
+    val JDouble(q42) = (j \ "queries" \ "q42"): @unchecked
+    assert(q42 === 0.72) // the FRESH median (dirty run's own)
+    assert((j \ "queries" \ "q01") === JNothing) // committed medians absent
     val JDouble(cal) = (j \ "cal"): @unchecked
-    assert(cal === 4.96) // the committed board's own cal rides along
-    // no committed board (first capture diverted): fall back to the
-    // fresh board so the artifact still carries numbers
+    assert(cal === 6.5) // the fresh run's own cal
+    // the board of record rides along NESTED — value + cal only, under
+    // a key no queries/value consumer ever reads
+    val JDouble(cv) = (j \ "committed_board" \ "value"): @unchecked
+    assert(cv === 0.5)
+    val JDouble(cc) = (j \ "committed_board" \ "cal"): @unchecked
+    assert(cc === 4.96)
+    // no committed board (first capture diverted): fresh board, reason
+    // attached, no committed_board key
     val j2 = JsonMethods.parse(Bench.divertedFinalLine(None, fresh, reason))
     assert((j2 \ "diverted_reason") === JString(reason))
-    val JDouble(q42) = (j2 \ "queries" \ "q42"): @unchecked
-    assert(q42 === 0.72)
-    // an unreadable/garbage committed file also falls back
+    val JDouble(q42b) = (j2 \ "queries" \ "q42"): @unchecked
+    assert(q42b === 0.72)
+    assert((j2 \ "committed_board") === JNothing)
+    // an unreadable/garbage committed file: fresh board still intact
     val j3 = JsonMethods.parse(
       Bench.divertedFinalLine(Some("not json"), fresh, reason))
     assert((j3 \ "queries" \ "q42") !== JNothing)
+    assert((j3 \ "committed_board") === JNothing)
     // reasons with JSON-hostile characters can't break the line
     val j4 = JsonMethods.parse(Bench.divertedFinalLine(Some(committed), fresh,
       "a \"quoted\" reason\nwith\\controls" + ("x" * 300)))

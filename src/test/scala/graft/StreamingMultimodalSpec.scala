@@ -658,6 +658,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       day1.size + day2.size + day3.size)
   }
 
+  test("shard append replay: a re-executed batch is a no-op (r14 ADVICE idempotence)") {
+    import graft.streaming.ShardAppend
+    import spark.implicits._
+    // Structured Streaming re-executes the LAST batch after a sink
+    // failure or restart; applyBatch must skip a batch id the store's
+    // marker already committed, or replay duplicates rows and breaks
+    // the mass-conservation invariant the twin spec pins.
+    val path = java.nio.file.Files.createTempDirectory("graft_shard_replay")
+      .resolve("store").toString
+    val b0 = Seq((1L, "alpha bravo"), (2L, "charlie delta")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "echo foxtrot"), (4L, "golf hotel")).toDF("doc_id", "text")
+    def storeRows() = spark.read.parquet(path)
+      .select(col("shard_id").cast("long"), col("seq_id"), col("doc_id"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(ShardAppend.committedBatch(path) === -1L) // no store, no marker
+    assert(ShardAppend.applyBatch(b0, 0L, path, 512L, 8L).isDefined)
+    assert(ShardAppend.committedBatch(path) === 0L)
+    assert(ShardAppend.applyBatch(b1, 1L, path, 512L, 8L).isDefined)
+    assert(ShardAppend.committedBatch(path) === 1L)
+    val afterB1 = storeRows()
+    assert(afterB1.size === 4)
+    // the replay: same batch id re-executed — skipped, store untouched
+    assert(ShardAppend.applyBatch(b1, 1L, path, 512L, 8L).isEmpty,
+      "replayed batch must be skipped")
+    assert(storeRows() === afterB1, "replay mutated the store")
+    // stale replay of an EARLIER batch (multi-batch restart window):
+    // also skipped
+    assert(ShardAppend.applyBatch(b0, 0L, path, 512L, 8L).isEmpty)
+    assert(storeRows() === afterB1)
+    // a genuinely NEW batch still applies and advances the marker
+    val b2 = Seq((5L, "india juliet")).toDF("doc_id", "text")
+    assert(ShardAppend.applyBatch(b2, 2L, path, 512L, 8L).isDefined)
+    assert(ShardAppend.committedBatch(path) === 2L)
+    assert(storeRows().size === 5)
+    graft.operators.Caches.release()
+  }
+
   test("streaming line dedup ≡ batch scrub under any chunking (q87 twin)") {
     import graft.streaming.LineDedup
     // sf0.01: boilerplate lines actually exist there (127 cross-doc
