@@ -225,6 +225,71 @@ object Bench {
     }
   }
 
+  /** Fifth guard (r14 VERDICT — the manual cal gate, promoted into
+    * code): the r14 capture log shows a cal-10.21 run (committed board's
+    * cal: 5.12) PASSING the median uniform-slowdown guard at 1.07× and
+    * being reverted by hand — a heavy-tail box degradation (per-job
+    * dispatch latency) inflates SMALL queries ~3× while leaving the big
+    * ones flat, so the median over a board dominated by big queries
+    * barely moves. The calibration workload measures the BOX directly,
+    * so compare it against the committed board's own cal: a run on a
+    * box ≥ [[CalRegressionRatio]]× slower than the one that captured
+    * the board of record must not replace it. Fails open with no
+    * committed cal (first capture, or a board predating the field) and
+    * on non-positive fresh cal (subset runs mark -1.0 and never reach
+    * the gate anyway). */
+  val CalRegressionRatio = 1.2
+
+  def calRegressionReason(committedCal: Option[Double],
+                          cal: Double): Option[String] =
+    committedCal.filter(c => c > 0.0 && cal > 0.0 &&
+        cal >= CalRegressionRatio * c)
+      .map(c => f"calibration $cal%.2f s vs the committed board's $c%.2f s " +
+        f"(>= ${CalRegressionRatio}%.1fx) — box slower than the capture of record")
+
+  /** Sixth guard (r14 VERDICT, same incident): the TAIL of the
+    * per-query ratio distribution, alongside the median. The heavy-tail
+    * signature — a minority of queries 3× slower, the rest flat — slips
+    * a median guard by construction; p90 of the ratios catches it (with
+    * ≥ [[UniformSlowdownMinShared]] shared queries, ≥10% of the board
+    * must be ≥ [[TailSlowdownRatio]]× slower to fire, far above clean
+    * jitter where the p90 ratio sits ~1.0–1.1). Same noise floor and
+    * fail-open rules as [[uniformSlowdownReason]]. */
+  val TailSlowdownRatio = 1.5
+
+  def tailSlowdownReason(committed: Map[String, Double],
+                         fresh: Map[String, Double]): Option[String] = {
+    val ratios = committed.toSeq.collect {
+      case (k, old) if old >= 0.1 && fresh.contains(k) => fresh(k) / old
+    }
+    if (ratios.size < UniformSlowdownMinShared) None
+    else {
+      val sorted = ratios.sorted.toVector
+      val p90 = sorted(math.ceil(0.9 * sorted.size).toInt - 1)
+      if (p90 >= TailSlowdownRatio)
+        Some(f"p90 per-query ratio $p90%.2fx vs the committed board " +
+          s"over ${ratios.size} shared queries — heavy-tail box slowdown " +
+          "(small queries inflated, median unmoved)")
+      else None
+    }
+  }
+
+  /** The committed compact board's calibration seconds, or None when
+    * the file is missing, unparseable, or predates the field. */
+  def committedBoardCal(path: String): Option[Double] =
+    try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      j \ "cal" match {
+        case JDouble(d) => Some(d)
+        case JDecimal(d) => Some(d.toDouble)
+        case JInt(i) => Some(i.toDouble)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The committed compact board's per-query medians, or empty when the
     * file is missing or unparseable (the guard fails open — a first
     * capture must be able to write the artifact). */
@@ -732,10 +797,12 @@ object Bench {
       }
     val finalLine: String = if (args.isEmpty) {
       // guards compose: pre-run load, suspect count, the sf match, then
-      // the post-run uniform-slowdown comparison against the artifact
-      // this run would replace (see [[uniformSlowdownReason]]); the
-      // sf-mismatch guard runs FIRST among the board comparisons so a
-      // different-scale run is never ratio-compared at all.
+      // the post-run board comparisons — uniform (median) slowdown,
+      // heavy-tail (p90) slowdown, and the cal-vs-committed-cal box
+      // check (see [[uniformSlowdownReason]], [[tailSlowdownReason]],
+      // [[calRegressionReason]]); the sf-mismatch guard runs FIRST
+      // among the board comparisons so a different-scale run is never
+      // ratio-compared at all.
       // BENCH_FORCE_COMMIT=1 bypasses all of them for deliberate
       // re-baselining (see [[ForceCommitEnv]]).
       val fresh = results.map(q => q.name.takeWhile(_ != '_') -> q.median).toMap
@@ -743,6 +810,9 @@ object Bench {
         .orElse(sfMismatchReason(committedBoardSf(compactPath), sfDir))
         .orElse(uniformSlowdownReason(
           committedBoardQueries(compactPath), fresh))
+        .orElse(tailSlowdownReason(
+          committedBoardQueries(compactPath), fresh))
+        .orElse(calRegressionReason(committedBoardCal(compactPath), cal))
       val force = sys.env.get(ForceCommitEnv).contains("1")
       gate match {
         case None => writeCompact(compactPath); compact

@@ -322,6 +322,62 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(Bench.uniformSlowdownReason(Map.empty, committed) === None)
   }
 
+  test("heavy-tail guard: the r14 cal-10.21 signature fails p90 though the median passes") {
+    // the incident the guard codifies (r14 SCALE.md capture log): a
+    // degraded box inflates the SMALL queries ~3x and leaves the big
+    // ones flat — the median over a big-query-dominated board reads
+    // 1.07x (passes the 1.15x uniform guard), and the dirty board was
+    // reverted BY HAND. 20 shared queries: 15 big flat + 5 small 3x.
+    val committed = (1 to 15).map(i => s"b$i" -> 2.0).toMap ++
+      (1 to 5).map(i => s"s$i" -> 0.3).toMap
+    val heavyTail = (1 to 15).map(i => s"b$i" -> 2.0).toMap ++
+      (1 to 5).map(i => s"s$i" -> 0.9).toMap
+    assert(Bench.uniformSlowdownReason(committed, heavyTail) === None,
+      "fixture must PASS the median guard — that is the incident")
+    val r = Bench.tailSlowdownReason(committed, heavyTail)
+    assert(r.isDefined && r.get.contains("p90"), s"p90 guard missed: $r")
+    // a clean board (uniform ~1.05x jitter) passes the tail guard
+    assert(Bench.tailSlowdownReason(
+      committed, committed.view.mapValues(_ * 1.05).toMap) === None)
+    // a single 3x outlier (localized engine regression, 5% of the
+    // board) stays below p90 and must reach the committed artifact
+    assert(Bench.tailSlowdownReason(
+      committed, committed.updated("b7", 6.0)) === None)
+    // fail open below the min-shared floor
+    assert(Bench.tailSlowdownReason(
+      Map("q1" -> 1.0), Map("q1" -> 3.0)) === None)
+  }
+
+  test("cal guard: a run on a >=1.2x-slower box than the capture of record diverts") {
+    // r14's incident cal: committed 5.12, degraded run 10.21 — divert
+    assert(Bench.calRegressionReason(Some(5.12), 10.21).isDefined)
+    // comparable box (the r13->r14 4.96 -> 5.12 drift): commit
+    assert(Bench.calRegressionReason(Some(4.96), 5.12) === None)
+    // exactly at the ratio: divert (>=)
+    assert(Bench.calRegressionReason(Some(5.0), 6.0).isDefined)
+    // faster box: commit
+    assert(Bench.calRegressionReason(Some(5.0), 4.0) === None)
+    // fail open: no committed cal (first capture / pre-field board),
+    // uncalibrated fresh run, nonsense committed value
+    assert(Bench.calRegressionReason(None, 10.0) === None)
+    assert(Bench.calRegressionReason(Some(5.0), -1.0) === None)
+    assert(Bench.calRegressionReason(Some(-1.0), 10.0) === None)
+  }
+
+  test("committedBoardCal parses the compact artifact's cal and fails open otherwise") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal")
+    val p = dir.resolve("bench_compact.json")
+    java.nio.file.Files.writeString(p,
+      """{"metric":"total","unit":"sec","queries":{"q01":0.5},""" +
+        """"cal":5.122,"sf":"/x","value":0.5}""")
+    assert(Bench.committedBoardCal(p.toString) === Some(5.122))
+    assert(Bench.committedBoardCal(dir.resolve("missing.json").toString) === None)
+    java.nio.file.Files.writeString(p, """{"queries":{"q01":0.5}}""")
+    assert(Bench.committedBoardCal(p.toString) === None)
+    java.nio.file.Files.writeString(p, "not json")
+    assert(Bench.committedBoardCal(p.toString) === None)
+  }
+
   test("committedBoardQueries parses the compact artifact and fails open otherwise") {
     val dir = java.nio.file.Files.createTempDirectory("graft_board")
     val p = dir.resolve("bench_compact.json")
