@@ -130,6 +130,7 @@ object SparkEntry {
     "q106_bpe_packing"      -> ((s: SparkSession, d: String) => Packing.packSequencesBpe(s, d, iters = BpeIters)),
     "q107_ann_ivf_indexed"  -> ((s: SparkSession, d: String) => Similarity.ivfIndexedTopK(s, d)),
     "q108_model_quota"      -> ((s: SparkSession, d: String) => Sampling.modelQuota(s, d)),
+    "q109_clean_bpe_shards" -> ((s: SparkSession, d: String) => Packing.writeCleanShardsBpe(s, d, iters = BpeIters)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1435,6 +1436,70 @@ object SparkEntry {
              count(*) AS n_docs,
              CAST(sum(nt) AS BIGINT) AS seq_tokens
       FROM ck GROUP BY 1 ORDER BY seq_id"""),
+
+    // q109: the LAST seam — q105's staged survivor chain (quality gate →
+    // exact-dedup keepers → near-dup cluster keepers, verbatim) composed
+    // with q106's BPE train chain and its apply chain re-aimed at the
+    // SURVIVOR word stream, per-document subword sums as the packing
+    // budget, then q103's shard-report replay. The Spark side reports
+    // from the parquet files the composed pipeline wrote and read back:
+    // a wrong survivor from any cleaning stage, a mis-segmented word, a
+    // wrong subword sum, or a dropped/misplaced/corrupted row on disk
+    // all break the per-shard content hash.
+    "q109_clean_bpe_shards" -> (
+      bpeBaseSql.replaceFirst("WITH ", "WITH RECURSIVE ") + "," +
+      (1 to BpeIters).map(bpeTrainIterSql).mkString(",") + s""",
+      qstats AS (
+        SELECT doc_id, text,
+               length(text)                                AS char_len,
+               len(string_split(text, ' '))                AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+        FROM documents),
+      qd AS (
+        SELECT doc_id, text FROM qstats
+        WHERE n_tokens BETWEEN 5 AND 500
+          AND CAST(n_uniq_tokens AS DOUBLE) / n_tokens > 0.2
+          AND CAST(char_len - (n_tokens - 1) AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0),
+      ek AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+      d2 AS (SELECT qd.doc_id, qd.text FROM qd JOIN ek USING (doc_id)),
+      ${ngramPairsCtesFrom("d2")},
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM d2
+        UNION
+        SELECT e.s, re.r FROM edges e JOIN reach re ON re.doc_id = e.t),
+      lab AS (SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id),
+      d3 AS (SELECT d2.doc_id, d2.text FROM d2
+             JOIN lab ON lab.doc_id = d2.doc_id AND lab.keeper_id = d2.doc_id),
+      tw AS MATERIALIZED (SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM d3) WHERE word <> ''),
+      t0 AS MATERIALIZED (SELECT word,
+             list_append(string_split(word, ''), '</w>') AS syms
+           FROM (SELECT DISTINCT word FROM tw)),""" +
+      (1 to BpeIters).map(bpeApplyIterSql).mkString(",") + s""",
+      dc AS (SELECT tw.doc_id,
+                    CAST(sum(len(t$BpeIters.syms)) AS BIGINT) AS nt
+             FROM tw JOIN t$BpeIters ON tw.word = t$BpeIters.word
+             GROUP BY tw.doc_id),
+      pq AS (SELECT d3.doc_id, md5(CAST(d3.doc_id AS VARCHAR)) AS ok,
+                    dc.nt, md5(d3.text) AS th
+             FROM d3 JOIN dc ON dc.doc_id = d3.doc_id),
+      cq AS (SELECT doc_id, ok, nt, th,
+                    sum(nt) OVER (ORDER BY ok, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM pq),
+      aq AS (SELECT doc_id, ok, nt, th,
+                    CAST((cum - nt) // 512 AS BIGINT) AS seq_id
+             FROM cq)
+      SELECT CAST(seq_id // 8 AS BIGINT) AS shard_id,
+             CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+             count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS shard_tokens,
+             md5(string_agg(seq_id || ':' || doc_id || ':' || th, ' '
+               ORDER BY ok, doc_id)) AS content_hash
+      FROM aq GROUP BY 1 ORDER BY shard_id"""),
 
     // Mirrors contaminationAudit: q30's winnowing fingerprint + q44's
     // hash-mod split rule, eval docs left-joined to distinct train

@@ -234,9 +234,21 @@ object Packing {
     * save mode. */
   private def writeShardRows(documents: DataFrame, budget: Long,
                              seqsPerShard: Long, seqBase: Long,
-                             path: String, mode: String): Unit = {
-    val counts = documents.select(col("doc_id"),
-      graft.functions.TextFunctions.tokenCount(col("text")).as("_nt"))
+                             path: String, mode: String): Unit =
+    writeShardRowsCounts(documents,
+      documents.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("_nt")),
+      budget, seqsPerShard, seqBase, path, mode)
+
+  /** [[writeShardRows]] with the BUDGET COLUMN injected: `counts` is any
+    * (doc_id, _nt) frame — whitespace token counts for q103/q104/q105,
+    * BPE subword counts for q109. The shard layout, sort contract, and
+    * write shape are byte-identical either way; only what a "token"
+    * means changes, which is exactly the tokenizer-budget seam. */
+  private def writeShardRowsCounts(documents: DataFrame, counts: DataFrame,
+                                   budget: Long, seqsPerShard: Long,
+                                   seqBase: Long, path: String,
+                                   mode: String): Unit = {
     val rows = packAssignments(counts, budget)
       .withColumn("seq_id", col("seq_id") + lit(seqBase))
       .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
@@ -266,6 +278,46 @@ object Packing {
                        seqsPerShard: Long = 8): DataFrame =
     writeShardsFor(Compose.survivors(s, dir), budget, seqsPerShard,
       defaultShardPath(dir) + "_clean")
+
+  // q109 — the LAST composition seam, closed: q105 ships CLEANED shards
+  // at whitespace budget; q106 packs the raw corpus by TOKENIZER
+  // budget; the artifact a pretraining run actually ships is both at
+  // once — the cleaning funnel's survivors, packed by what the MODEL
+  // will consume (BPE subwords under the frozen q90 merge table), on
+  // disk, reported from the files read back. One survivor frame feeds
+  // both the segmentation branch and the write's text join (a single
+  // plan tree, so the funnel's cached exact-dedup stage materializes
+  // once and serves both); the tokenizer-budget column rides in through
+  // [[writeShardRowsCounts]]'s injected-counts seam, so the shard
+  // layout/sort/write contract is q103's verbatim. The DuckDB oracle
+  // replays q105's staged survivor chain composed with q106's
+  // train+apply chain re-aimed at the survivors — a wrong survivor from
+  // ANY cleaning stage, a mis-segmented word, a wrong subword sum, or a
+  // dropped/corrupted row on disk all break the per-shard content hash.
+  // Scale shape: the funnel's stages + the q91-shaped
+  // segment-distinct-words-once join + the writer's three exchanges —
+  // nothing new beyond the two composed operators; the merge table
+  // re-learns from the q90 histogram exactly as q106 does (a deployment
+  // loads its frozen tokenizer artifact instead).
+  def writeCleanShardsBpe(s: SparkSession, dir: String, budget: Long = 512,
+                          seqsPerShard: Long = 8, iters: Int = 10): DataFrame = {
+    val surv = Compose.survivors(s, dir)
+    val counts = Bpe.subwordCountsFor(surv, Bpe.trainedMerges(s, dir, iters))
+    writeShardsCounts(surv, counts, budget, seqsPerShard,
+      defaultShardPath(dir) + "_cleanbpe")
+  }
+
+  /** [[writeShardsFor]] with an injected (doc_id, _nt) budget frame —
+    * the q109 entry point over any (documents, counts) pair. */
+  def writeShardsCounts(documents: DataFrame, counts: DataFrame,
+                        budget: Long, seqsPerShard: Long,
+                        path: String): DataFrame = {
+    require(budget > 0 && seqsPerShard > 0,
+      s"need budget > 0 and seqsPerShard > 0, got $budget / $seqsPerShard")
+    writeShardRowsCounts(documents, counts, budget, seqsPerShard,
+      seqBase = 0L, path = path, mode = "overwrite")
+    shardReport(documents.sparkSession.read.parquet(path))
+  }
 
   // q104 — INCREMENTAL shard append: the day-2 shape of q103 (the
   // q89/q92 steady-state pattern applied to the written artifact). A

@@ -449,6 +449,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rep1.map(_.toSeq).toSeq === rep2.map(_.toSeq).toSeq)
   }
 
+  test("clean BPE shards: subword budget drives the disk layout, ends pin to whitespace (q109)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.{Bpe, Packing}
+    val docs = Seq((1L, "ab cd ab"), (2L, "ef ab"), (3L, "cd cd gh"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_shards_bpe")
+    // SATURATING merge table (every corpus word fully merged): subword
+    // counts ≡ whitespace counts, so the written artifact must be
+    // report-identical to the whitespace shard writer's — the BpeSpec
+    // degenerate-end argument lifted to the files on disk
+    val sat = Seq(
+      Bpe.Merge(1, "a", "b", 0), Bpe.Merge(2, "c", "d", 0),
+      Bpe.Merge(3, "e", "f", 0), Bpe.Merge(4, "g", "h", 0),
+      Bpe.Merge(5, "ab", Bpe.EndMark, 0), Bpe.Merge(6, "cd", Bpe.EndMark, 0),
+      Bpe.Merge(7, "ef", Bpe.EndMark, 0), Bpe.Merge(8, "gh", Bpe.EndMark, 0))
+    val pSat = base.resolve("sat").toString
+    val repSat = Packing.writeShardsCounts(docs,
+      Bpe.subwordCountsFor(docs, sat), budget = 4, seqsPerShard = 2, pSat)
+      .collect().map(_.toSeq).toSeq
+    operators.Caches.release()
+    val pWs = base.resolve("ws").toString
+    val repWs = Packing.writeShardsFor(docs, budget = 4, seqsPerShard = 2, pWs)
+      .collect().map(_.toSeq).toSeq
+    operators.Caches.release()
+    assert(repSat === repWs && repSat.nonEmpty)
+    // EMPTY table (maximally-fragmented tokenizer): every word costs
+    // chars+1 — the budget column REALLY repacks the disk layout
+    val pEmpty = base.resolve("empty").toString
+    val repEmpty = Packing.writeShardsCounts(docs,
+      Bpe.subwordCountsFor(docs, Nil), budget = 4, seqsPerShard = 2, pEmpty)
+      .collect().map(_.toSeq).toSeq
+    operators.Caches.release()
+    // conservation in SUBWORD units (9 + 6 + 9), every doc present once
+    assert(repEmpty.map(_(3).asInstanceOf[Long]).sum === 24L)
+    assert(repEmpty.map(_(2).asInstanceOf[Long]).sum === 3L)
+    assert(repEmpty !== repWs)
+    // the rows on disk carry the INJECTED budget units: n_tokens is the
+    // subword count, not the whitespace count — what a training loader
+    // reading these shards will budget against
+    val onDisk = spark.read.parquet(pEmpty)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(onDisk === Map(1L -> 9L, 2L -> 6L, 3L -> 9L))
+  }
+
   test("shard append: day-1 files byte-untouched, delta in fresh shards, metadata-only max probe (q104)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
