@@ -131,6 +131,7 @@ object SparkEntry {
     "q107_ann_ivf_indexed"  -> ((s: SparkSession, d: String) => Similarity.ivfIndexedTopK(s, d)),
     "q108_model_quota"      -> ((s: SparkSession, d: String) => Sampling.modelQuota(s, d)),
     "q109_clean_bpe_shards" -> ((s: SparkSession, d: String) => Packing.writeCleanShardsBpe(s, d, iters = BpeIters)),
+    "q110_ann_ivf_ingest"   -> ((s: SparkSession, d: String) => Similarity.ivfIngestTopK(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1019,6 +1020,12 @@ object SparkEntry {
     // pruned physical shape is linted in-query
     // (Similarity.assertIvfProbePruned).
     "q107_ann_ivf_indexed" -> ivfSql(10, operators.Similarity.DefaultNProbe, 5),
+    // q110: the store GROWN BY INCREMENTAL INGEST (day-1 build + day-2
+    // append) holds exactly the full corpus with identical cell
+    // assignments — the quantizer is a pure function of the vector — so
+    // the oracle is again q38's SQL verbatim: a q110/q38 mismatch means
+    // the append dropped, duplicated, or mis-assigned a vector.
+    "q110_ann_ivf_ingest" -> ivfSql(10, operators.Similarity.DefaultNProbe, 5),
 
     "q32_grouped_ols" -> """
       SELECT l_returnflag,

@@ -292,6 +292,70 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("partition pruning"), err.getMessage)
   }
 
+  test("IVF ingest: day-1 bytes untouched, replay no-op, meta gates the store, verdicts ≡ full corpus (q110)") {
+    import org.apache.spark.sql.functions._
+    val S = operators.Similarity
+    val path = S.ivfStorePath(sf, "_incr")
+    // fresh lifecycle: remove any store a previous process left and
+    // forget the memos, so build → validate → ingest all really run
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    S.clearStoreMemo(); S.clearLintMemo()
+    val all = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val bucket = operators.Sampling.hashBucket(col("vec_id"), 10)
+    assert(all.filter(bucket >= 8).count() > 0, "day-2 delta must be non-empty")
+    // day 1: versioned build publishes store + meta atomically
+    S.ensureIvfStore(spark, sf, path)(all.filter(bucket < 8))
+    assert(S.storeMetaValid(path, sf), "fresh store must carry a valid meta")
+    def partFiles(): Map[String, (Long, String)] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("cell="))
+        .flatMap(_.listFiles()).filter(_.getName.startsWith("part-"))
+        .map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+          f.getAbsolutePath -> ((f.length(), h))
+        }.toMap
+    val day1Files = partFiles()
+    // day 2: append-only ingest — every day-1 file byte-identical,
+    // new files present, total row mass = the full corpus exactly once
+    S.ingestVectors(all.filter(bucket >= 8), sf, path, "day2")
+    val grown = partFiles()
+    day1Files.foreach { case (f, sig) =>
+      assert(grown.get(f).contains(sig), s"day-1 file changed by ingest: $f")
+    }
+    assert(grown.size > day1Files.size, "ingest added no files")
+    // replay of the SAME batch key (crash-and-retry): marker skips it
+    S.ingestVectors(all.filter(bucket >= 8), sf, path, "day2")
+    assert(partFiles() === grown, "replayed ingest mutated the store")
+    val stored = spark.read.parquet(path).select(col("vec_id"))
+    assert(stored.count() === all.count(), "row mass after ingest+replay")
+    assert(stored.distinct().count() === all.count(), "duplicated vec_ids")
+    // cross-process steady state: a fresh JVM (memo cleared) re-opens
+    // the store via the meta check — no rebuild, files untouched
+    S.clearStoreMemo()
+    S.ensureIvfStore(spark, sf, path)(
+      sys.error("steady-state open must not rebuild"): org.apache.spark.sql.DataFrame)
+    assert(partFiles() === grown, "steady-state open rewrote the store")
+    // a corrupted meta fails validation and forces a rebuild
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_ivf_meta"), "stale-version /elsewhere\n")
+    assert(!S.storeMetaValid(path, sf), "corrupt meta must not validate")
+    S.clearStoreMemo()
+    S.ensureIvfStore(spark, sf, path)(all.filter(bucket < 8))
+    assert(S.storeMetaValid(path, sf), "rebuild must restore a valid meta")
+    // rebuilt day-1-only store lost the delta (as it must: the rebuild
+    // corpus was day 1) — re-ingest lands it again, then the declared
+    // query's verdicts equal the in-query full-corpus form
+    S.clearLintMemo()
+    val viaIngest = S.ivfIngestTopK(spark, sf).collect().map(_.toSeq).toSeq
+    operators.Caches.release()
+    val inQuery = S.ivfTopKFor(spark, all).collect().map(_.toSeq).toSeq
+    operators.Caches.release()
+    assert(viaIngest === inQuery && viaIngest.nonEmpty,
+      "grown-store verdicts drifted from the in-query full-corpus form")
+  }
+
   test("dedup clusters: valid connected-components labeling of the pair graph") {
     import org.apache.spark.sql.functions._
     val pairs = operators.Dedup.ngramJaccardPairsCapped(spark, sf)
