@@ -132,6 +132,8 @@ object SparkEntry {
     "q108_model_quota"      -> ((s: SparkSession, d: String) => Sampling.modelQuota(s, d)),
     "q109_clean_bpe_shards" -> ((s: SparkSession, d: String) => Packing.writeCleanShardsBpe(s, d, iters = BpeIters)),
     "q110_ann_ivf_ingest"   -> ((s: SparkSession, d: String) => Similarity.ivfIngestTopK(s, d)),
+    "q111_margin_shards"    -> ((s: SparkSession, d: String) => Packing.writeMarginShards(s, d)),
+    "q112_margin_funnel"    -> ((s: SparkSession, d: String) => Compose.marginFunnel(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1507,6 +1509,83 @@ object SparkEntry {
              md5(string_agg(seq_id || ':' || doc_id || ':' || th, ' '
                ORDER BY ok, doc_id)) AS content_hash
       FROM aq GROUP BY 1 ORDER BY shard_id"""),
+
+    // q111: q105's staged chain with the FIRST CTE predicate swapped to
+    // the frozen model's margin (the q108 literal fold, thresholded at
+    // the checked-in MarginTau) — the CCNet-shaped pipeline replayed to
+    // disk. Stages 2-3 and the packing tail are q105's verbatim.
+    "q111_margin_shards" -> s"""
+      WITH RECURSIVE
+      mstats AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tk
+                 FROM documents),
+      qd AS (SELECT doc_id, text FROM mstats
+             WHERE $qualityMarginSql > (${operators.QualityCoefficients.MarginTau})::DOUBLE),
+      ek AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+      d2 AS (SELECT qd.doc_id, qd.text FROM qd JOIN ek USING (doc_id)),
+      ${ngramPairsCtesFrom("d2")},
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM d2
+        UNION
+        SELECT e.s, re.r FROM edges e JOIN reach re ON re.doc_id = e.t),
+      lab AS (SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id),
+      d3 AS (SELECT d2.doc_id, d2.text FROM d2
+             JOIN lab ON lab.doc_id = d2.doc_id AND lab.keeper_id = d2.doc_id),
+      p AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ok,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                   md5(text) AS th
+            FROM d3),
+      c AS (SELECT doc_id, ok, nt, th,
+                   sum(nt) OVER (ORDER BY ok, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM p),
+      a AS (SELECT doc_id, ok, nt, th,
+                   CAST((cum - nt) // 512 AS BIGINT) AS seq_id
+            FROM c)
+      SELECT CAST(seq_id // 8 AS BIGINT) AS shard_id,
+             CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+             count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS shard_tokens,
+             md5(string_agg(seq_id || ':' || doc_id || ':' || th, ' '
+               ORDER BY ok, doc_id)) AS content_hash
+      FROM a GROUP BY 1 ORDER BY shard_id""",
+
+    // q112: q97's funnel replay with the margin gate as stage 1 — the
+    // per-stage attrition accounting of the model-gated pipeline.
+    "q112_margin_funnel" -> s"""
+      WITH RECURSIVE
+      mstats AS (SELECT doc_id, text,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                        string_split(lower(text), ' ') AS tk
+                 FROM documents),
+      qd AS (SELECT doc_id, text, n_tokens FROM mstats
+             WHERE $qualityMarginSql > (${operators.QualityCoefficients.MarginTau})::DOUBLE),
+      ek AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+      d2 AS (SELECT qd.doc_id, qd.text, qd.n_tokens FROM qd JOIN ek USING (doc_id)),
+      ${ngramPairsCtesFrom("d2")},
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM d2
+        UNION
+        SELECT e.s, re.r FROM edges e JOIN reach re ON re.doc_id = e.t),
+      lab AS (SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id),
+      d3 AS (SELECT d2.doc_id, d2.n_tokens FROM d2
+             JOIN lab ON lab.doc_id = d2.doc_id AND lab.keeper_id = d2.doc_id)
+      SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             coalesce(CAST(sum(n_tokens) AS BIGINT), 0) AS n_tokens FROM mstats
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'margin_gate', CAST(count(*) AS BIGINT),
+             coalesce(CAST(sum(n_tokens) AS BIGINT), 0) FROM qd
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'exact_dedup', CAST(count(*) AS BIGINT),
+             coalesce(CAST(sum(n_tokens) AS BIGINT), 0) FROM d2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'near_dedup', CAST(count(*) AS BIGINT),
+             coalesce(CAST(sum(n_tokens) AS BIGINT), 0) FROM d3
+      ORDER BY stage""",
 
     // Mirrors contaminationAudit: q30's winnowing fingerprint + q44's
     // hash-mod split rule, eval docs left-joined to distinct train

@@ -107,6 +107,52 @@ object Compose {
                               keepText: Boolean = true): DataFrame =
     stagedTokFor(documents, threshold, maxDocFreq, keepText)._4
 
+  // q111/q112 — the CCNet-shaped pipeline: stage 1 swaps the heuristic
+  // stats gate for the FROZEN MODEL's margin ([[Sampling.modelMargin]]
+  // over the checked-in QualityCoefficients artifact, thresholded at
+  // the model's own decision boundary MarginTau — the gate a real
+  // curation run ships once it has a trained quality classifier), then
+  // the identical exact-dedup → near-dedup tail ([[stagedTail]] —
+  // single-sourced, so the two pipeline families can never drift in
+  // stages 2–3). Stage-1 cost is unchanged in shape: a pure per-row
+  // predicate (|vocab| filter-folds over the broadcast literals) fused
+  // into the one corpus scan.
+
+  /** The margin-gated pipeline's surviving (doc_id, text) corpus —
+    * q111 writes it as shards. */
+  def marginSurvivors(s: SparkSession, dir: String,
+                      threshold: Double = 0.5,
+                      maxDocFreq: Long = 100): DataFrame =
+    marginStagedTokFor(
+      Tables.spreadTable(s, dir, "documents", col("doc_id")),
+      threshold, maxDocFreq)._4
+      .select(col("doc_id"), col("text"))
+
+  /** q112 — the margin pipeline's attrition funnel (q97's shape with
+    * the margin stage): one row per cumulative stage — raw,
+    * margin_gate, exact_dedup, near_dedup — with surviving doc and
+    * token counts. */
+  def marginFunnel(s: SparkSession, dir: String,
+                   threshold: Double = 0.5,
+                   maxDocFreq: Long = 100): DataFrame = {
+    val (base, q, d2, s3) = marginStagedTokFor(
+      Tables.spreadTable(s, dir, "documents", col("doc_id")),
+      threshold, maxDocFreq, keepText = false)
+    funnelRows(base, q, d2, s3, "margin_gate")
+  }
+
+  private def marginStagedTokFor(documents: DataFrame,
+                                 threshold: Double = 0.5,
+                                 maxDocFreq: Long = 100,
+                                 keepText: Boolean = true)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = withTokens(documents)
+    stagedTail(base,
+      base.filter(Sampling.modelMargin(col("text")) >
+        lit(QualityCoefficients.MarginTau)),
+      threshold, maxDocFreq, keepText)
+  }
+
   // q97 — pipeline ATTRITION FUNNEL: the per-stage survivor accounting
   // every curation run publishes next to its cleaned shards (where did
   // the corpus go — quality gate, exact dedup, or near dedup?). One row
@@ -132,13 +178,21 @@ object Compose {
                         maxDocFreq: Long = 100): DataFrame = {
     val (base, q, d2, s3) = stagedTokFor(documents, threshold, maxDocFreq,
       keepText = false)
+    funnelRows(base, q, d2, s3, "quality")
+  }
+
+  /** The 4-row attrition report over the staged frames — shared by the
+    * heuristic funnel (q97) and the margin funnel (q112), which differ
+    * only in the stage-1 gate and its name. */
+  private def funnelRows(base: DataFrame, q: DataFrame, d2: DataFrame,
+                         s3: DataFrame, stage1Name: String): DataFrame = {
     def stageRow(df: DataFrame, stage: Long, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(size(col("_t")).cast("long")), lit(0L)).as("n_tokens"))
         .select(lit(stage).as("stage"), lit(name).as("stage_name"),
           col("n_docs"), col("n_tokens"))
     stageRow(base, 0L, "raw")
-      .unionByName(stageRow(q, 1L, "quality"))
+      .unionByName(stageRow(q, 1L, stage1Name))
       .unionByName(stageRow(d2, 2L, "exact_dedup"))
       .unionByName(stageRow(s3, 3L, "near_dedup"))
       .orderBy(col("stage"))
@@ -153,10 +207,7 @@ object Compose {
                            maxDocFreq: Long = 100,
                            keepText: Boolean = true)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val base = documents
-      .select(col("doc_id"), col("text"),
-        graft.functions.TextFunctions.tokens(col("text")).as("_t"))
+    val base = withTokens(documents)
     // stage 1 — quality gate (q24 semantics), fused into the scan. The
     // stats are the SAME expressions qualityScoreFor derives, computed
     // from the shared token array instead of re-splitting text.
@@ -164,7 +215,24 @@ object Compose {
     val meanTokenLen =
       (length(col("text")).cast("long") - (nTokens - lit(1L))).cast("double") / nTokens
     val uniqRatio = size(array_distinct(col("_t"))).cast("double") / nTokens
-    val q = base.filter(TextOps.qualityOk(nTokens, uniqRatio, meanTokenLen))
+    stagedTail(base,
+      base.filter(TextOps.qualityOk(nTokens, uniqRatio, meanTokenLen)),
+      threshold, maxDocFreq, keepText)
+  }
+
+  /** The (doc_id, text, _t) base frame — split runs once here. */
+  private def withTokens(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"),
+      graft.functions.TextFunctions.tokens(col("text")).as("_t"))
+
+  /** Stages 2–3 over ANY stage-1 survivor frame `q` — single-sourced
+    * for the heuristic (q62/q97/q105) and margin (q111/q112) pipeline
+    * families. */
+  private def stagedTail(base: DataFrame, q: DataFrame,
+                         threshold: Double, maxDocFreq: Long,
+                         keepText: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     // stage 2 — exact dedup (q25's keeper rule): min doc_id per content
     // hash via a window over the hash shuffle — no second scan, no join
     val d2 = Caches.track(

@@ -279,6 +279,20 @@ object Packing {
     writeShardsFor(Compose.survivors(s, dir), budget, seqsPerShard,
       defaultShardPath(dir) + "_clean")
 
+  // q111 — the MODEL-GATED cleaned-shard artifact: q105 with stage 1
+  // swapped from the heuristic stats gate to the frozen classifier's
+  // margin ([[Compose.marginSurvivors]] — the CCNet-shaped pipeline a
+  // curation run ships once it has a trained quality model: model gate
+  // → exact dedup → near dedup → shards on disk). Same writer, same
+  // oracle technique: the DuckDB replay's FIRST CTE predicate is the
+  // q108 literal margin fold thresholded at the checked-in MarginTau,
+  // so a green row certifies the model gate's survivor set through to
+  // the physical artifact.
+  def writeMarginShards(s: SparkSession, dir: String, budget: Long = 512,
+                        seqsPerShard: Long = 8): DataFrame =
+    writeShardsFor(Compose.marginSurvivors(s, dir), budget, seqsPerShard,
+      defaultShardPath(dir) + "_cleanmargin")
+
   // q109 — the LAST composition seam, closed: q105 ships CLEANED shards
   // at whitespace budget; q106 packs the raw corpus by TOKENIZER
   // budget; the artifact a pretraining run actually ships is both at

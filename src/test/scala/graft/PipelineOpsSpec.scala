@@ -513,6 +513,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rep1.map(_.toSeq).toSeq === rep2.map(_.toSeq).toSeq)
   }
 
+  test("margin pipeline: model gate is selective and distinct from the heuristic, funnel consistent (q111/q112)") {
+    import org.apache.spark.sql.functions._
+    val f = operators.Compose.marginFunnel(spark, sf).collect()
+    operators.Caches.release()
+    assert(f.map(_.getString(1)).toSeq ===
+      Seq("raw", "margin_gate", "exact_dedup", "near_dedup"))
+    val docs = f.map(_.getLong(2))
+    val toks = f.map(_.getLong(3))
+    // cumulative stages only ever shrink the corpus
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a }, docs.toSeq)
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a }, toks.toSeq)
+    // the model gate is a real decision boundary: keeps some, drops some
+    assert(docs(1) > 0 && docs(1) < docs(0),
+      s"margin gate degenerate: ${docs(1)} of ${docs(0)}")
+    // and it is NOT the heuristic gate wearing a new name (on this
+    // corpus the q24 heuristic keeps everything; the model does not)
+    val h = operators.Compose.pipelineFunnel(spark, sf).collect()
+    operators.Caches.release()
+    assert(docs(1) !== h(1).getLong(2),
+      "margin stage equals the heuristic stage — vacuous swap")
+    // every shipped survivor really clears the checked-in threshold
+    val surv = operators.Compose.marginSurvivors(spark, sf)
+    val below = surv.filter(operators.Sampling.modelMargin(col("text")) <=
+      operators.QualityCoefficients.MarginTau).count()
+    operators.Caches.release()
+    assert(below === 0L, s"$below survivors at or below MarginTau")
+    // the funnel's last stage counts exactly the survivor corpus
+    val ns = operators.Compose.marginSurvivors(spark, sf).count()
+    operators.Caches.release()
+    assert(ns === docs(3))
+  }
+
   test("clean BPE shards: subword budget drives the disk layout, ends pin to whitespace (q109)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
