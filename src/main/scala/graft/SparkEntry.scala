@@ -134,6 +134,7 @@ object SparkEntry {
     "q110_ann_ivf_ingest"   -> ((s: SparkSession, d: String) => Similarity.ivfIngestTopK(s, d)),
     "q111_margin_shards"    -> ((s: SparkSession, d: String) => Packing.writeMarginShards(s, d)),
     "q112_margin_funnel"    -> ((s: SparkSession, d: String) => Compose.marginFunnel(s, d)),
+    "q113_clean_report"     -> ((s: SparkSession, d: String) => Packing.cleanShardsReport(s, d)),
   )
 
   /** Queries intentionally shipped WITHOUT an oracle (non-SQL-expressible
@@ -1369,49 +1370,14 @@ object SparkEntry {
     // end-to-end: a wrong survivor handed over by ANY stage, a dropped
     // or misplaced row, or corrupted text payload all break the
     // per-shard content hash.
-    "q105_clean_shards" -> s"""
-      WITH RECURSIVE
-      qstats AS (
-        SELECT doc_id, text,
-               length(text)                                AS char_len,
-               len(string_split(text, ' '))                AS n_tokens,
-               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
-        FROM documents),
-      qd AS (
-        SELECT doc_id, text FROM qstats
-        WHERE n_tokens BETWEEN 5 AND 500
-          AND CAST(n_uniq_tokens AS DOUBLE) / n_tokens > 0.2
-          AND CAST(char_len - (n_tokens - 1) AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0),
-      ek AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
-      d2 AS (SELECT qd.doc_id, qd.text FROM qd JOIN ek USING (doc_id)),
-      ${ngramPairsCtesFrom("d2")},
-      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
-                UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
-      reach(doc_id, r) AS (
-        SELECT doc_id, doc_id FROM d2
-        UNION
-        SELECT e.s, re.r FROM edges e JOIN reach re ON re.doc_id = e.t),
-      lab AS (SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id),
-      d3 AS (SELECT d2.doc_id, d2.text FROM d2
-             JOIN lab ON lab.doc_id = d2.doc_id AND lab.keeper_id = d2.doc_id),
-      p AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ok,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
-                   md5(text) AS th
-            FROM d3),
-      c AS (SELECT doc_id, ok, nt, th,
-                   sum(nt) OVER (ORDER BY ok, doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-            FROM p),
-      a AS (SELECT doc_id, ok, nt, th,
-                   CAST((cum - nt) // 512 AS BIGINT) AS seq_id
-            FROM c)
-      SELECT CAST(seq_id // 8 AS BIGINT) AS shard_id,
-             CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
-             count(*) AS n_docs,
-             CAST(sum(nt) AS BIGINT) AS shard_tokens,
-             md5(string_agg(seq_id || ':' || doc_id || ':' || th, ' '
-               ORDER BY ok, doc_id)) AS content_hash
-      FROM a GROUP BY 1 ORDER BY shard_id""",
+    "q105_clean_shards" -> cleanShardsSql,
+
+    // q113: the SAME replay — the steady-state report is a pure
+    // function of the store, and the store is a pure function of the
+    // corpus, so serving the report from a memoized build must produce
+    // exactly the build-inclusive q105 rows. A q113/q105 divergence
+    // means the stored artifact drifted from what a fresh build writes.
+    "q113_clean_report" -> cleanShardsSql,
 
     // q106: the q90 train chain unrolled (10 iterations over the TRAIN
     // split histogram), the learned rules applied to every DISTINCT
@@ -2763,6 +2729,59 @@ $minhashMinSelectSql
         LEFT JOIN tmk$n k0 ON k0.word = p.word AND k0.i = p.i - 1
         GROUP BY p.word)"""
   }
+
+  /** q105/q113 shared oracle: q62's staged CTE chain (quality gate →
+    * exact-dedup keepers → near-dup cluster keepers — verbatim, the q97
+    * prefix) composed with q103's packing replay over the survivor set
+    * d3. Both consumers report from parquet files written and read
+    * back (q105 build-inclusive, q113 from the memoized steady-state
+    * store), so a green row certifies the cleaned artifact end-to-end:
+    * a wrong survivor handed over by ANY stage, a dropped or misplaced
+    * row, or corrupted text payload all break the per-shard content
+    * hash. */
+  private lazy val cleanShardsSql: String = s"""
+      WITH RECURSIVE
+      qstats AS (
+        SELECT doc_id, text,
+               length(text)                                AS char_len,
+               len(string_split(text, ' '))                AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+        FROM documents),
+      qd AS (
+        SELECT doc_id, text FROM qstats
+        WHERE n_tokens BETWEEN 5 AND 500
+          AND CAST(n_uniq_tokens AS DOUBLE) / n_tokens > 0.2
+          AND CAST(char_len - (n_tokens - 1) AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0),
+      ek AS (SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+      d2 AS (SELECT qd.doc_id, qd.text FROM qd JOIN ek USING (doc_id)),
+      ${ngramPairsCtesFrom("d2")},
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM d2
+        UNION
+        SELECT e.s, re.r FROM edges e JOIN reach re ON re.doc_id = e.t),
+      lab AS (SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id),
+      d3 AS (SELECT d2.doc_id, d2.text FROM d2
+             JOIN lab ON lab.doc_id = d2.doc_id AND lab.keeper_id = d2.doc_id),
+      p AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ok,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                   md5(text) AS th
+            FROM d3),
+      c AS (SELECT doc_id, ok, nt, th,
+                   sum(nt) OVER (ORDER BY ok, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM p),
+      a AS (SELECT doc_id, ok, nt, th,
+                   CAST((cum - nt) // 512 AS BIGINT) AS seq_id
+            FROM c)
+      SELECT CAST(seq_id // 8 AS BIGINT) AS shard_id,
+             CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+             count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS shard_tokens,
+             md5(string_agg(seq_id || ':' || doc_id || ':' || th, ' '
+               ORDER BY ok, doc_id)) AS content_hash
+      FROM a GROUP BY 1 ORDER BY shard_id"""
 
   /** Shared q90/q91 prefix: the q82-family split buckets and the
     * TRAIN-split word histogram as initial BPE state. */

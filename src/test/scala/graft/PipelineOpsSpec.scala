@@ -591,6 +591,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(onDisk === Map(1L -> 9L, 2L -> 6L, 3L -> 9L))
   }
 
+  test("clean-shard steady state: serve-only reps reproduce the build-inclusive rows, files untouched (q113)") {
+    // the build-inclusive q105 rows are the ground truth the memoized
+    // steady-state path must keep serving
+    val want = operators.Packing.writeCleanShards(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    operators.Caches.release()
+    operators.Packing.clearCleanStoreMemo()
+    val first = operators.Packing.cleanShardsReport(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    operators.Caches.release()
+    assert(first === want, "steady-state build drifted from q105's artifact")
+    // the second call is a pure serve: same rows, zero writes
+    val path = operators.Packing.defaultShardPath(sf) + "_cleanss"
+    def fileSig(): Map[String, Long] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("shard_id="))
+        .flatMap(_.listFiles()).filter(_.getName.startsWith("part-"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    val before = fileSig()
+    val second = operators.Packing.cleanShardsReport(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    operators.Caches.release()
+    assert(second === want)
+    assert(fileSig() === before, "serve-only rep rewrote the clean store")
+  }
+
   test("shard append: day-1 files byte-untouched, delta in fresh shards, metadata-only max probe (q104)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
