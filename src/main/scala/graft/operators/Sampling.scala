@@ -422,12 +422,21 @@ object Sampling {
 
   /** Core of q108 over any (doc_id, source, text) frame. */
   def modelQuotaFor(documents: DataFrame, k: Int = 10,
-                    salts: Int = QuotaSalts): DataFrame = {
-    require(k > 0 && salts > 0, s"need k > 0 and salts > 0, got k=$k salts=$salts")
-    val d = Caches.track(documents.select(
+                    salts: Int = QuotaSalts): DataFrame =
+    modelQuotaScored(documents.select(
       col("doc_id"), col("source"),
       graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
-      modelMargin(col("text")).as("margin")))
+      modelMargin(col("text")).as("margin")), k, salts)
+
+  /** The quota report over an ALREADY-SCORED (doc_id, source, n_tokens,
+    * margin) frame — split from [[modelQuotaFor]] so the streaming twin
+    * (which scores per trigger into a store and reports from the
+    * accumulated store) and the batch query (which scores in-plan)
+    * share the selection tail verbatim. */
+  def modelQuotaScored(scored: DataFrame, k: Int = 10,
+                       salts: Int = QuotaSalts): DataFrame = {
+    require(k > 0 && salts > 0, s"need k > 0 and salts > 0, got k=$k salts=$salts")
+    val d = Caches.track(scored)
     val kept = saltedTopK(d, col("source"), col("doc_id"),
       Seq(col("margin").desc, col("doc_id")), k, salts)
     d.groupBy(col("source"))

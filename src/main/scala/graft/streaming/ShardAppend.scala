@@ -103,8 +103,10 @@ object ShardAppend {
 
   /** Atomically persist `batchId` as the store's committed high-water
     * mark (temp file + ATOMIC_MOVE in the same directory — a reader
-    * sees the old marker or the new one, never a torn write). */
-  private def commitBatch(path: String, batchId: Long): Unit = {
+    * sees the old marker or the new one, never a torn write).
+    * Package-visible: [[QuotaScore]] reuses the same marker protocol
+    * for its scored store. */
+  private[streaming] def commitBatch(path: String, batchId: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Paths.get(path)
     val tmp = dir.resolve(

@@ -658,6 +658,65 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       day1.size + day2.size + day3.size)
   }
 
+  test("streaming model quota: chunked replay ≡ the declared q108 rows (zero keyed state, 20th twin)") {
+    import graft.streaming.QuotaScore
+    val sfQ = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sfQ, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 3)
+    def chunk(i: Int): Seq[(Long, String, String)] =
+      docs.filter(bucket === i).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val chunks = (0 until 3).map(chunk)
+    assert(chunks.forall(_.nonEmpty), "every chunk must carry docs")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val path = java.nio.file.Files.createTempDirectory("graft_quota_stream")
+      .resolve("store").toString
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Seq[Any]])]
+    val q = QuotaScore.start(
+      ms.toDF().toDF("doc_id", "source", "text"), path, k = 10, salts = 8,
+      (rows, id) => reports.synchronized {
+        reports += ((id, rows.collect().toSeq.map(_.toSeq)))
+      })
+    try {
+      chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    graft.operators.Caches.release()
+    assert(reports.size === 3, s"expected 3 per-trigger reports, got ${reports.size}")
+    // zero keyed state: scoring is stateless per-row and the scored
+    // store is the only accumulated state — no state operators
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty,
+      s"unexpected keyed state: ${q.lastProgress.stateOperators.mkString(",")}")
+    // the LAST trigger's report — computed from the accumulated store —
+    // equals the DECLARED q108 rows over the same corpus: the duality
+    val want = graft.operators.Sampling.modelQuota(spark, sfQ)
+      .collect().toSeq.map(_.toSeq)
+    graft.operators.Caches.release()
+    assert(reports.last._2 === want,
+      "streamed quota drifted from the declared q108 rows")
+    // intermediate triggers are the quota of their PREFIX corpus — the
+    // per-source doc mass must be non-decreasing across triggers
+    val perTrigger: Seq[Map[Any, Long]] = reports.toSeq.map(
+      _._2.map(r => r.head -> r(1).asInstanceOf[Long]).toMap)
+    perTrigger.iterator.sliding(2).withPartial(false).foreach { w =>
+      val (a, b) = (w.head, w.last)
+      a.foreach { case (src, n) =>
+        assert(b(src) >= n, s"source $src doc mass shrank across triggers")
+      }
+    }
+    // replay: re-applying the last chunk's batch id is a no-op
+    import spark.implicits._
+    val replay = chunks(2).toDF("doc_id", "source", "text")
+    assert(QuotaScore.applyBatch(replay, 2L, path, 10, 8).isEmpty,
+      "replayed batch must be skipped")
+    val after = QuotaScore.report(spark, path, 10, 8).collect().toSeq.map(_.toSeq)
+    graft.operators.Caches.release()
+    assert(after === want, "replay changed the stored quota")
+  }
+
   test("shard append replay: a re-executed batch is a no-op (r14 ADVICE idempotence)") {
     import graft.streaming.ShardAppend
     import spark.implicits._
