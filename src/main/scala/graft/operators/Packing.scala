@@ -276,8 +276,13 @@ object Packing {
   // — nothing new beyond the two composed operators.
   def writeCleanShards(s: SparkSession, dir: String, budget: Long = 512,
                        seqsPerShard: Long = 8): DataFrame =
-    writeShardsFor(Compose.survivors(s, dir), budget, seqsPerShard,
-      defaultShardPath(dir) + "_clean")
+    // stage-boundary pin (r15): the writer consumes the survivor frame
+    // twice (token counts + text join), and each un-pinned pass re-ran
+    // the funnel's pair-subgraph anti-join — one eager localCheckpoint
+    // of the cleaned (doc_id, text) rows serves both
+    writeShardsFor(
+      Caches.register(Compose.survivors(s, dir).localCheckpoint()),
+      budget, seqsPerShard, defaultShardPath(dir) + "_clean")
 
   // q111 — the MODEL-GATED cleaned-shard artifact: q105 with stage 1
   // swapped from the heuristic stats gate to the frozen classifier's
@@ -290,8 +295,13 @@ object Packing {
   // the physical artifact.
   def writeMarginShards(s: SparkSession, dir: String, budget: Long = 512,
                         seqsPerShard: Long = 8): DataFrame =
-    writeShardsFor(Compose.marginSurvivors(s, dir), budget, seqsPerShard,
-      defaultShardPath(dir) + "_cleanmargin")
+    // same stage-boundary pin as writeCleanShardsBpe: the margin gate's
+    // |vocab| filter-folds are the priciest stage-1 predicate in the
+    // engine, and the writer consumes the survivor frame twice (counts
+    // + text join) — checkpoint once, evaluate the gate once
+    writeShardsFor(
+      Caches.register(Compose.marginSurvivors(s, dir).localCheckpoint()),
+      budget, seqsPerShard, defaultShardPath(dir) + "_cleanmargin")
 
   // q109 — the LAST composition seam, closed: q105 ships CLEANED shards
   // at whitespace budget; q106 packs the raw corpus by TOKENIZER
@@ -315,7 +325,15 @@ object Packing {
   // loads its frozen tokenizer artifact instead).
   def writeCleanShardsBpe(s: SparkSession, dir: String, budget: Long = 512,
                           seqsPerShard: Long = 8, iters: Int = 10): DataFrame = {
-    val surv = Compose.survivors(s, dir)
+    // PIN the survivor corpus once (eager localCheckpoint — the
+    // checkpoint a real pipeline writes between cleaning and packing):
+    // three downstream consumers otherwise re-run the funnel's
+    // pair-subgraph anti-join per pass — the segmentation's distinct-
+    // word branch, its occurrence-stream join-back, and the writer's
+    // text join (measured 14.7 s/rep un-pinned vs ~q105+q106's sum
+    // with the pin). The checkpoint holds (doc_id, text) survivor rows
+    // — the stage-boundary working set, bounded by the cleaned corpus.
+    val surv = Caches.register(Compose.survivors(s, dir).localCheckpoint())
     val counts = Bpe.subwordCountsFor(surv, Bpe.trainedMerges(s, dir, iters))
     writeShardsCounts(surv, counts, budget, seqsPerShard,
       defaultShardPath(dir) + "_cleanbpe")
@@ -349,8 +367,9 @@ object Packing {
                         seqsPerShard: Long = 8): DataFrame = {
     val path = defaultShardPath(dir) + "_cleanss"
     if (!builtCleanStores.contains(path)) {
-      writeShardRows(Compose.survivors(s, dir), budget, seqsPerShard,
-        seqBase = 0L, path = path, mode = "overwrite")
+      writeShardRows(
+        Caches.register(Compose.survivors(s, dir).localCheckpoint()),
+        budget, seqsPerShard, seqBase = 0L, path = path, mode = "overwrite")
       builtCleanStores.add(path)
     }
     shardReport(s.read.parquet(path))
