@@ -64,5 +64,8 @@ object GraftExtensions {
     ("shingle_windows",
       "shingle_windows(tokens, k) - array of space-joined k-token windows, one native pass",
       ShingleWindows.build),
+    ("quality_margin",
+      "quality_margin(text) - frozen quality-classifier logistic margin (QualityCoefficients fold), one native pass",
+      QualityMarginExpr.build),
   )
 }

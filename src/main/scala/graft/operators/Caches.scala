@@ -99,6 +99,22 @@ object Caches {
     ds
   }
 
+  /** The calling thread's current scope stack — captured by [[Par]] so
+    * a driver-side worker thread tracks into the SAME scope as the
+    * composition that spawned it (a bare thread would otherwise track
+    * into the global registry, leaking Dataset references past the
+    * query's scope release). */
+  private[operators] def scopes: List[Scope] = current.get()
+
+  /** Run `body` with the given scope stack installed on this thread
+    * (restores the previous stack afterwards) — [[Par]]'s worker-thread
+    * entry. */
+  private[operators] def runWithScopes[A](s: List[Scope])(body: => A): A = {
+    val prev = current.get()
+    current.set(s)
+    try body finally current.set(prev)
+  }
+
   /** Unpersist every GLOBALLY tracked dataset (non-blocking) and forget
     * them. Scoped caches are untouched — release those via their handle. */
   def release(): Unit = global.release()

@@ -79,6 +79,32 @@ object Compose {
     survivorsTokFor(documents, threshold, maxDocFreq)
       .select(col("doc_id"), col("text"))
 
+  /** [[survivors]] WITH the whitespace token count riding along
+    * (`_nt = size(_t)` — tokenCount ≡ size(tokens) by definition, so the
+    * column is bit-identical to what a downstream re-split would
+    * compute): the funnel already tokenized every document once for its
+    * own gates, so shard writers that consume the survivor corpus
+    * (q105/q113) read the count from here instead of re-splitting the
+    * cleaned corpus — one full tokenize pass saved at any scale for
+    * 8 bytes/row of checkpoint width. */
+  def survivorsCounted(s: SparkSession, dir: String,
+                       threshold: Double = 0.5,
+                       maxDocFreq: Long = 100): DataFrame =
+    survivorsTok(s, dir, threshold, maxDocFreq)
+      .select(col("doc_id"), col("text"),
+        size(col("_t")).cast("long").as("_nt"))
+
+  /** [[marginSurvivors]] with the token count riding along — the q111
+    * sibling of [[survivorsCounted]]. */
+  def marginSurvivorsCounted(s: SparkSession, dir: String,
+                             threshold: Double = 0.5,
+                             maxDocFreq: Long = 100): DataFrame =
+    marginStagedTokFor(
+      Tables.spreadTable(s, dir, "documents", col("doc_id")),
+      threshold, maxDocFreq)._4
+      .select(col("doc_id"), col("text"),
+        size(col("_t")).cast("long").as("_nt"))
+
   /** Survivor corpus WITH its token arrays (`_t`): split runs ONCE, at
     * cache materialization, and both downstream tokenizing stages (3:
     * shingling, 4: token counts) read the arrays instead of re-running
@@ -146,6 +172,7 @@ object Compose {
                                  maxDocFreq: Long = 100,
                                  keepText: Boolean = true)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    Sampling.registerMargin(documents.sparkSession)
     val base = withTokens(documents)
     stagedTail(base,
       base.filter(Sampling.modelMargin(col("text")) >

@@ -88,20 +88,27 @@ object DedupIndex {
     // projection a deployment would materialize before bucketing, not a
     // recompute per table).
     val proj = Dedup.hashSigProjection(corpus, k).persist()
-    try {
-      proj.select(col("doc_id"), col("_h"))
+    // The three CTAS builds are INDEPENDENT writes to disjoint tables —
+    // overlapped from driver threads (guide §2.6) so each job's task
+    // tail back-fills with the next job's work instead of idling the
+    // cluster; the exact and band tables still share the persisted
+    // projection (concurrent first-fill of a persisted frame is safe —
+    // block-level cache registration is synchronized, worst case one
+    // partition computes twice before the cache serves both).
+    try Par.run(Seq(
+      () => proj.select(col("doc_id"), col("_h"))
         .repartition(buckets, col("_h"))
         .write.bucketBy(buckets, "_h").sortBy("_h")
-        .mode(SaveMode.Overwrite).saveAsTable(exactTable(prefix))
-      bandedSig(proj, k, bands)
+        .mode(SaveMode.Overwrite).saveAsTable(exactTable(prefix)),
+      () => bandedSig(proj, k, bands)
         .repartition(buckets, col("band"), col("key"))
         .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
-        .mode(SaveMode.Overwrite).saveAsTable(bandTable(prefix))
-    } finally proj.unpersist(blocking = false)
-    bandedEmb(Dedup.embSketchProjection(corpusEmb, bits, dim), bits, embBands)
-      .repartition(buckets, col("band"), col("key"))
-      .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
-      .mode(SaveMode.Overwrite).saveAsTable(embTable(prefix))
+        .mode(SaveMode.Overwrite).saveAsTable(bandTable(prefix)),
+      () => bandedEmb(Dedup.embSketchProjection(corpusEmb, bits, dim), bits, embBands)
+        .repartition(buckets, col("band"), col("key"))
+        .write.bucketBy(buckets, "band", "key").sortBy("band", "key")
+        .mode(SaveMode.Overwrite).saveAsTable(embTable(prefix))))
+    finally proj.unpersist(blocking = false)
   }
 
   /** Day-over-day DURABLE refresh: append a classified batch's `new`
@@ -396,10 +403,15 @@ object DedupIndex {
     Seq(exactTable(prefix), bandTable(prefix), embTable(prefix),
       imgTable(prefix), afpTable(prefix), vidTable(prefix))
       .foreach(dropTable(s, _))
-    saveIndex(docs.filter(!isNew), embs.filter(!isNew), prefix, buckets)
-    saveImgIndex(imgSide(false), prefix, buckets)
-    saveAfpIndex(afpSide(false), prefix, buckets)
-    saveVidIndex(vidSide(false), prefix, buckets)
+    // the four index-family builds write disjoint tables from disjoint
+    // inputs — overlap them (guide §2.6): the media decodes are
+    // CPU-heavy scans whose tails otherwise serialize, and the build is
+    // ~⅔ of this query's declared cost
+    Par.run(Seq(
+      () => saveIndex(docs.filter(!isNew), embs.filter(!isNew), prefix, buckets),
+      () => saveImgIndex(imgSide(false), prefix, buckets),
+      () => saveAfpIndex(afpSide(false), prefix, buckets),
+      () => saveVidIndex(vidSide(false), prefix, buckets)))
     def run() = classifyNew6Indexed(s, docs.filter(isNew),
       embs.filter(isNew), imgSide(true), afpSide(true), vidSide(true),
       prefix)
@@ -515,10 +527,12 @@ object DedupIndex {
       Seq(exactTable(prefix), bandTable(prefix), embTable(prefix),
         imgTable(prefix), afpTable(prefix), vidTable(prefix), ready)
         .foreach(dropTable(s, _))
-      saveIndex(docs.filter(bk < 3), embs.filter(bk < 3), prefix, buckets)
-      saveImgIndex(imgSide(bk < 3), prefix, buckets)
-      saveAfpIndex(afpSide(bk < 3), prefix, buckets)
-      saveVidIndex(vidSide(bk < 3), prefix, buckets)
+      // overlapped like q79's build — disjoint tables, disjoint inputs
+      Par.run(Seq(
+        () => saveIndex(docs.filter(bk < 3), embs.filter(bk < 3), prefix, buckets),
+        () => saveImgIndex(imgSide(bk < 3), prefix, buckets),
+        () => saveAfpIndex(afpSide(bk < 3), prefix, buckets),
+        () => saveVidIndex(vidSide(bk < 3), prefix, buckets)))
       val day1 = classifyNew6Indexed(s, docs.filter(bk === 3),
         embs.filter(bk === 3), imgSide(bk === 3), afpSide(bk === 3),
         vidSide(bk === 3), prefix)

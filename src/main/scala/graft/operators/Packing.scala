@@ -276,13 +276,25 @@ object Packing {
   // — nothing new beyond the two composed operators.
   def writeCleanShards(s: SparkSession, dir: String, budget: Long = 512,
                        seqsPerShard: Long = 8): DataFrame =
-    // stage-boundary pin (r15): the writer consumes the survivor frame
-    // twice (token counts + text join), and each un-pinned pass re-ran
-    // the funnel's pair-subgraph anti-join — one eager localCheckpoint
-    // of the cleaned (doc_id, text) rows serves both
-    writeShardsFor(
-      Caches.register(Compose.survivors(s, dir).localCheckpoint()),
+    // LAZY survivor frame, counts from the funnel's own token arrays
+    // (r15 measurement, ProfileStages): the funnel caches its exact-dedup
+    // stage and solves the pair subgraph into a local relation at plan
+    // time, so the writer's extra evaluations re-run only a cache-fed
+    // anti-join (~0.3 s) — while the r15-interim eager localCheckpoint
+    // of the survivor text cost ~2 s to materialize AND left lingering
+    // checkpoint blocks that slowed neighboring queries. Measured: 4.9 s
+    // un-pinned vs 6.1 s pinned at sf0.1. `_nt` rides from the funnel's
+    // `_t` (size(tokens)), so the cleaned corpus is never re-split.
+    writeCountedShards(Compose.survivorsCounted(s, dir),
       budget, seqsPerShard, defaultShardPath(dir) + "_clean")
+
+  /** Shard-write a (doc_id, text, _nt) frame — the counted-survivor
+    * entry shared by q105/q111/q113. */
+  private def writeCountedShards(surv: DataFrame, budget: Long,
+                                 seqsPerShard: Long, path: String): DataFrame =
+    writeShardsCounts(surv.select(col("doc_id"), col("text")),
+      surv.select(col("doc_id"), col("_nt")),
+      budget, seqsPerShard, path)
 
   // q111 — the MODEL-GATED cleaned-shard artifact: q105 with stage 1
   // swapped from the heuristic stats gate to the frozen classifier's
@@ -295,12 +307,11 @@ object Packing {
   // the physical artifact.
   def writeMarginShards(s: SparkSession, dir: String, budget: Long = 512,
                         seqsPerShard: Long = 8): DataFrame =
-    // same stage-boundary pin as writeCleanShardsBpe: the margin gate's
-    // |vocab| filter-folds are the priciest stage-1 predicate in the
-    // engine, and the writer consumes the survivor frame twice (counts
-    // + text join) — checkpoint once, evaluate the gate once
-    writeShardsFor(
-      Caches.register(Compose.marginSurvivors(s, dir).localCheckpoint()),
+    // same lazy-counted shape as q105 (see writeCleanShards): the margin
+    // gate sits INSIDE the funnel's cached exact-dedup stage, so it
+    // evaluates once per rep no matter how many passes the writer makes
+    // — and it is the native one-pass quality_margin expression (r15)
+    writeCountedShards(Compose.marginSurvivorsCounted(s, dir),
       budget, seqsPerShard, defaultShardPath(dir) + "_cleanmargin")
 
   // q109 — the LAST composition seam, closed: q105 ships CLEANED shards
@@ -333,8 +344,28 @@ object Packing {
     // text join (measured 14.7 s/rep un-pinned vs ~q105+q106's sum
     // with the pin). The checkpoint holds (doc_id, text) survivor rows
     // — the stage-boundary working set, bounded by the cleaned corpus.
-    val surv = Caches.register(Compose.survivors(s, dir).localCheckpoint())
-    val counts = Bpe.subwordCountsFor(surv, Bpe.trainedMerges(s, dir, iters))
+    //
+    // r15 RESTRUCTURE, from ProfileStages measurement:
+    //  - the survivor frame stays LAZY (see writeCleanShards — the
+    //    funnel's internal caches make re-evaluation a cache-fed
+    //    anti-join, while eagerly checkpointing the text cost ~2 s and
+    //    its lingering blocks taxed neighboring queries);
+    //  - the funnel's caches are WARMED concurrently with the tokenizer
+    //    training (guide §2.6 — the train is a driver-loop job that
+    //    leaves the cluster idle between its small jobs; the two are
+    //    independent, so overlapping changes no row);
+    //  - the BPE COUNTS frame is checkpointed instead of the text: the
+    //    writer's range partitioner SAMPLES its input before shuffling
+    //    it, so an expensive counts subtree evaluates twice un-pinned
+    //    (measured 6.7 s vs 3.2 s for the same write over cheap counts)
+    //    — pinning the narrow (doc_id, _nt) rows is ~100× fewer bytes
+    //    than pinning the text and caps the writer at the cheap-counts
+    //    cost.
+    val surv = Compose.survivors(s, dir)
+    val (merges, _) = Par.join2(Bpe.trainedMerges(s, dir, iters))(
+      surv.count()) // warm the funnel's stage caches while training
+    val counts = Caches.register(
+      Bpe.subwordCountsFor(surv, merges).localCheckpoint())
     writeShardsCounts(surv, counts, budget, seqsPerShard,
       defaultShardPath(dir) + "_cleanbpe")
   }
@@ -367,8 +398,9 @@ object Packing {
                         seqsPerShard: Long = 8): DataFrame = {
     val path = defaultShardPath(dir) + "_cleanss"
     if (!builtCleanStores.contains(path)) {
-      writeShardRows(
-        Caches.register(Compose.survivors(s, dir).localCheckpoint()),
+      val surv = Compose.survivorsCounted(s, dir)
+      writeShardRowsCounts(surv.select(col("doc_id"), col("text")),
+        surv.select(col("doc_id"), col("_nt")),
         budget, seqsPerShard, seqBase = 0L, path = path, mode = "overwrite")
       builtCleanStores.add(path)
     }

@@ -379,8 +379,18 @@ object Sampling {
     * shape [[graft.ml.QualityModel.score]] runs with the live model
     * (MlSpec pins this literal margin ≡ the fitted model's margin). */
   def modelMargin(text: Column): Column =
-    marginOf(text, QualityCoefficients.vocab, QualityCoefficients.idf,
-      QualityCoefficients.coef, QualityCoefficients.intercept)
+    call_function("quality_margin", text)
+
+  /** Register the native margin in `s`'s function registry — callers of
+    * [[modelMargin]] do this once before building the plan (the
+    * FloatVectorExprs.register pattern). The native expression computes
+    * the frozen fold in ONE pass with whole-stage codegen instead of
+    * |vocab| interpreted array-filter subtrees per row
+    * ([[graft.plans.QualityMarginExpr]] — bit-identical by the vocab-
+    * order integer-tf argument there, pinned in MarginExprSpec and gated
+    * end-to-end by the q108/q111/q112 oracle hashes). */
+  def registerMargin(s: SparkSession): Unit =
+    graft.plans.QualityMarginExpr.register(s)
 
   /** [[modelMargin]]'s fold over ANY frozen (vocab, idf, coef,
     * intercept) tuple — MlSpec fits a live model, extracts the tuple
@@ -422,11 +432,13 @@ object Sampling {
 
   /** Core of q108 over any (doc_id, source, text) frame. */
   def modelQuotaFor(documents: DataFrame, k: Int = 10,
-                    salts: Int = QuotaSalts): DataFrame =
+                    salts: Int = QuotaSalts): DataFrame = {
+    registerMargin(documents.sparkSession)
     modelQuotaScored(documents.select(
       col("doc_id"), col("source"),
       graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
       modelMargin(col("text")).as("margin")), k, salts)
+  }
 
   /** The quota report over an ALREADY-SCORED (doc_id, source, n_tokens,
     * margin) frame — split from [[modelQuotaFor]] so the streaming twin

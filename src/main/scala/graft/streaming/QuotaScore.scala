@@ -68,11 +68,13 @@ object QuotaScore {
   /** The stateless per-row scoring projection — identical to the
     * columns [[Sampling.modelQuotaFor]] derives in-plan, so the store's
     * rows ARE the batch query's scored frame. */
-  def scoreRows(docs: DataFrame): DataFrame =
+  def scoreRows(docs: DataFrame): DataFrame = {
+    Sampling.registerMargin(docs.sparkSession)
     docs.select(
       col("doc_id"), col("source"),
       graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
       Sampling.modelMargin(col("text")).as("margin"))
+  }
 
   /** The quota report over the accumulated scored store. */
   def report(s: SparkSession, path: String, k: Int, salts: Int): DataFrame =

@@ -146,4 +146,43 @@ class ExpressionSpec extends AnyFunSuite {
     assert(err.getMessage.contains("float_dot") ||
       err.getMessage.toLowerCase.contains("data type"))
   }
+
+  test("native quality_margin is bit-identical to the Catalyst fold (corpus + edges)") {
+    import graft.operators.{QualityCoefficients, Sampling}
+    Sampling.registerMargin(spark)
+    // planted edges: empty text, multi/leading/trailing spaces, case
+    // folding, vocab words embedded in longer words (must NOT count),
+    // repeated vocab words, and a vocab-free document
+    import spark.implicits._
+    val edges = Seq(
+      (-1L, ""),
+      (-2L, "  join  hash   JOIN  "),
+      (-3L, "joinx xjoin join join"),
+      (-4L, "zzz yyy xxx"),
+      (-5L, "Sort QUERY fast dup dup dup"))
+      .toDF("doc_id", "text")
+    val corpus = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(edges)
+    val fold = Sampling.marginOf(col("text"), QualityCoefficients.vocab,
+      QualityCoefficients.idf, QualityCoefficients.coef,
+      QualityCoefficients.intercept)
+    // bit-identical ⇒ exact equality, no tolerance
+    val diff = corpus
+      .select(col("doc_id"), Sampling.modelMargin(col("text")).as("native"),
+        fold.as("fold"))
+      .filter(col("native") =!= col("fold") ||
+        col("native").isNull =!= col("fold").isNull)
+    assert(diff.count() == 0)
+    // null text propagates to a null margin, like the fold
+    val n = spark.sql("SELECT quality_margin(cast(null as string)) AS m").head
+    assert(n.isNullAt(0))
+    // interpreted path agrees with codegen (direct eval, no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val direct = graft.plans.QualityMargin(Literal("join hash join"))
+      .eval(null).asInstanceOf[Double]
+    val viaSql = spark.sql("SELECT quality_margin('join hash join') AS m")
+      .head.getDouble(0)
+    assert(direct == viaSql)
+  }
 }
